@@ -1,0 +1,135 @@
+"""On-device k-means (k-means++ init + Lloyd) for the IVF coarse quantizer.
+
+TPU-native replacement for the reference's scalar k-means
+(reference: src/ivf/core.rs:240-371): assignment is one [N, C] distance
+matmul + argmin on the MXU; the centroid update is a one-hot matmul
+(segment-sum); k-means++ seeding is a lax.scan with an incrementally
+maintained min-distance table (O(C·N·D) total, all batched).
+
+Supports masked rows (padding / deleted vectors excluded from training).
+Convergence criterion mirrors the reference: relative error change < 1e-4,
+max 25 iterations by default (src/ivf/core.rs:42-60,286-322).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .distance import pairwise_sq_l2, squared_norms
+
+
+class TrainResult(NamedTuple):
+    centroids: jax.Array  # [C, D] f32
+    iterations: jax.Array  # scalar int32
+    converged: jax.Array  # scalar bool
+    final_error: jax.Array  # scalar f32 (mean squared assignment distance)
+
+
+@partial(jax.jit, static_argnames=("n_clusters",))
+def kmeans_pp_init(key, x, mask, n_clusters: int):
+    """k-means++ seeding over valid rows of x [N, D], mask [N] bool.
+
+    Each step samples the next centroid with probability proportional to the
+    squared distance to the nearest already-chosen centroid.
+    """
+    n = x.shape[0]
+    x_sq = squared_norms(x)
+    neg_mask_inf = jnp.where(mask, 0.0, jnp.inf)
+
+    key, sub = jax.random.split(key)
+    # First centroid: uniform over valid rows.
+    logits = jnp.where(mask, 0.0, -jnp.inf)
+    first = jax.random.categorical(sub, logits)
+    first_c = x[first]
+
+    d2 = pairwise_sq_l2(first_c[None, :], x, x_sq)[0] + neg_mask_inf
+    d2 = jnp.where(mask, d2, 0.0)  # invalid rows carry zero weight
+
+    def step(carry, k_step):
+        d2, key = carry
+        key, sub = jax.random.split(key)
+        # Sample proportional to d2 (categorical over log weights).
+        logw = jnp.where(mask & (d2 > 0), jnp.log(jnp.maximum(d2, 1e-30)), -jnp.inf)
+        # Fallback: if all distances are zero (duplicate data), sample uniform.
+        any_pos = jnp.any(jnp.isfinite(logw))
+        logw = jnp.where(any_pos, logw, jnp.where(mask, 0.0, -jnp.inf))
+        pick = jax.random.categorical(sub, logw)
+        c = x[pick]
+        new_d2 = pairwise_sq_l2(c[None, :], x, x_sq)[0]
+        d2 = jnp.where(mask, jnp.minimum(d2, new_d2), 0.0)
+        return (d2, key), c
+
+    (_, _), rest = jax.lax.scan(step, (d2, key), jnp.arange(1, n_clusters))
+    return jnp.concatenate([first_c[None, :], rest], axis=0)
+
+
+def assign_clusters(x, centroids, mask=None, c_sq=None):
+    """Nearest-centroid assignment. Returns (assign [N] int32, d2 [N] f32).
+
+    Invalid rows get assignment -1 and distance 0.
+    """
+    d = pairwise_sq_l2(x, centroids, c_sq)  # [N, C]
+    assign = jnp.argmin(d, axis=1).astype(jnp.int32)
+    d2 = jnp.take_along_axis(d, assign[:, None].astype(jnp.int32), axis=1)[:, 0]
+    if mask is not None:
+        assign = jnp.where(mask, assign, -1)
+        d2 = jnp.where(mask, d2, 0.0)
+    return assign, d2
+
+
+def lloyd_step(x, mask, centroids):
+    """One Lloyd iteration: assign + one-hot-matmul centroid update.
+
+    Empty clusters keep their previous centroid (reference behavior:
+    src/ivf/core.rs update step skips empty clusters).
+    Returns (new_centroids, mean_sq_error).
+    """
+    c = centroids.shape[0]
+    assign, d2 = assign_clusters(x, centroids, mask)
+    onehot = jax.nn.one_hot(assign, c, dtype=jnp.float32)  # [-1 rows -> all zero]
+    counts = jnp.sum(onehot, axis=0)  # [C]
+    sums = jax.lax.dot_general(
+        onehot, x.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [C, D]
+    new_centroids = jnp.where(
+        counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centroids
+    )
+    n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    err = jnp.sum(d2) / n_valid
+    return new_centroids, err
+
+
+@partial(jax.jit, static_argnames=("n_clusters", "max_iterations"))
+def kmeans_train(
+    key,
+    x,
+    mask,
+    n_clusters: int,
+    max_iterations: int = 25,
+    tol: float = 1e-4,
+) -> TrainResult:
+    """Full k-means training loop with early convergence, on device."""
+    init = kmeans_pp_init(key, x, mask, n_clusters)
+
+    def cond(state):
+        i, _, _, done = state
+        return (i < max_iterations) & (~done)
+
+    def body(state):
+        i, cents, last_err, _ = state
+        new_cents, err = lloyd_step(x, mask, cents)
+        rel = jnp.abs(last_err - err) / jnp.maximum(last_err, 1e-30)
+        done = (i > 0) & (rel < tol)
+        return i + 1, new_cents, err, done
+
+    i0 = jnp.int32(0)
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    i, cents, err, done = jax.lax.while_loop(
+        cond, body, (i0, init, big, jnp.bool_(False))
+    )
+    return TrainResult(cents, i, done, err)

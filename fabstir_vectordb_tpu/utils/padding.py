@@ -1,0 +1,43 @@
+"""Shape/padding helpers.
+
+TPU-first design rule: everything under jit has static shapes. Host code pads
+row counts up to capacity buckets (powers of two times a lane-aligned base) so
+growth does not trigger recompilation on every insert.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+LANE = 128  # TPU lane width; last-dim alignment target.
+SUBLANE = 8  # f32 sublane count.
+
+
+def round_up(x: int, m: int) -> int:
+    """Round ``x`` up to the next multiple of ``m``."""
+    if m <= 0:
+        raise ValueError("m must be positive")
+    return ((x + m - 1) // m) * m
+
+
+def grow_capacity(needed: int, minimum: int = 1024) -> int:
+    """Capacity bucket for ``needed`` rows: next power of two, >= minimum.
+
+    Power-of-two buckets bound the number of distinct jit specializations to
+    O(log N) over the life of an index.
+    """
+    cap = max(int(minimum), SUBLANE)
+    while cap < needed:
+        cap *= 2
+    return cap
+
+
+def pad_rows(arr: np.ndarray, capacity: int, fill=0) -> np.ndarray:
+    """Pad the leading dim of ``arr`` with ``fill`` up to ``capacity`` rows."""
+    n = arr.shape[0]
+    if n > capacity:
+        raise ValueError(f"array rows {n} exceed capacity {capacity}")
+    if n == capacity:
+        return arr
+    pad_shape = (capacity - n,) + arr.shape[1:]
+    pad = np.full(pad_shape, fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)

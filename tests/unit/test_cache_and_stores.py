@@ -1,0 +1,201 @@
+"""ChunkCache + ObjectStore decorator tests (mirrors reference chunk_cache/storage tests)."""
+import numpy as np
+import pytest
+
+from fabstir_vectordb_tpu.core import (
+    ChunkCache,
+    VectorChunk,
+    MemoryObjectStore,
+    FileSystemObjectStore,
+    CachedObjectStore,
+    RetryObjectStore,
+    BatchObjectStore,
+    CircuitBreaker,
+    CircuitOpenError,
+    StorageError,
+)
+from fabstir_vectordb_tpu.core.object_store import NotFoundError
+
+
+def make_chunk(cid, n=4, dim=8):
+    data = np.full((n, dim), float(hash(cid) % 97), np.float32)
+    return VectorChunk(cid, 0, n - 1, [f"{cid}:{i}" for i in range(n)], data)
+
+
+class TestChunkCache:
+    def test_lru_eviction_and_metrics(self):
+        cache = ChunkCache(max_chunks=2)
+        cache.put(make_chunk("a"))
+        cache.put(make_chunk("b"))
+        assert cache.get("a") is not None  # a is now most recent
+        cache.put(make_chunk("c"))  # evicts b
+        assert cache.get("b") is None
+        assert cache.get("a") is not None and cache.get("c") is not None
+        assert cache.metrics.evictions == 1
+        assert cache.metrics.misses == 1
+        assert cache.metrics.hits == 3
+        assert 0 < cache.metrics.hit_rate < 1
+
+    def test_byte_cap(self):
+        cache = ChunkCache(max_chunks=100, max_bytes=3000)
+        for i in range(5):  # each chunk ~ 4*8*4 + overhead bytes
+            cache.put(make_chunk(f"c{i}", n=16, dim=16))  # 1KB data each
+        assert len(cache) < 5
+
+    def test_remove_and_clear(self):
+        cache = ChunkCache(max_chunks=4)
+        cache.put(make_chunk("a"))
+        assert cache.remove("a") and not cache.remove("a")
+        cache.put(make_chunk("b"))
+        cache.clear()
+        assert len(cache) == 0 and cache.total_bytes == 0
+
+
+class TestMemoryStore:
+    def test_crud_and_call_counting(self):
+        s = MemoryObjectStore()
+        s.put("a/b", b"1")
+        assert s.get("a/b") == b"1"
+        assert s.list_keys("a/") == ["a/b"]
+        s.delete("a/b")
+        assert not s.exists("a/b")
+        with pytest.raises(NotFoundError):
+            s.get("a/b")
+        assert s.get_calls["a/b"] == 2 and s.put_calls["a/b"] == 1
+
+    def test_fault_injection(self):
+        s = MemoryObjectStore(fail_on={"k": 2})
+        s.put("k", b"v")
+        with pytest.raises(StorageError):
+            s.get("k")
+        with pytest.raises(StorageError):
+            s.get("k")
+        assert s.get("k") == b"v"
+
+
+class TestFileSystemStore:
+    def test_roundtrip(self, tmp_path):
+        s = FileSystemObjectStore(str(tmp_path))
+        s.put("x/y/z.bin", b"data")
+        assert s.get("x/y/z.bin") == b"data"
+        assert s.list_keys("x/") == ["x/y/z.bin"]
+        s.delete("x/y/z.bin")
+        assert not s.exists("x/y/z.bin")
+
+    def test_escape_rejected(self, tmp_path):
+        s = FileSystemObjectStore(str(tmp_path))
+        with pytest.raises(StorageError):
+            s.put("../evil", b"x")
+
+
+class TestCachedStore:
+    def test_hit_miss_stats(self):
+        inner = MemoryObjectStore()
+        inner.put("k", b"v")
+        s = CachedObjectStore(inner)
+        assert s.get("k") == b"v"
+        assert s.get("k") == b"v"
+        assert s.stats.hits == 1 and s.stats.misses == 1
+        assert inner.get_calls["k"] == 1  # second read served from cache
+
+    def test_ttl_expiry(self):
+        t = [0.0]
+        inner = MemoryObjectStore()
+        inner.put("k", b"v")
+        s = CachedObjectStore(inner, ttl_seconds=10, clock=lambda: t[0])
+        s.get("k")
+        t[0] = 5.0
+        s.get("k")
+        assert inner.get_calls["k"] == 1
+        t[0] = 20.0
+        s.get("k")
+        assert inner.get_calls["k"] == 2
+
+    def test_eviction_by_entries(self):
+        inner = MemoryObjectStore()
+        for i in range(4):
+            inner.put(f"k{i}", b"v")
+        s = CachedObjectStore(inner, max_entries=2)
+        for i in range(4):
+            s.get(f"k{i}")
+        assert s.stats.evictions == 2
+
+    def test_write_through_and_delete_invalidate(self):
+        inner = MemoryObjectStore()
+        s = CachedObjectStore(inner)
+        s.put("k", b"v")
+        assert s.get("k") == b"v" and inner.get_calls.get("k", 0) == 0
+        s.delete("k")
+        with pytest.raises(NotFoundError):
+            s.get("k")
+
+
+class TestRetryStore:
+    def test_retries_then_succeeds(self):
+        inner = MemoryObjectStore(fail_on={"k": 2})
+        inner.put("k", b"v")
+        sleeps = []
+        s = RetryObjectStore(inner, max_retries=3, sleep=sleeps.append)
+        assert s.get("k") == b"v"
+        assert len(sleeps) == 2
+        assert sleeps[1] > sleeps[0] * 1.2  # exponential growth (with jitter)
+
+    def test_gives_up_after_max(self):
+        inner = MemoryObjectStore(fail_on={"k": 99})
+        inner.put("k", b"v")
+        s = RetryObjectStore(inner, max_retries=2, sleep=lambda *_: None)
+        with pytest.raises(StorageError):
+            s.get("k")
+
+    def test_not_found_not_retried(self):
+        inner = MemoryObjectStore()
+        s = RetryObjectStore(inner, max_retries=3, sleep=lambda *_: None)
+        with pytest.raises(NotFoundError):
+            s.get("missing")
+        assert inner.get_calls["missing"] == 1
+
+    def test_circuit_breaker_opens_and_half_opens(self):
+        t = [0.0]
+        breaker = CircuitBreaker(failure_threshold=2, reset_timeout=30, clock=lambda: t[0])
+        inner = MemoryObjectStore(fail_on={"k": 99})
+        inner.put("k", b"v")
+        s = RetryObjectStore(inner, max_retries=1, breaker=breaker, sleep=lambda *_: None)
+        with pytest.raises(StorageError):
+            s.get("k")
+        assert breaker.state == "open"
+        with pytest.raises(CircuitOpenError):
+            s.get("k")
+        t[0] = 31.0
+        assert breaker.state == "half-open"
+        inner.fail_on["k"] = 0
+        assert s.get("k") == b"v"
+        assert breaker.state == "closed"
+
+
+class TestBatchStore:
+    def test_buffered_until_flush(self):
+        inner = MemoryObjectStore()
+        s = BatchObjectStore(inner, max_buffer=100)
+        s.put("a", b"1")
+        assert s.get("a") == b"1"  # visible via buffer
+        assert not inner.exists("a")
+        s.flush()
+        assert inner.get("a") == b"1"
+
+    def test_auto_flush_at_capacity(self):
+        inner = MemoryObjectStore()
+        s = BatchObjectStore(inner, max_buffer=2)
+        s.put("a", b"1")
+        s.put("b", b"2")
+        assert inner.exists("a") and inner.exists("b")
+
+    def test_delete_buffering(self):
+        inner = MemoryObjectStore()
+        inner.put("a", b"1")
+        s = BatchObjectStore(inner, max_buffer=100)
+        s.delete("a")
+        with pytest.raises(NotFoundError):
+            s.get("a")
+        assert inner.exists("a")
+        s.flush()
+        assert not inner.exists("a")
