@@ -1,0 +1,17 @@
+from .store import VectorStore
+from .flat import FlatIndex
+from .ivf import IVFIndex, IVFConfig
+from .hnsw import HNSWIndex, HNSWConfig
+from .hybrid import HybridIndex, HybridConfig, SearchConfig
+
+__all__ = [
+    "VectorStore",
+    "FlatIndex",
+    "IVFIndex",
+    "IVFConfig",
+    "HNSWIndex",
+    "HNSWConfig",
+    "HybridIndex",
+    "HybridConfig",
+    "SearchConfig",
+]

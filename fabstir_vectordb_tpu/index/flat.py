@@ -1,0 +1,100 @@
+"""Exact brute-force index: one masked distance matmul + top-k.
+
+Three roles (SURVEY §7 step 1):
+  - the recall oracle for IVF/HNSW parity checks (the reference computes
+    ground truth the same way in evaluate_search_quality,
+    src/ivf/operations.rs:329-391);
+  - the feature-equivalent of the reference's WASM InMemoryIndex brute-force
+    search (bindings/wasm/src/index.rs:122-161);
+  - the small-dataset fast path.
+
+The whole search is one [B, N] MXU matmul + lax.top_k; soft-delete and
+metadata-filter bitmasks are fused into selection.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import pairwise_distance
+from ..ops.topk import masked_topk
+from .store import VectorStore
+
+
+@partial(jax.jit, static_argnames=("k", "metric"))
+def flat_search_kernel(x, x_sq, mask, q, k: int, metric: str = "euclidean"):
+    """(x [N,D], x_sq [N], mask [N] or [B,N], q [B,D]) -> (dists [B,k], rows [B,k])."""
+    d = pairwise_distance(q, x, metric=metric, x_sq=x_sq)
+    return masked_topk(d, mask, k)
+
+
+class FlatIndex:
+    """Brute-force exact index over a VectorStore."""
+
+    def __init__(self, store: VectorStore, metric: str = "euclidean"):
+        self.store = store
+        self.metric = metric
+
+    def search_rows(
+        self,
+        queries: np.ndarray,
+        k: int,
+        extra_mask: np.ndarray | None = None,
+    ):
+        """Returns (distances [B, k], rows [B, k]); rows are -1 beyond matches.
+
+        Euclidean distances are returned as true (non-squared) distances.
+        """
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        mirror = self.store.device()
+        mask = self.store.active_mask()
+        if extra_mask is not None:
+            mask = mask & extra_mask
+        k_eff = min(k, self.store.capacity)
+        d, rows = flat_search_kernel(
+            mirror.x, mirror.x_sq, jnp.asarray(mask), jnp.asarray(queries),
+            k_eff, self.metric,
+        )
+        d = np.asarray(d)
+        rows = np.asarray(rows)
+        if self.metric == "euclidean":
+            d = np.sqrt(np.maximum(d, 0.0))
+        if k_eff < k:  # pad to requested k
+            pad = k - k_eff
+            d = np.pad(d, ((0, 0), (0, pad)), constant_values=np.inf)
+            rows = np.pad(rows, ((0, 0), (0, pad)), constant_values=-1)
+        return d, rows
+
+    def search(self, query: np.ndarray, k: int, extra_mask=None):
+        """Single-query search -> list of (id, distance)."""
+        d, rows = self.search_rows(np.asarray(query)[None, :], k, extra_mask)
+        out = []
+        for dist, row in zip(d[0], rows[0]):
+            if row < 0:
+                break
+            vid = self.store.id_of(int(row))
+            if vid is not None:
+                out.append((vid, float(dist)))
+        return out
+
+
+def recall_at_k(
+    oracle: FlatIndex, approx_rows: np.ndarray, queries: np.ndarray, k: int
+) -> float:
+    """Fraction of exact top-k rows recovered by an approximate search.
+
+    Generalization of the reference's evaluate_search_quality recall
+    computation (src/ivf/operations.rs:329-391) usable against any engine.
+    """
+    _, exact = oracle.search_rows(queries, k)
+    hits = 0
+    total = 0
+    for b in range(exact.shape[0]):
+        truth = set(int(r) for r in exact[b] if r >= 0)
+        got = set(int(r) for r in approx_rows[b] if r >= 0)
+        hits += len(truth & got)
+        total += len(truth)
+    return hits / total if total else 1.0

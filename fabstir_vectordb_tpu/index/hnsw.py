@@ -1,0 +1,609 @@
+"""HNSW graph index: fixed-degree HBM adjacency + batched beam-search kernel.
+
+TPU-native rebuild of the reference HNSW engine (reference: src/hnsw/core.rs,
+src/hnsw/operations.rs). Key mapping:
+  - per-node HashMap neighbor sets (core.rs:49-116) -> dense int32 adjacency
+    arrays with -1 padding: layer 0 is ``nbrs0 [cap, M0]``; upper layers are
+    packed rows of ``nbrs_up [up_cap, M]`` addressed by
+    ``up_offset[node] + layer - 1`` (a node of level L owns L consecutive
+    rows), so upper layers cost memory proportional to actual occupancy;
+  - geometric level assignment with p=0.408 (core.rs:211-224);
+  - greedy descent from the entry point with ef=1 above layer 0, then an
+    ef-beam at layer 0 (core.rs:398-467, search_layer :469-554) -> two
+    device kernels, *batched over queries*: a vectorized greedy-descent
+    while_loop and a beam loop with masked candidate pools, visited bitmap,
+    gather + distance matmul + argsort merge per step;
+  - insert: per-layer ef_construction beam for candidates, closest-M neighbor
+    pruning, bidirectional linking with reverse-list pruning (core.rs:226-378)
+    -> device batched candidate search + host numpy linking;
+  - soft-deletes skipped during traversal and in results (core.rs:510-513);
+  - vacuum physically scrubs nodes + dangling refs (operations.rs:176-200).
+
+Defaults match the reference: M=16, M0=32, ef_construction=200, search ef=50
+(core.rs:30-46, hybrid/core.rs:456-461).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .store import VectorStore
+
+INF = np.float32(np.inf)
+
+
+@dataclass
+class HNSWConfig:
+    m: int = 16
+    m0: int = 32
+    ef_construction: int = 200
+    ef_search: int = 50
+    level_p: float = 0.408
+    max_level: int = 16
+    seed: int | None = 42
+    bootstrap_threshold: int = 1024  # below this, exact candidates (host)
+
+
+@dataclass
+class GraphStats:
+    num_nodes: int
+    num_edges: int
+    avg_degree: float
+    max_layer: int
+
+
+# ---------------------------------------------------------------------------
+# Device kernels
+# ---------------------------------------------------------------------------
+
+
+def _gather_dists(x, x_sq, q, q_sq, ids):
+    """Distances from each query to its own id list: q [B,D], ids [B,M] -> [B,M]."""
+    safe = jnp.maximum(ids, 0)
+    xs = x[safe]  # [B, M, D]
+    dots = jnp.einsum("bd,bmd->bm", q, xs, preferred_element_type=jnp.float32)
+    d = q_sq[:, None] - 2.0 * dots + x_sq[safe]
+    return jnp.maximum(d, 0.0)
+
+
+@partial(jax.jit, static_argnames=("max_hops",))
+def greedy_descent_kernel(
+    x, x_sq, mask, nbrs_up, up_offset, q, entry, entry_level, stop_layer,
+    max_hops: int = 512,
+):
+    """Vectorized greedy ef=1 descent from (entry, entry_level) down to
+    stop_layer[b] (exclusive of beam layers). Returns (cur [B], cur_d [B]).
+
+    One while_loop iteration = one hop attempt for every query; a query that
+    can't improve at its current layer steps down a layer instead.
+    """
+    b = q.shape[0]
+    q_sq = jnp.sum(q * q, axis=-1)
+    cur = jnp.full((b,), entry, jnp.int32)
+    e_d = _gather_dists(x, x_sq, q, q_sq, cur[:, None])[:, 0]
+    cur_d = jnp.where(mask[jnp.maximum(cur, 0)], e_d, jnp.inf)
+    layer = jnp.full((b,), entry_level, jnp.int32)
+
+    def cond(state):
+        layer, _, _, hops = state
+        return jnp.any(layer > stop_layer) & (hops < max_hops)
+
+    def body(state):
+        layer, cur, cur_d, hops = state
+        active = layer > stop_layer
+        row = jnp.maximum(up_offset[jnp.maximum(cur, 0)] + layer - 1, 0)
+        nbr = nbrs_up[row]  # [B, M]
+        d = _gather_dists(x, x_sq, q, q_sq, nbr)
+        valid = (nbr >= 0) & mask[jnp.maximum(nbr, 0)]
+        d = jnp.where(valid, d, jnp.inf)
+        j = jnp.argmin(d, axis=1)
+        best_d = jnp.take_along_axis(d, j[:, None], axis=1)[:, 0]
+        best_id = jnp.take_along_axis(nbr, j[:, None], axis=1)[:, 0]
+        improved = active & (best_d < cur_d)
+        cur = jnp.where(improved, best_id, cur)
+        cur_d = jnp.where(improved, best_d, cur_d)
+        layer = jnp.where(active & ~improved, layer - 1, layer)
+        return layer, cur, cur_d, hops + 1
+
+    _, cur, cur_d, _ = jax.lax.while_loop(cond, body, (layer, cur, cur_d, 0))
+    return cur, cur_d
+
+
+@partial(jax.jit, static_argnames=("layer", "ef", "max_iters"))
+def beam_search_kernel(
+    x, x_sq, mask, nbrs0, nbrs_up, up_offset, q, start_ids, active,
+    layer: int, ef: int, max_iters: int,
+):
+    """Batched beam search at one graph layer.
+
+    q [B, D]; start_ids [B, S] (-1 padded); active [B] bool (inactive queries
+    pass through untouched). Returns (pool_d [B, ef], pool_id [B, ef]) sorted
+    ascending, -1/inf padded. Classic candidate/nearest dual-heap beam
+    rebuilt as: fixed [B, ef] pool + expansion flags + [B, cap] visited
+    bitmap; each step expands the best unexpanded candidate of every query.
+    """
+    b, s = start_ids.shape
+    cap = x.shape[0]
+    q_sq = jnp.sum(q * q, axis=-1)
+
+    safe_start = jnp.maximum(start_ids, 0)
+    start_valid = (start_ids >= 0) & mask[safe_start]
+    d0 = _gather_dists(x, x_sq, q, q_sq, start_ids)
+    d0 = jnp.where(start_valid, d0, jnp.inf)
+
+    # init pool (pad start set to ef)
+    pad = ef - s if ef > s else 0
+    pool_d = jnp.concatenate(
+        [d0, jnp.full((b, pad), jnp.inf, jnp.float32)], axis=1
+    )[:, :ef]
+    pool_id = jnp.concatenate(
+        [jnp.where(start_valid, start_ids, -1),
+         jnp.full((b, pad), -1, jnp.int32)], axis=1
+    )[:, :ef]
+    order = jnp.argsort(pool_d, axis=1)
+    pool_d = jnp.take_along_axis(pool_d, order, axis=1)
+    pool_id = jnp.take_along_axis(pool_id, order, axis=1)
+    pool_exp = jnp.zeros((b, ef), bool)
+
+    visited = jnp.zeros((b, cap), bool)
+    # mark starts visited (even invalid->slot 0; harmless since masked)
+    visited = visited.at[
+        jnp.arange(b)[:, None], safe_start
+    ].max(start_ids >= 0)
+
+    done = ~active
+
+    def cond(state):
+        _, _, _, _, done, it = state
+        return jnp.any(~done) & (it < max_iters)
+
+    def body(state):
+        pool_d, pool_id, pool_exp, visited, done, it = state
+        und = jnp.where(pool_exp | (pool_id < 0), jnp.inf, pool_d)
+        bsel = jnp.argmin(und, axis=1)  # [B]
+        bd = jnp.take_along_axis(und, bsel[:, None], axis=1)[:, 0]
+        worst = pool_d[:, -1]
+        pool_full = pool_id[:, -1] >= 0
+        newly_done = jnp.isinf(bd) | (pool_full & (bd > worst))
+        done2 = done | newly_done
+        run = ~done2  # queries doing real work this step
+
+        nid = jnp.take_along_axis(pool_id, bsel[:, None], axis=1)[:, 0]
+        nid_safe = jnp.maximum(nid, 0)
+        pool_exp2 = pool_exp.at[jnp.arange(b), bsel].max(run)
+
+        if layer == 0:
+            nbr = nbrs0[nid_safe]  # [B, M0]
+        else:
+            row = jnp.maximum(up_offset[nid_safe] + layer - 1, 0)
+            nbr = nbrs_up[row]  # [B, M]
+        nbr_safe = jnp.maximum(nbr, 0)
+        seen = visited[jnp.arange(b)[:, None], nbr_safe]
+        valid = (nbr >= 0) & ~seen & mask[nbr_safe] & run[:, None]
+        nd = _gather_dists(x, x_sq, q, q_sq, nbr)
+        nd = jnp.where(valid, nd, jnp.inf)
+        visited2 = visited.at[jnp.arange(b)[:, None], nbr_safe].max(valid)
+
+        all_d = jnp.concatenate([pool_d, nd], axis=1)
+        all_id = jnp.concatenate([pool_id, jnp.where(valid, nbr, -1)], axis=1)
+        all_exp = jnp.concatenate([pool_exp2, jnp.zeros_like(valid)], axis=1)
+        order = jnp.argsort(all_d, axis=1)[:, :ef]
+        new_d = jnp.take_along_axis(all_d, order, axis=1)
+        new_id = jnp.take_along_axis(all_id, order, axis=1)
+        new_exp = jnp.take_along_axis(all_exp, order, axis=1)
+
+        keep = done2[:, None]
+        pool_d = jnp.where(keep, pool_d, new_d)
+        pool_id = jnp.where(keep, pool_id, new_id)
+        pool_exp = jnp.where(keep, pool_exp2, new_exp)
+        return pool_d, pool_id, pool_exp, visited2, done2, it + 1
+
+    pool_d, pool_id, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (pool_d, pool_id, pool_exp, visited, done, 0)
+    )
+    return pool_d, pool_id
+
+
+# ---------------------------------------------------------------------------
+# Host index
+# ---------------------------------------------------------------------------
+
+
+class HNSWIndex:
+    """HNSW over a shared VectorStore. Build host-orchestrated, search on device."""
+
+    def __init__(self, store: VectorStore, config: HNSWConfig | None = None):
+        self.store = store
+        self.config = config or HNSWConfig()
+        cap = store.capacity
+        self.levels = np.full(cap, -1, np.int16)  # -1 = not a member
+        self.nbrs0 = np.full((cap, self.config.m0), -1, np.int32)
+        self.up_offset = np.full(cap, -1, np.int32)
+        self.up_cap = max(cap, 64)
+        self.nbrs_up = np.full((self.up_cap, self.config.m), -1, np.int32)
+        self.up_count = 0
+        self.entry_point = -1
+        self.max_level = -1
+        self._rng = np.random.default_rng(self.config.seed)
+        self._version = 0
+        self._device: dict | None = None
+        self._device_version = -1
+
+    # ----------------------------------------------------------- bookkeeping
+    def _ensure_capacity(self) -> None:
+        cap = self.store.capacity
+        if self.levels.shape[0] < cap:
+            extra = cap - self.levels.shape[0]
+            self.levels = np.concatenate([self.levels, np.full(extra, -1, np.int16)])
+            self.nbrs0 = np.vstack(
+                [self.nbrs0, np.full((extra, self.config.m0), -1, np.int32)]
+            )
+            self.up_offset = np.concatenate(
+                [self.up_offset, np.full(extra, -1, np.int32)]
+            )
+
+    def _alloc_up_rows(self, n: int) -> int:
+        if self.up_count + n > self.up_cap:
+            extra = max(self.up_cap, n)
+            self.nbrs_up = np.vstack(
+                [self.nbrs_up, np.full((extra, self.config.m), -1, np.int32)]
+            )
+            self.up_cap += extra
+        start = self.up_count
+        self.up_count += n
+        return start
+
+    def _device_arrays(self) -> dict:
+        if self._device is None or self._device_version != self._version:
+            self._device = {
+                "nbrs0": jnp.asarray(self.nbrs0),
+                "nbrs_up": jnp.asarray(self.nbrs_up),
+                "up_offset": jnp.asarray(self.up_offset),
+            }
+            self._device_version = self._version
+        return self._device
+
+    def _sample_level(self) -> int:
+        u = self._rng.random()
+        level = int(math.floor(math.log(max(u, 1e-12)) / math.log(self.config.level_p)))
+        return min(level, self.config.max_level)
+
+    def member_mask(self) -> np.ndarray:
+        self._ensure_capacity()
+        return self.levels >= 0
+
+    def member_rows(self) -> np.ndarray:
+        return np.nonzero(self.member_mask())[0]
+
+    @property
+    def num_nodes(self) -> int:
+        return int((self.levels >= 0).sum())
+
+    @property
+    def active_count(self) -> int:
+        m = self.member_mask()[: self.store.count]
+        return int((m & ~self.store.deleted[: self.store.count]).sum())
+
+    @property
+    def deleted_count(self) -> int:
+        m = self.member_mask()[: self.store.count]
+        return int((m & self.store.deleted[: self.store.count]).sum())
+
+    def _search_mask(self) -> np.ndarray:
+        return self.store.active_mask() & self.member_mask()[: self.store.capacity]
+
+    def _fix_entry_point(self) -> None:
+        """Ensure entry point is an active member (reference promotes entry on
+        higher-level inserts; we additionally repair it after deletions)."""
+        mask = self._search_mask()
+        if 0 <= self.entry_point < mask.shape[0] and mask[self.entry_point]:
+            return
+        rows = np.nonzero(mask)[0]
+        if rows.size == 0:
+            self.entry_point = -1
+            self.max_level = -1
+            return
+        lv = self.levels[rows]
+        best = rows[int(np.argmax(lv))]
+        self.entry_point = int(best)
+        self.max_level = int(self.levels[best])
+        self._version += 1
+
+    # ----------------------------------------------------------------- build
+    def insert_rows(self, rows: np.ndarray, sub_batch: int | None = None) -> None:
+        """Insert store rows into the graph (batched device candidate search +
+        host linking). Rows must already exist in the VectorStore."""
+        rows = np.asarray(rows, np.int64)
+        if rows.size == 0:
+            return
+        self._ensure_capacity()
+        pos = 0
+        while pos < rows.size:
+            n_members = self.num_nodes
+            if sub_batch is not None:
+                step = sub_batch
+            elif n_members < self.config.bootstrap_threshold:
+                step = max(1, n_members) if n_members else 1
+                step = min(step, self.config.bootstrap_threshold)
+            else:
+                step = min(1024, max(256, n_members // 4))
+            batch = rows[pos: pos + step]
+            self._insert_batch(batch)
+            pos += len(batch)
+
+    def _insert_batch(self, batch: np.ndarray) -> None:
+        cfg = self.config
+        levels_new = np.array([self._sample_level() for _ in batch], np.int32)
+        n_members = self.num_nodes
+
+        if n_members == 0:
+            # first node bootstraps the graph
+            first = int(batch[0])
+            self._install_node(first, int(levels_new[0]))
+            self.entry_point = first
+            self.max_level = int(levels_new[0])
+            batch = batch[1:]
+            levels_new = levels_new[1:]
+            if batch.size == 0:
+                self._version += 1
+                return
+            n_members = 1
+
+        if n_members <= cfg.bootstrap_threshold:
+            cands = self._exact_candidates(batch)
+        else:
+            cands = self._device_candidates(batch, levels_new)
+
+        self._link_batch(batch, levels_new, cands)
+        self._version += 1
+
+    def _install_node(self, row: int, level: int) -> None:
+        self.levels[row] = level
+        self.nbrs0[row] = -1
+        if level > 0:
+            off = self._alloc_up_rows(level)
+            self.up_offset[row] = off
+            self.nbrs_up[off: off + level] = -1
+
+    def _exact_candidates(self, batch: np.ndarray) -> dict:
+        """Bootstrap path: exact top-ef_construction candidates by brute force
+        (better-than-beam linking quality; only used while the graph is small)."""
+        mask = self._search_mask()
+        members = np.nonzero(mask)[0]
+        q = self.store.data[batch]
+        x = self.store.data[members]
+        d = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+        order = np.argsort(d, axis=1)[:, : self.config.ef_construction]
+        ids = members[order]
+        dists = np.take_along_axis(d, order, axis=1)
+        return {"mode": "exact", "ids": ids, "dists": dists}
+
+    def _device_candidates(self, batch: np.ndarray, levels_new: np.ndarray) -> dict:
+        cfg = self.config
+        mirror = self.store.device()
+        dev = self._device_arrays()
+        mask = jnp.asarray(self._search_mask())
+        q = jnp.asarray(self.store.data[batch])
+
+        stop = np.minimum(levels_new, self.max_level).astype(np.int32)
+        cur, _ = greedy_descent_kernel(
+            mirror.x, mirror.x_sq, mask, dev["nbrs_up"], dev["up_offset"],
+            q, self.entry_point, self.max_level, jnp.asarray(stop),
+        )
+        entries = np.asarray(cur)[:, None]  # [B, 1]
+
+        per_layer = {}
+        top_beam = int(min(self.max_level, int(stop.max())))
+        for layer in range(top_beam, -1, -1):
+            active = stop >= layer
+            pool_d, pool_id = beam_search_kernel(
+                mirror.x, mirror.x_sq, mask,
+                dev["nbrs0"], dev["nbrs_up"], dev["up_offset"],
+                q, jnp.asarray(entries, np.int32), jnp.asarray(active),
+                layer=layer, ef=cfg.ef_construction,
+                max_iters=cfg.ef_construction + 32,
+            )
+            pool_d = np.asarray(pool_d)
+            pool_id = np.asarray(pool_id)
+            per_layer[layer] = (pool_id, pool_d)
+            nxt = pool_id.copy()
+            # queries not active at this layer keep their current entries
+            if not active.all():
+                keep = ~active
+                pad = np.full((entries.shape[0], nxt.shape[1]), -1, np.int32)
+                pad[:, : entries.shape[1]] = entries
+                nxt[keep] = pad[keep]
+            entries = nxt
+        return {"mode": "beam", "per_layer": per_layer}
+
+    def _link_batch(self, batch: np.ndarray, levels_new: np.ndarray, cands: dict) -> None:
+        cfg = self.config
+        if cands["mode"] == "beam":
+            max_searched = max(cands["per_layer"].keys())
+        for qi, row in enumerate(batch):
+            row = int(row)
+            level = int(levels_new[qi])
+            self._install_node(row, level)
+            if cands["mode"] == "exact":
+                top = min(level, self.max_level if self.max_level >= 0 else 0)
+            else:
+                # cap at the layers actually searched (an earlier node in this
+                # batch may have raised max_level beyond the search snapshot)
+                top = min(level, max_searched)
+            for layer in range(top, -1, -1):
+                if cands["mode"] == "exact":
+                    ids = cands["ids"][qi]
+                    dd = cands["dists"][qi]
+                    keep = (self.levels[ids] >= layer) & (ids != row)
+                else:
+                    ids, dd = (arr[qi] for arr in cands["per_layer"][layer])
+                    keep = (ids >= 0) & (ids != row)
+                sel = ids[keep]
+                m_l = cfg.m0 if layer == 0 else cfg.m
+                chosen = sel[:m_l]
+                self._set_links(row, layer, chosen)
+                for c in chosen:
+                    self._add_reverse_link(int(c), layer, row)
+            if level > self.max_level:
+                self.entry_point = row
+                self.max_level = level
+
+    def _layer_list(self, row: int, layer: int) -> np.ndarray:
+        if layer == 0:
+            return self.nbrs0[row]
+        return self.nbrs_up[self.up_offset[row] + layer - 1]
+
+    def _set_links(self, row: int, layer: int, ids: np.ndarray) -> None:
+        lst = self._layer_list(row, layer)
+        lst[:] = -1
+        lst[: len(ids)] = ids
+
+    def _add_reverse_link(self, target: int, layer: int, new_row: int) -> None:
+        lst = self._layer_list(target, layer)
+        free = np.nonzero(lst < 0)[0]
+        if free.size:
+            lst[free[0]] = new_row
+            return
+        # full: prune to closest M by distance from target
+        ids = np.concatenate([lst, [new_row]])
+        vecs = self.store.data[ids]
+        d = ((vecs - self.store.data[target]) ** 2).sum(-1)
+        keep = np.argsort(d)[: lst.shape[0]]
+        lst[:] = ids[keep]
+
+    # ---------------------------------------------------------------- search
+    def search_rows(
+        self,
+        queries: np.ndarray,
+        k: int,
+        ef: int | None = None,
+        extra_mask: np.ndarray | None = None,
+    ):
+        """Returns (distances [B, k] true euclidean, rows [B, k])."""
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        ef = max(ef or self.config.ef_search, k)
+        self._fix_entry_point()
+        if self.entry_point < 0:
+            b = queries.shape[0]
+            return (np.full((b, k), np.inf, np.float32), np.full((b, k), -1, np.int32))
+        mirror = self.store.device()
+        dev = self._device_arrays()
+        mask = self._search_mask()
+        if extra_mask is not None:
+            mask = mask & extra_mask
+        maskj = jnp.asarray(mask)
+        q = jnp.asarray(queries)
+        b = queries.shape[0]
+        stop = jnp.zeros((b,), jnp.int32)
+        cur, _ = greedy_descent_kernel(
+            mirror.x, mirror.x_sq, maskj, dev["nbrs_up"], dev["up_offset"],
+            q, self.entry_point, max(self.max_level, 0), stop,
+        )
+        pool_d, pool_id = beam_search_kernel(
+            mirror.x, mirror.x_sq, maskj,
+            dev["nbrs0"], dev["nbrs_up"], dev["up_offset"],
+            q, np.asarray(cur)[:, None], jnp.ones((b,), bool),
+            layer=0, ef=ef, max_iters=ef + 32,
+        )
+        d = np.asarray(pool_d)[:, :k]
+        rows = np.asarray(pool_id)[:, :k]
+        d = np.sqrt(np.maximum(d, 0.0))
+        d[rows < 0] = np.inf
+        return d, rows
+
+    # ------------------------------------------------------------ operations
+    def batch_insert(self, rows: np.ndarray, progress=None) -> None:
+        """(reference: src/hnsw/operations.rs:74-124)"""
+        rows = np.asarray(rows, np.int64)
+        if progress is None:
+            self.insert_rows(rows)
+            return
+        done = 0
+        pos = 0
+        while pos < rows.size:
+            chunk = rows[pos: pos + 1024]
+            self.insert_rows(chunk)
+            pos += len(chunk)
+            done += len(chunk)
+            progress(done, rows.size)
+
+    def remove_rows(self, rows: np.ndarray) -> int:
+        """Physically scrub rows from the graph (vacuum/migration path;
+        reference: src/hnsw/operations.rs:176-200). Returns count removed."""
+        rows = np.asarray(rows, np.int64)
+        rows = rows[self.levels[rows] >= 0] if rows.size else rows
+        if rows.size == 0:
+            return 0
+        dead = set(int(r) for r in rows)
+        # scrub dangling refs from all member lists
+        members = self.member_rows()
+        dead_mask = np.zeros(self.levels.shape[0], bool)
+        dead_mask[list(dead)] = True
+        for r in members:
+            if r in dead:
+                continue
+            self._scrub_list(self.nbrs0[r], dead_mask)
+            lvl = int(self.levels[r])
+            for layer in range(1, lvl + 1):
+                self._scrub_list(self.nbrs_up[self.up_offset[r] + layer - 1], dead_mask)
+        for r in rows:
+            self.levels[r] = -1
+            self.nbrs0[r] = -1
+            self.up_offset[r] = -1
+        self._version += 1
+        self._fix_entry_point()
+        return int(rows.size)
+
+    @staticmethod
+    def _scrub_list(lst: np.ndarray, dead_mask: np.ndarray) -> None:
+        valid = lst >= 0
+        bad = valid & dead_mask[np.maximum(lst, 0)]
+        if bad.any():
+            kept = lst[valid & ~bad]
+            lst[:] = -1
+            lst[: kept.size] = kept
+
+    def vacuum(self) -> int:
+        """Remove soft-deleted members from the graph."""
+        m = self.member_mask()[: self.store.count]
+        dead = np.nonzero(m & self.store.deleted[: self.store.count])[0]
+        return self.remove_rows(dead)
+
+    def graph_stats(self) -> GraphStats:
+        members = self.member_rows()
+        edges = int((self.nbrs0[members] >= 0).sum())
+        for r in members:
+            lvl = int(self.levels[r])
+            if lvl > 0:
+                off = self.up_offset[r]
+                edges += int((self.nbrs_up[off: off + lvl] >= 0).sum())
+        n = members.size
+        return GraphStats(
+            num_nodes=int(n),
+            num_edges=edges,
+            avg_degree=edges / n if n else 0.0,
+            max_layer=int(self.levels[members].max()) if n else -1,
+        )
+
+    def memory_usage_bytes(self) -> int:
+        return int(
+            self.nbrs0.nbytes + self.nbrs_up.nbytes
+            + self.levels.nbytes + self.up_offset.nbytes
+        )
+
+    def check_integrity(self) -> dict:
+        """Neighbor lists must reference member rows only."""
+        members = self.member_mask()
+        issues = []
+        for r in self.member_rows():
+            for layer in range(int(self.levels[r]) + 1):
+                lst = self._layer_list(r, layer)
+                for n in lst[lst >= 0]:
+                    if not members[n]:
+                        issues.append((int(r), layer, int(n)))
+        return {"ok": not issues, "dangling_refs": issues}

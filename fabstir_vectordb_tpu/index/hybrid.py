@@ -1,0 +1,378 @@
+"""Hybrid index: HNSW for recent vectors + IVF for historical, time-routed.
+
+TPU-native rebuild of the reference hybrid engine (reference: src/hybrid/core.rs).
+Key mapping:
+  - HNSW("recent") + IVF("historical") + per-id timestamps (:202-213) -> ONE
+    shared VectorStore with per-engine membership masks; timestamps live in
+    the store; routing flips membership instead of copying vectors;
+  - config: recent_threshold 7 days, migration_batch_size 100,
+    auto_migrate, min_ivf_training_size=10 (:69-85), and the reference's
+    default hybrid IVF config of 3 clusters / n_probe 2 (:70-74);
+  - initialize(): <min_ivf_training_size vectors -> HNSW-only mode; else
+    k-means train then discard (":262-290 train then clear lists");
+  - insert routes by age vs threshold (:357-417);
+  - search_with_config: search both engines, merge by distance, truncate
+    (:425-486) — here both run on device and merge is a fused top-k;
+  - search_with_filter: x3 k-oversampling + metadata post-filter (:513-549);
+    additionally the filter bitmask is pushed down into IVF/flat selection
+    (strictly-better recall; documented deviation per SURVEY §7);
+  - migration recent->historical in batches (:551-649) — unlike the
+    reference (which never removes migrated nodes from HNSW, :579-580), we
+    truly move membership: IVF gains the rows, HNSW scrubs them (deliberate
+    fix listed in SURVEY §7 "quirks to NOT copy");
+  - CRUD: delete routes by membership (:904-936), batch_delete (:968-986),
+    vacuum across both (:989-1011), deletion_stats/get_deleted_vectors
+    (:1028-1068), stats with age-distribution buckets (:758-820);
+  - from_parts reconstruction for the persistence layer (:857-901).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.metadata_filter import MetadataFilter
+from .flat import FlatIndex
+from .hnsw import HNSWConfig, HNSWIndex
+from .ivf import IVFConfig, IVFIndex
+from .store import VectorStore, UnknownIdError
+
+SECONDS_PER_DAY = 86_400.0
+
+
+def _default_hybrid_ivf() -> IVFConfig:
+    # Reference HybridConfig overrides IVF defaults to 3 clusters / n_probe 2
+    # (src/hybrid/core.rs:70-74) so tiny datasets can train.
+    return IVFConfig(n_clusters=3, n_probe=2)
+
+
+@dataclass
+class HybridConfig:
+    recent_threshold_secs: float = 7 * SECONDS_PER_DAY
+    migration_batch_size: int = 100
+    auto_migrate: bool = True
+    min_ivf_training_size: int = 10
+    hnsw: HNSWConfig = field(default_factory=HNSWConfig)
+    ivf: IVFConfig = field(default_factory=_default_hybrid_ivf)
+
+
+@dataclass
+class SearchConfig:
+    recent_k: int | None = None  # defaults to k
+    historical_k: int | None = None  # defaults to k
+    hnsw_ef: int = 50
+    ivf_n_probe: int | None = None  # defaults to ivf config
+    auto_migrate: bool | None = None  # defaults to hybrid config
+
+
+@dataclass
+class HybridStats:
+    total_vectors: int
+    recent_vectors: int
+    historical_vectors: int
+    deleted_recent: int
+    deleted_historical: int
+    ivf_trained: bool
+    age_distribution: dict
+
+
+class HybridIndex:
+    """Recency-routed dual-engine index over one shared VectorStore."""
+
+    def __init__(self, dim: int, config: HybridConfig | None = None,
+                 store: VectorStore | None = None):
+        self.config = config or HybridConfig()
+        self.store = store or VectorStore(dim)
+        self.hnsw = HNSWIndex(self.store, self.config.hnsw)
+        self.ivf = IVFIndex(self.store, self.config.ivf)
+        self.flat = FlatIndex(self.store)
+        self.initialized = False
+
+    # ------------------------------------------------------------ lifecycle
+    @property
+    def ivf_trained(self) -> bool:
+        return self.ivf.trained
+
+    def initialize(self, training_data: np.ndarray | None = None) -> None:
+        """Train IVF if enough data, else HNSW-only mode (everything routes
+        to HNSW until retrained)."""
+        if training_data is not None:
+            training_data = np.asarray(training_data, np.float32)
+        n = 0 if training_data is None else training_data.shape[0]
+        if n >= max(self.config.min_ivf_training_size, self.config.ivf.n_clusters):
+            self.ivf.train(training_data)
+        self.initialized = True
+
+    # -------------------------------------------------------------- inserts
+    def insert(self, vid: str, vector: np.ndarray, timestamp: float | None = None,
+               now: float | None = None) -> int:
+        return int(
+            self.insert_batch([vid], np.asarray(vector, np.float32)[None, :],
+                              None if timestamp is None else [timestamp], now=now)[0]
+        )
+
+    def insert_batch(
+        self,
+        ids: list,
+        vectors: np.ndarray,
+        timestamps=None,
+        now: float | None = None,
+    ) -> np.ndarray:
+        """Insert vectors, routing each by age. Returns store rows."""
+        now = time.time() if now is None else now
+        vectors = np.asarray(vectors, np.float32)
+        if timestamps is None:
+            ts = np.full(vectors.shape[0], now, np.float64)
+        else:
+            ts = np.asarray(timestamps, np.float64)
+        rows = self.store.add_batch(ids, vectors, ts)
+        age = now - ts
+        recent = age < self.config.recent_threshold_secs
+        if not self.ivf.trained:
+            recent[:] = True  # HNSW-only mode
+        if recent.any():
+            self.hnsw.insert_rows(rows[recent])
+        if (~recent).any():
+            self.ivf.insert_rows(rows[~recent])
+        return rows
+
+    # --------------------------------------------------------------- search
+    def search(self, query: np.ndarray, k: int, config: SearchConfig | None = None,
+               now: float | None = None):
+        """Single query -> list[(id, distance)] ascending."""
+        d, rows = self.search_rows(np.atleast_2d(query), k, config, now=now)
+        return self._rows_to_results(d[0], rows[0])
+
+    def search_rows(
+        self,
+        queries: np.ndarray,
+        k: int,
+        config: SearchConfig | None = None,
+        extra_mask: np.ndarray | None = None,
+        now: float | None = None,
+    ):
+        """Batched dual-engine search. Returns (dists [B,k], rows [B,k])."""
+        cfg = config or SearchConfig()
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        b = queries.shape[0]
+        auto = self.config.auto_migrate if cfg.auto_migrate is None else cfg.auto_migrate
+        if auto:
+            self.migrate_old_vectors(now=now)
+
+        recent_k = cfg.recent_k or k
+        historical_k = cfg.historical_k or k
+
+        parts_d, parts_r = [], []
+        if self.hnsw.num_nodes > 0:
+            d1, r1 = self.hnsw.search_rows(
+                queries, recent_k, ef=max(cfg.hnsw_ef, recent_k),
+                extra_mask=extra_mask,
+            )
+            parts_d.append(d1)
+            parts_r.append(r1)
+        if self.ivf.trained and self.ivf.member_rows().size > 0:
+            d2, r2 = self.ivf.search_rows(
+                queries, historical_k, n_probe=cfg.ivf_n_probe,
+                extra_mask=extra_mask,
+            )
+            parts_d.append(d2)
+            parts_r.append(r2)
+        if not parts_d:
+            return (np.full((b, k), np.inf, np.float32),
+                    np.full((b, k), -1, np.int32))
+        d = np.concatenate(parts_d, axis=1)
+        r = np.concatenate(parts_r, axis=1)
+        d = np.where(r >= 0, d, np.inf)
+        order = np.argsort(d, axis=1)[:, :k]
+        out_d = np.take_along_axis(d, order, axis=1)
+        out_r = np.take_along_axis(r, order, axis=1)
+        out_r = np.where(np.isfinite(out_d), out_r, -1)
+        if out_d.shape[1] < k:
+            pad = k - out_d.shape[1]
+            out_d = np.pad(out_d, ((0, 0), (0, pad)), constant_values=np.inf)
+            out_r = np.pad(out_r, ((0, 0), (0, pad)), constant_values=-1)
+        return out_d, out_r
+
+    def search_with_filter(
+        self,
+        query: np.ndarray,
+        k: int,
+        filter: MetadataFilter | dict | None,
+        metadata_rows: list,
+        oversample: int = 3,
+        now: float | None = None,
+    ):
+        """Filtered search: bitmask pushdown into IVF + x3 oversampled HNSW
+        with post-filter (reference: src/hybrid/core.rs:513-549)."""
+        if filter is None:
+            d, rows = self.search_rows(np.atleast_2d(query), k, now=now)
+            return self._rows_to_results(d[0], rows[0])
+        if isinstance(filter, dict):
+            filter = MetadataFilter.from_json(filter)
+        mask = np.zeros(self.store.capacity, bool)
+        row_mask = filter.compile_mask(metadata_rows)  # indexed by row
+        mask[: len(row_mask)] = row_mask
+        # oversample to k*oversample; masks are fused where engines allow
+        d, rows = self.search_rows(
+            np.atleast_2d(query), k * oversample, extra_mask=mask, now=now
+        )
+        results = self._rows_to_results(d[0], rows[0])
+        # HNSW can't fuse the mask into traversal results reliably when the
+        # predicate is extremely selective; enforce it here (post-filter).
+        results = [
+            (vid, dist) for vid, dist in results
+            if mask[self.store.row_of(vid)]
+        ]
+        return results[:k]
+
+    def _rows_to_results(self, dists: np.ndarray, rows: np.ndarray):
+        out = []
+        for dist, row in zip(dists, rows):
+            if row < 0 or not np.isfinite(dist):
+                continue
+            vid = self.store.id_of(int(row))
+            if vid is not None:
+                out.append((vid, float(dist)))
+        return out
+
+    # ------------------------------------------------------------ migration
+    def migrate_old_vectors(self, batch_size: int | None = None,
+                            now: float | None = None) -> int:
+        """Move aged-out HNSW rows to IVF. Returns number migrated."""
+        if not self.ivf.trained:
+            return 0
+        now = time.time() if now is None else now
+        batch_size = batch_size or self.config.migration_batch_size
+        m = self.hnsw.member_mask()[: self.store.count]
+        act = ~self.store.deleted[: self.store.count]
+        age = now - self.store.timestamps[: self.store.count]
+        old = np.nonzero(m & act & (age >= self.config.recent_threshold_secs))[0]
+        if old.size == 0:
+            return 0
+        batch = old[:batch_size]
+        self.ivf.insert_rows(batch)
+        self.hnsw.remove_rows(batch)
+        return int(batch.size)
+
+    def migrate_all(self, now: float | None = None) -> int:
+        total = 0
+        while True:
+            n = self.migrate_old_vectors(now=now)
+            if n == 0:
+                return total
+            total += n
+
+    # ----------------------------------------------------------------- CRUD
+    def delete(self, vid: str) -> bool:
+        """Soft-delete by id (either engine)."""
+        return self.store.mark_deleted(vid)
+
+    def batch_delete(self, ids: list) -> int:
+        n = 0
+        for vid in ids:
+            try:
+                if self.store.mark_deleted(vid):
+                    n += 1
+            except UnknownIdError:
+                pass
+        return n
+
+    def vacuum(self) -> dict:
+        """Physically remove soft-deleted vectors from both engines."""
+        hnsw_removed = self.hnsw.vacuum()
+        ivf_removed = self.ivf.vacuum()
+        self.store.vacuum()
+        return {
+            "hnsw_removed": hnsw_removed,
+            "ivf_removed": ivf_removed,
+            "total_removed": hnsw_removed + ivf_removed,
+        }
+
+    def deletion_stats(self) -> dict:
+        return {
+            "hnsw_deleted": self.hnsw.deleted_count,
+            "ivf_deleted": self.ivf.deleted_count,
+            "total_deleted": self.store.deleted_count,
+        }
+
+    def get_deleted_vectors(self) -> list:
+        """Soft-deleted ids for the manifest (reference: hybrid/core.rs:1047)."""
+        out = []
+        for row in np.nonzero(self.store.deleted[: self.store.count])[0]:
+            vid = self.store.id_of(int(row))
+            if vid is not None:
+                out.append(vid)
+        return out
+
+    def contains(self, vid: str) -> bool:
+        return self.store.contains(vid)
+
+    def get_vector(self, vid: str) -> np.ndarray:
+        return self.store.get_vector(vid)
+
+    # ---------------------------------------------------------------- stats
+    def stats(self, now: float | None = None) -> HybridStats:
+        now = time.time() if now is None else now
+        n = self.store.count
+        act = ~self.store.deleted[:n]
+        age_days = (now - self.store.timestamps[:n]) / SECONDS_PER_DAY
+        buckets = {"0-1d": (0, 1), "1-7d": (1, 7), "7-30d": (7, 30),
+                   "30d+": (30, np.inf)}
+        dist = {
+            name: int(((age_days >= lo) & (age_days < hi) & act).sum())
+            for name, (lo, hi) in buckets.items()
+        }
+        return HybridStats(
+            total_vectors=self.store.active_count,
+            recent_vectors=self.hnsw.active_count,
+            historical_vectors=self.ivf.active_count,
+            deleted_recent=self.hnsw.deleted_count,
+            deleted_historical=self.ivf.deleted_count,
+            ivf_trained=self.ivf.trained,
+            age_distribution=dist,
+        )
+
+    def memory_usage_bytes(self) -> int:
+        return (
+            self.store.memory_usage_bytes()
+            + self.hnsw.memory_usage_bytes()
+            + self.ivf.memory_usage_bytes()
+        )
+
+    # ----------------------------------------------------------- persistence
+    @classmethod
+    def from_parts(
+        cls,
+        dim: int,
+        config: HybridConfig,
+        ids: list,
+        vectors: np.ndarray,
+        timestamps: np.ndarray,
+        hnsw_member: np.ndarray,
+        centroids: np.ndarray | None,
+        deleted_ids: list | None = None,
+    ) -> "HybridIndex":
+        """Reconstruct from persisted state (reference: hybrid/core.rs:857-901).
+
+        hnsw_member: bool per input row; non-members go to IVF (when trained).
+        The HNSW graph is rebuilt (fast batched device build) — the manifest
+        stores true row->engine maps instead of the reference's hash heuristic
+        (deliberate fix, SURVEY §7).
+        """
+        idx = cls(dim, config)
+        rows = idx.store.add_batch(ids, vectors, timestamps)
+        if centroids is not None and len(centroids):
+            idx.ivf.set_trained(centroids)
+        hnsw_member = np.asarray(hnsw_member, bool)
+        if (~hnsw_member).any() and not idx.ivf.trained:
+            raise ValueError("historical rows present but no centroids")
+        if hnsw_member.any():
+            idx.hnsw.insert_rows(rows[hnsw_member])
+        if (~hnsw_member).any():
+            idx.ivf.insert_rows(rows[~hnsw_member])
+        for vid in deleted_ids or []:
+            if idx.store.contains(vid):
+                idx.store.mark_deleted(vid)
+        idx.initialized = True
+        return idx

@@ -1,0 +1,456 @@
+"""IVF (inverted-file) index: on-device k-means + nprobe list scans.
+
+TPU-native rebuild of the reference IVF engine (reference: src/ivf/core.rs,
+src/ivf/operations.rs). Key mapping:
+  - k-means++ init + Lloyd training (core.rs:240-371) -> ops.kmeans on device;
+  - InvertedList HashMaps (core.rs:112-152) -> padded int32 row-id tiles
+    ``list_ids [C, L_pad]`` (-1 padding) over the shared VectorStore;
+  - search = rank all centroids by one [B, C] matmul, then a lax.scan over the
+    n_probe nearest lists: gather list rows, batched distance, fused masked
+    top-k merge (core.rs:622-681 made batched + static-shaped);
+  - soft-deletes are skipped via the store's active mask fused into top-k
+    (core.rs:666-669);
+  - operations parity: retrain, add_clusters, optimize_clusters, ClusterStats,
+    evaluate_search_quality, balance_clusters, compact, centroid export/import,
+    vacuum (operations.rs).
+
+Defaults match the reference config: n_clusters=256, n_probe=16,
+train_size=10000, max_iterations=25 (core.rs:42-60).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import pairwise_distance
+from ..ops.kmeans import assign_clusters, kmeans_train
+from ..ops.topk import masked_topk, merge_topk
+from ..utils.padding import round_up
+from .store import VectorStore
+
+
+class NotTrainedError(RuntimeError):
+    pass
+
+
+class TrainingError(ValueError):
+    pass
+
+
+@dataclass
+class IVFConfig:
+    n_clusters: int = 256
+    n_probe: int = 16
+    train_size: int = 10_000
+    max_iterations: int = 25
+    seed: int = 42
+
+
+@dataclass
+class TrainStats:
+    iterations: int
+    converged: bool
+    final_error: float
+
+
+@dataclass
+class ClusterStats:
+    sizes: list = field(default_factory=list)
+    variances: list = field(default_factory=list)
+    empty_clusters: int = 0
+
+    @property
+    def total_vectors(self) -> int:
+        return int(sum(self.sizes))
+
+    @property
+    def mean_variance(self) -> float:
+        nz = [v for s, v in zip(self.sizes, self.variances) if s > 0]
+        return float(np.mean(nz)) if nz else 0.0
+
+
+@partial(jax.jit, static_argnames=("k", "n_probe", "metric"))
+def ivf_search_kernel(
+    x, x_sq, mask, centroids, list_ids, q, k: int, n_probe: int,
+    metric: str = "euclidean",
+):
+    """Batched nprobe scan. Returns (dists [B,k], rows [B,k], probe [B,P]).
+
+    list_ids: [C, L_pad] int32 row ids, -1 padded. All shapes static; the
+    probe loop is a lax.scan so XLA pipelines gather + matmul + top-k merge.
+    """
+    b = q.shape[0]
+    l_pad = list_ids.shape[1]
+    dc = pairwise_distance(q, centroids, metric=metric)  # [B, C]
+    n_probe = min(n_probe, centroids.shape[0])
+    _, probe = jax.lax.top_k(-dc, n_probe)  # [B, P]
+
+    q_sq = jnp.sum(q * q, axis=-1)  # [B]
+    k_step = min(k, l_pad)
+
+    def body(carry, probe_col):  # probe_col: [B] cluster id at this probe rank
+        vals, idx = carry
+        cand = list_ids[probe_col]  # [B, L_pad]
+        valid = cand >= 0
+        safe = jnp.where(valid, cand, 0)
+        xs = x[safe]  # [B, L_pad, D] gather
+        if metric == "euclidean":
+            dots = jnp.einsum(
+                "bd,bld->bl", q, xs, preferred_element_type=jnp.float32
+            )
+            d = q_sq[:, None] - 2.0 * dots + x_sq[safe]
+            d = jnp.maximum(d, 0.0)
+        elif metric == "cosine":
+            dots = jnp.einsum(
+                "bd,bld->bl", q, xs, preferred_element_type=jnp.float32
+            )
+            denom = jnp.sqrt(jnp.maximum(q_sq[:, None] * x_sq[safe], 1e-30))
+            d = 1.0 - dots / denom
+        else:  # dot
+            d = -jnp.einsum("bd,bld->bl", q, xs, preferred_element_type=jnp.float32)
+        m = valid & mask[safe]
+        cvals, cpos = masked_topk(d, m, k_step)
+        crow = jnp.where(
+            cpos >= 0, jnp.take_along_axis(safe, jnp.maximum(cpos, 0), axis=1), -1
+        )
+        vals, idx = merge_topk(vals, idx, cvals, crow, k)
+        return (vals, idx), None
+
+    init = (
+        jnp.full((b, k), jnp.inf, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    (vals, idx), _ = jax.lax.scan(body, init, probe.T)
+    return vals, idx, probe
+
+
+class IVFIndex:
+    """Inverted-file index over a shared VectorStore."""
+
+    def __init__(self, store: VectorStore, config: IVFConfig | None = None):
+        self.store = store
+        self.config = config or IVFConfig()
+        self.centroids: np.ndarray | None = None  # [C, D] f32
+        # row -> cluster id; -1 means "not a member of this index"
+        self.assignments = np.full(store.capacity, -1, np.int32)
+        self.trained = False
+        self._tiles: tuple | None = None  # (list_ids np [C, L_pad], version)
+        self._tiles_version = -1
+        self._version = 0
+
+    # ------------------------------------------------------------- training
+    def train(self, vectors: np.ndarray) -> TrainStats:
+        """k-means train the coarse quantizer; does NOT insert the vectors
+        (matches reference initialize(): train then clear lists,
+        src/hybrid/core.rs:262-290)."""
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2:
+            raise TrainingError("training data must be [n, dim]")
+        if vectors.shape[0] < self.config.n_clusters:
+            raise TrainingError(
+                f"need at least n_clusters={self.config.n_clusters} training "
+                f"vectors, got {vectors.shape[0]}"
+            )
+        if vectors.shape[1] != self.store.dim:
+            raise TrainingError(
+                f"training dim {vectors.shape[1]} != store dim {self.store.dim}"
+            )
+        n = min(vectors.shape[0], self.config.train_size)
+        sample = vectors[:n]
+        mask = jnp.ones((n,), bool)
+        res = kmeans_train(
+            jax.random.PRNGKey(self.config.seed),
+            jnp.asarray(sample),
+            mask,
+            n_clusters=self.config.n_clusters,
+            max_iterations=self.config.max_iterations,
+        )
+        self.centroids = np.asarray(res.centroids)
+        self.trained = True
+        self._version += 1
+        return TrainStats(
+            iterations=int(res.iterations),
+            converged=bool(res.converged),
+            final_error=float(res.final_error),
+        )
+
+    def set_trained(self, centroids: np.ndarray) -> None:
+        """Install centroids directly (load path / tests), like the
+        reference's set_trained used by persistence + scale tests."""
+        self.centroids = np.asarray(centroids, np.float32)
+        if self.centroids.ndim != 2 or self.centroids.shape[1] != self.store.dim:
+            raise TrainingError("centroids must be [C, dim]")
+        self.trained = True
+        self._version += 1
+
+    # ------------------------------------------------------------- mutation
+    def _ensure_capacity(self) -> None:
+        if self.assignments.shape[0] < self.store.capacity:
+            extra = self.store.capacity - self.assignments.shape[0]
+            self.assignments = np.concatenate(
+                [self.assignments, np.full(extra, -1, np.int32)]
+            )
+
+    def insert_rows(self, rows: np.ndarray) -> None:
+        """Assign store rows to their nearest centroid and add to lists."""
+        if not self.trained:
+            raise NotTrainedError("IVF index is not trained")
+        rows = np.asarray(rows, np.int64)
+        if rows.size == 0:
+            return
+        self._ensure_capacity()
+        vecs = jnp.asarray(self.store.data[rows])
+        assign, _ = assign_clusters(vecs, jnp.asarray(self.centroids))
+        self.assignments[rows] = np.asarray(assign, np.int32)
+        self._version += 1
+
+    def remove_rows(self, rows: np.ndarray) -> None:
+        self._ensure_capacity()
+        self.assignments[np.asarray(rows, np.int64)] = -1
+        self._version += 1
+
+    def member_rows(self) -> np.ndarray:
+        self._ensure_capacity()
+        return np.nonzero(self.assignments >= 0)[0]
+
+    def member_mask(self) -> np.ndarray:
+        self._ensure_capacity()
+        return self.assignments >= 0
+
+    @property
+    def active_count(self) -> int:
+        m = self.member_mask()
+        act = self.store.active_mask()
+        n = min(len(m), len(act))
+        return int((m[:n] & act[:n]).sum())
+
+    @property
+    def deleted_count(self) -> int:
+        m = self.member_mask()[: self.store.count]
+        return int((m & self.store.deleted[: self.store.count]).sum())
+
+    def vacuum(self) -> int:
+        """Drop tombstoned/deleted rows from the lists. Returns count removed."""
+        self._ensure_capacity()
+        dead = np.zeros(self.assignments.shape[0], bool)
+        dead[: self.store.count] = self.store.deleted[: self.store.count]
+        removed = int(((self.assignments >= 0) & dead).sum())
+        self.assignments[dead] = -1
+        self._version += 1
+        return removed
+
+    # ---------------------------------------------------------------- tiles
+    def _build_tiles(self) -> np.ndarray:
+        """Pack assignments into padded [C, L_pad] row-id tiles."""
+        c = self.config.n_clusters if self.centroids is None else self.centroids.shape[0]
+        members = self.member_rows()
+        if members.size == 0:
+            return np.full((c, 128), -1, np.int32)
+        assign = self.assignments[members]
+        counts = np.bincount(assign, minlength=c)
+        l_pad = max(128, round_up(int(counts.max()), 128))
+        tiles = np.full((c, l_pad), -1, np.int32)
+        order = np.argsort(assign, kind="stable")
+        sorted_rows = members[order]
+        sorted_assign = assign[order]
+        starts = np.zeros(c + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        pos = np.arange(sorted_rows.size) - starts[sorted_assign]
+        tiles[sorted_assign, pos] = sorted_rows
+        return tiles
+
+    def tiles(self) -> np.ndarray:
+        if self._tiles is None or self._tiles_version != self._version:
+            self._tiles = self._build_tiles()
+            self._tiles_version = self._version
+        return self._tiles
+
+    # ---------------------------------------------------------------- search
+    def search_rows(
+        self,
+        queries: np.ndarray,
+        k: int,
+        n_probe: int | None = None,
+        extra_mask: np.ndarray | None = None,
+        metric: str = "euclidean",
+    ):
+        """Returns (distances [B,k] true euclidean, rows [B,k])."""
+        if not self.trained:
+            raise NotTrainedError("IVF index is not trained")
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        n_probe = n_probe or self.config.n_probe
+        mirror = self.store.device()
+        mask = self.store.active_mask() & self.member_mask()[: self.store.capacity]
+        if extra_mask is not None:
+            mask = mask & extra_mask
+        vals, rows, _ = ivf_search_kernel(
+            mirror.x,
+            mirror.x_sq,
+            jnp.asarray(mask),
+            jnp.asarray(self.centroids),
+            jnp.asarray(self.tiles()),
+            jnp.asarray(queries),
+            k,
+            min(n_probe, self.centroids.shape[0]),
+            metric,
+        )
+        vals = np.asarray(vals)
+        rows = np.asarray(rows)
+        if metric == "euclidean":
+            vals = np.sqrt(np.maximum(vals, 0.0))
+        return vals, rows
+
+    # ------------------------------------------------------------ operations
+    def retrain(self, new_config: IVFConfig | None = None) -> TrainStats:
+        """Collect members -> train under (new) config -> reinsert
+        (reference: src/ivf/operations.rs:148-193)."""
+        members = self.member_rows()
+        act = self.store.active_mask()
+        members = members[act[members]]
+        if new_config is not None:
+            self.config = new_config
+        if members.size < self.config.n_clusters:
+            raise TrainingError("not enough active members to retrain")
+        stats = self.train(self.store.data[members])
+        self.assignments[:] = -1
+        self.insert_rows(members)
+        return stats
+
+    def add_clusters(self, n_new: int) -> None:
+        """Append n_new centroids seeded from the worst-served vectors
+        (reference: src/ivf/operations.rs:195-220)."""
+        if not self.trained:
+            raise NotTrainedError("IVF index is not trained")
+        members = self.member_rows()
+        if members.size == 0:
+            raise TrainingError("no members to derive new clusters from")
+        vecs = self.store.data[members]
+        _, d2 = assign_clusters(jnp.asarray(vecs), jnp.asarray(self.centroids))
+        far = np.argsort(-np.asarray(d2))[:n_new]
+        self.centroids = np.vstack([self.centroids, vecs[far]])
+        self._version += 1
+        self.insert_rows(members)  # reassign everyone
+
+    def optimize_clusters(self) -> dict:
+        """Fresh k-means over current members; returns variance improvement
+        (reference: src/ivf/operations.rs:222-261)."""
+        before = self.cluster_stats().mean_variance
+        stats = self.retrain()
+        after = self.cluster_stats().mean_variance
+        return {
+            "variance_before": before,
+            "variance_after": after,
+            "improvement": before - after,
+            "iterations": stats.iterations,
+        }
+
+    def cluster_stats(self) -> ClusterStats:
+        if not self.trained:
+            return ClusterStats()
+        c = self.centroids.shape[0]
+        members = self.member_rows()
+        act = self.store.active_mask()
+        members = members[act[members]]
+        sizes = np.bincount(self.assignments[members], minlength=c)
+        variances = np.zeros(c)
+        if members.size:
+            diffs = self.store.data[members] - self.centroids[self.assignments[members]]
+            sq = (diffs * diffs).sum(axis=1)
+            np.add.at(variances, self.assignments[members], sq)
+            variances = np.divide(
+                variances, np.maximum(sizes, 1), where=sizes > 0
+            )
+        return ClusterStats(
+            sizes=sizes.tolist(),
+            variances=variances.tolist(),
+            empty_clusters=int((sizes == 0).sum()),
+        )
+
+    def balance_clusters(self, max_ratio: float = 2.0) -> int:
+        """Move vectors out of oversized clusters into their next-nearest
+        cluster (reference: src/ivf/operations.rs:422-492). Returns moves."""
+        if not self.trained:
+            raise NotTrainedError("IVF index is not trained")
+        stats = self.cluster_stats()
+        sizes = np.asarray(stats.sizes)
+        nonempty = sizes[sizes > 0]
+        if nonempty.size == 0:
+            return 0
+        mean = nonempty.mean()
+        limit = mean * max_ratio
+        moves = 0
+        cj = jnp.asarray(self.centroids)
+        for cid in np.nonzero(sizes > limit)[0]:
+            rows = np.nonzero(self.assignments == cid)[0]
+            act = self.store.active_mask()
+            rows = rows[act[rows]]
+            excess = int(sizes[cid] - limit)
+            if excess <= 0 or rows.size == 0:
+                continue
+            vecs = jnp.asarray(self.store.data[rows])
+            d = np.array(pairwise_distance(vecs, cj))  # writable copy
+            d_self = d[:, cid].copy()
+            d[:, cid] = np.inf
+            alt = d.argmin(axis=1)
+            alt_cost = d[np.arange(rows.size), alt] - d_self
+            victims = np.argsort(alt_cost)[:excess]
+            self.assignments[rows[victims]] = alt[victims].astype(np.int32)
+            moves += victims.size
+        if moves:
+            self._version += 1
+        return moves
+
+    def compact_clusters(self) -> None:
+        """Rebuild tiles at minimal padding (reference shrink_to_fit,
+        src/ivf/operations.rs:394-420)."""
+        self._tiles = None
+        self._tiles_version = -1
+        self.tiles()
+
+    def evaluate_search_quality(self, queries: np.ndarray, k: int = 10) -> dict:
+        """Recall/precision vs exhaustive ground truth + avg query latency
+        (reference: src/ivf/operations.rs:329-391)."""
+        from .flat import FlatIndex, recall_at_k
+
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        member_mask = self.member_mask()[: self.store.capacity]
+        oracle = FlatIndex(self.store)
+        t0 = time.perf_counter()
+        _, rows = self.search_rows(queries, k)
+        avg_ms = (time.perf_counter() - t0) * 1000.0 / max(1, queries.shape[0])
+        _, exact = oracle.search_rows(queries, k, extra_mask=member_mask)
+        hits = 0
+        retrieved = 0
+        relevant = 0
+        for b in range(exact.shape[0]):
+            truth = {int(r) for r in exact[b] if r >= 0}
+            got = {int(r) for r in rows[b] if r >= 0}
+            hits += len(truth & got)
+            retrieved += len(got)
+            relevant += len(truth)
+        return {
+            "recall": hits / relevant if relevant else 1.0,
+            "precision": hits / retrieved if retrieved else 1.0,
+            "avg_query_ms": avg_ms,
+        }
+
+    def export_centroids(self) -> np.ndarray:
+        if not self.trained:
+            raise NotTrainedError("IVF index is not trained")
+        return self.centroids.copy()
+
+    def import_centroids(self, centroids: np.ndarray) -> None:
+        self.set_trained(centroids)
+
+    def memory_usage_bytes(self) -> int:
+        total = self.assignments.nbytes
+        if self.centroids is not None:
+            total += self.centroids.nbytes
+        if self._tiles is not None:
+            total += self._tiles.nbytes
+        return int(total)

@@ -1,0 +1,204 @@
+"""Dense row-oriented vector storage shared by all index engines.
+
+TPU-first replacement for the reference's per-node HashMaps
+(reference: src/hnsw/core.rs:49-116 nodes hold full vectors;
+src/ivf/core.rs:112-152 InvertedList HashMap<VectorId, Vec<f32>>):
+vectors live in ONE dense [capacity, dim] f32 array; ids are row indices.
+A host dict maps user id <-> row (replacing blake3 VectorId + `_originalId`
+bookkeeping). Soft-delete is a boolean mask fused into device top-k
+(SURVEY §7 design stance).
+
+Capacity grows in power-of-two buckets so jitted kernels specialize on at
+most O(log N) shapes. The device mirror (x, x_sq) is cached and re-uploaded
+only when the host copy changes.
+"""
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.padding import grow_capacity
+
+
+class DuplicateIdError(ValueError):
+    pass
+
+
+class UnknownIdError(KeyError):
+    pass
+
+
+class DimensionMismatchError(ValueError):
+    pass
+
+
+@dataclass
+class DeviceMirror:
+    x: jnp.ndarray
+    x_sq: jnp.ndarray
+    version: int
+
+
+class VectorStore:
+    """Host-canonical vector rows + device mirror.
+
+    Row states: unallocated (row >= count), active, deleted (soft).
+    """
+
+    def __init__(self, dim: int, initial_capacity: int = 1024):
+        if dim <= 0:
+            raise DimensionMismatchError("dim must be positive")
+        self.dim = dim
+        self.capacity = grow_capacity(1, initial_capacity)
+        self.count = 0  # allocated rows (including soft-deleted)
+        self.data = np.zeros((self.capacity, dim), np.float32)
+        self.deleted = np.zeros(self.capacity, bool)
+        self.timestamps = np.zeros(self.capacity, np.float64)
+        self.id_to_row: dict[str, int] = {}
+        self.row_to_id: list = []
+        self._version = 0
+        self._mirror: DeviceMirror | None = None
+        self._lock = threading.RLock()
+
+    # ------------------------------------------------------------ mutation
+    def _grow_to(self, needed: int) -> None:
+        if needed <= self.capacity:
+            return
+        new_cap = grow_capacity(needed, self.capacity)
+        self.data = np.vstack(
+            [self.data, np.zeros((new_cap - self.capacity, self.dim), np.float32)]
+        )
+        self.deleted = np.concatenate(
+            [self.deleted, np.zeros(new_cap - self.capacity, bool)]
+        )
+        self.timestamps = np.concatenate(
+            [self.timestamps, np.zeros(new_cap - self.capacity, np.float64)]
+        )
+        self.capacity = new_cap
+
+    def add_batch(
+        self,
+        ids: list,
+        vectors: np.ndarray,
+        timestamps: np.ndarray | float | None = None,
+    ) -> np.ndarray:
+        """Append rows; returns their row indices. Duplicate ids are errors."""
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise DimensionMismatchError(
+                f"expected [n, {self.dim}] vectors, got {vectors.shape}"
+            )
+        if len(ids) != vectors.shape[0]:
+            raise ValueError("ids/vectors length mismatch")
+        with self._lock:
+            for vid in ids:
+                if vid in self.id_to_row:
+                    raise DuplicateIdError(f"duplicate vector id: {vid}")
+            if len(set(ids)) != len(ids):
+                raise DuplicateIdError("duplicate ids within batch")
+            n = vectors.shape[0]
+            self._grow_to(self.count + n)
+            rows = np.arange(self.count, self.count + n, dtype=np.int32)
+            self.data[rows] = vectors
+            if timestamps is None:
+                timestamps = time.time()
+            self.timestamps[rows] = timestamps
+            self.deleted[rows] = False
+            for vid, row in zip(ids, rows):
+                self.id_to_row[vid] = int(row)
+                self.row_to_id.append(vid)
+            self.count += n
+            self._version += 1
+            return rows
+
+    def row_of(self, vid: str) -> int:
+        try:
+            return self.id_to_row[vid]
+        except KeyError:
+            raise UnknownIdError(vid) from None
+
+    def id_of(self, row: int) -> str | None:
+        if 0 <= row < self.count:
+            return self.row_to_id[row]
+        return None
+
+    def get_vector(self, vid: str) -> np.ndarray:
+        return self.data[self.row_of(vid)].copy()
+
+    def mark_deleted(self, vid: str) -> bool:
+        """Soft-delete. Returns False if already deleted."""
+        with self._lock:
+            row = self.row_of(vid)
+            if self.deleted[row]:
+                return False
+            self.deleted[row] = True
+            self._version += 1
+            return True
+
+    def is_deleted(self, vid: str) -> bool:
+        return bool(self.deleted[self.row_of(vid)])
+
+    def contains(self, vid: str) -> bool:
+        return vid in self.id_to_row
+
+    def vacuum(self) -> list:
+        """Physically free soft-deleted rows. Returns the removed ids.
+
+        Rows are not compacted (row indices are stable; adjacency arrays in
+        engines reference them); data is zeroed and the id mapping dropped.
+        """
+        with self._lock:
+            removed = []
+            for row in np.nonzero(self.deleted[: self.count])[0]:
+                vid = self.row_to_id[row]
+                if vid is not None:
+                    removed.append(vid)
+                    del self.id_to_row[vid]
+                    self.row_to_id[row] = None
+                self.data[row] = 0.0
+            # rows stay 'deleted' forever (tombstoned); they never match masks
+            self._version += 1
+            return removed
+
+    # ------------------------------------------------------------- queries
+    @property
+    def active_count(self) -> int:
+        return self.count - int(self.deleted[: self.count].sum())
+
+    @property
+    def deleted_count(self) -> int:
+        return int(self.deleted[: self.count].sum())
+
+    def active_mask(self) -> np.ndarray:
+        """[capacity] bool: allocated and not deleted."""
+        mask = np.zeros(self.capacity, bool)
+        mask[: self.count] = ~self.deleted[: self.count]
+        return mask
+
+    def active_ids(self) -> list:
+        return [
+            self.row_to_id[r]
+            for r in range(self.count)
+            if not self.deleted[r] and self.row_to_id[r] is not None
+        ]
+
+    def device(self) -> DeviceMirror:
+        """Device-resident (x, x_sq); re-uploaded only when host data changed."""
+        with self._lock:
+            if self._mirror is None or self._mirror.version != self._version:
+                x = jnp.asarray(self.data)
+                x_sq = jnp.sum(x * x, axis=1)
+                self._mirror = DeviceMirror(x=x, x_sq=x_sq, version=self._version)
+            return self._mirror
+
+    def memory_usage_bytes(self) -> int:
+        return int(
+            self.data.nbytes
+            + self.deleted.nbytes
+            + self.timestamps.nbytes
+            + 64 * len(self.id_to_row)
+        )

@@ -1,0 +1,123 @@
+"""HNSW engine tests (mirrors reference tests/hnsw/* behavior)."""
+import numpy as np
+import pytest
+
+from fabstir_vectordb_tpu.index import VectorStore, HNSWIndex, HNSWConfig, FlatIndex
+from fabstir_vectordb_tpu.index.flat import recall_at_k
+
+
+def build_index(n=300, dim=16, seed=0, **cfg_kw):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    store = VectorStore(dim)
+    rows = store.add_batch([f"v{i}" for i in range(n)], vecs)
+    cfg = HNSWConfig(seed=seed, **cfg_kw)
+    hnsw = HNSWIndex(store, cfg)
+    hnsw.insert_rows(rows)
+    return store, hnsw, vecs
+
+
+class TestBuildAndSearch:
+    def test_single_node(self):
+        store = VectorStore(8)
+        rows = store.add_batch(["only"], np.ones((1, 8), np.float32))
+        hnsw = HNSWIndex(store)
+        hnsw.insert_rows(rows)
+        d, r = hnsw.search_rows(np.ones((1, 8), np.float32), 3)
+        assert r[0, 0] == 0 and d[0, 0] < 1e-4
+        assert r[0, 1] == -1
+
+    def test_empty_graph(self):
+        store = VectorStore(8)
+        hnsw = HNSWIndex(store)
+        d, r = hnsw.search_rows(np.zeros((2, 8), np.float32), 3)
+        assert (r == -1).all()
+
+    def test_exact_neighbor_found(self):
+        store, hnsw, vecs = build_index(n=200)
+        for i in (0, 57, 199):
+            d, r = hnsw.search_rows(vecs[i][None], 1)
+            assert r[0, 0] == i
+            assert d[0, 0] < 1e-2
+
+    def test_recall_vs_flat(self):
+        store, hnsw, vecs = build_index(n=800, dim=24)
+        rng = np.random.default_rng(7)
+        q = rng.standard_normal((32, 24)).astype(np.float32)
+        _, rows = hnsw.search_rows(q, 10, ef=100)
+        oracle = FlatIndex(store)
+        rec = recall_at_k(oracle, rows, q, 10)
+        assert rec >= 0.9, f"recall {rec}"
+
+    def test_recall_improves_with_ef(self):
+        store, hnsw, vecs = build_index(n=1000, dim=16)
+        rng = np.random.default_rng(3)
+        q = rng.standard_normal((24, 16)).astype(np.float32)
+        oracle = FlatIndex(store)
+        recalls = []
+        for ef in (10, 200):
+            _, rows = hnsw.search_rows(q, 10, ef=ef)
+            recalls.append(recall_at_k(oracle, rows, q, 10))
+        assert recalls[-1] >= recalls[0]
+        assert recalls[-1] >= 0.95
+
+    def test_batch_queries(self):
+        store, hnsw, vecs = build_index(n=300)
+        q = np.stack([vecs[3], vecs[100], vecs[250]])
+        _, rows = hnsw.search_rows(q, 1)
+        assert list(rows[:, 0]) == [3, 100, 250]
+
+    def test_incremental_insert_after_build(self):
+        store, hnsw, vecs = build_index(n=300, dim=8)
+        new = (vecs[10] + 0.01).reshape(1, 8)
+        rows = store.add_batch(["new"], new)
+        hnsw.insert_rows(rows)
+        d, r = hnsw.search_rows(new, 1)
+        assert store.id_of(int(r[0, 0])) == "new"
+
+
+class TestDeletion:
+    def test_deleted_excluded_from_results(self):
+        store, hnsw, vecs = build_index(n=200)
+        q = vecs[50][None]
+        store.mark_deleted("v50")
+        _, rows = hnsw.search_rows(q, 5)
+        assert 50 not in rows[0]
+
+    def test_entry_point_deletion_recovers(self):
+        store, hnsw, vecs = build_index(n=100)
+        entry_id = store.id_of(hnsw.entry_point)
+        store.mark_deleted(entry_id)
+        d, rows = hnsw.search_rows(vecs[3][None], 5)
+        assert (rows[0] >= 0).sum() >= 5  # search still works
+
+    def test_vacuum_scrubs_graph(self):
+        store, hnsw, vecs = build_index(n=150)
+        for i in range(10):
+            store.mark_deleted(f"v{i}")
+        removed = hnsw.vacuum()
+        assert removed == 10
+        assert hnsw.num_nodes == 140
+        integrity = hnsw.check_integrity()
+        assert integrity["ok"], integrity["dangling_refs"][:5]
+        # remaining vectors still searchable
+        _, rows = hnsw.search_rows(vecs[100][None], 1)
+        assert rows[0, 0] == 100
+
+
+class TestStats:
+    def test_graph_stats(self):
+        store, hnsw, vecs = build_index(n=200)
+        stats = hnsw.graph_stats()
+        assert stats.num_nodes == 200
+        assert stats.num_edges > 200
+        assert stats.avg_degree > 1
+        assert stats.max_layer >= 0
+        assert hnsw.memory_usage_bytes() > 0
+
+    def test_level_distribution_geometric(self):
+        store, hnsw, vecs = build_index(n=1000)
+        levels = hnsw.levels[hnsw.member_rows()]
+        frac_upper = (levels >= 1).mean()
+        # P(level>=1) = 0.408; allow generous tolerance
+        assert 0.3 < frac_upper < 0.52

@@ -1,0 +1,209 @@
+"""Hybrid engine tests (mirrors reference tests/hybrid/* behavior)."""
+import numpy as np
+import pytest
+
+from fabstir_vectordb_tpu.index import HybridIndex, HybridConfig, SearchConfig
+from fabstir_vectordb_tpu.index.ivf import IVFConfig
+
+NOW = 1_700_000_000.0
+DAY = 86_400.0
+
+
+def rand_vecs(n, dim=16, seed=0):
+    return np.random.default_rng(seed).standard_normal((n, dim)).astype(np.float32)
+
+
+def make_hybrid(n_recent=50, n_old=200, dim=16):
+    vecs = rand_vecs(n_recent + n_old, dim)
+    idx = HybridIndex(dim, HybridConfig(ivf=IVFConfig(n_clusters=4, n_probe=4)))
+    idx.initialize(vecs)
+    ids = [f"v{i}" for i in range(len(vecs))]
+    ts = np.concatenate([
+        np.full(n_recent, NOW - DAY),        # recent -> HNSW
+        np.full(n_old, NOW - 30 * DAY),      # old -> IVF
+    ])
+    idx.insert_batch(ids, vecs, ts, now=NOW)
+    return idx, vecs
+
+
+class TestRouting:
+    def test_age_based_routing(self):
+        idx, vecs = make_hybrid(50, 200)
+        s = idx.stats(now=NOW)
+        assert s.recent_vectors == 50
+        assert s.historical_vectors == 200
+        assert s.total_vectors == 250
+        assert s.ivf_trained
+
+    def test_hnsw_only_mode_small_dataset(self):
+        idx = HybridIndex(8)
+        idx.initialize(rand_vecs(5, 8))  # < min_ivf_training_size
+        assert not idx.ivf_trained
+        ids = [f"s{i}" for i in range(5)]
+        vecs = rand_vecs(5, 8, seed=1)
+        # even old vectors route to HNSW in HNSW-only mode
+        idx.insert_batch(ids, vecs, np.full(5, NOW - 100 * DAY), now=NOW)
+        assert idx.stats(now=NOW).recent_vectors == 5
+        res = idx.search(vecs[2], 2, now=NOW)
+        assert res[0][0] == "s2"
+
+    def test_age_distribution_buckets(self):
+        idx, _ = make_hybrid(50, 200)
+        dist = idx.stats(now=NOW).age_distribution
+        assert dist["1-7d"] == 50
+        assert dist["30d+"] == 200
+
+
+class TestSearch:
+    def test_search_spans_both_indices(self):
+        idx, vecs = make_hybrid(50, 200)
+        # query equal to a recent vector
+        res = idx.search(vecs[10], 3, now=NOW)
+        assert res[0][0] == "v10"
+        # query equal to an old vector
+        res = idx.search(vecs[120], 3, now=NOW)
+        assert res[0][0] == "v120"
+
+    def test_results_sorted_and_truncated(self):
+        idx, vecs = make_hybrid(30, 100)
+        res = idx.search(vecs[0], 7, now=NOW)
+        assert len(res) == 7
+        dists = [d for _, d in res]
+        assert dists == sorted(dists)
+
+    def test_search_config_knobs(self):
+        idx, vecs = make_hybrid(30, 100)
+        cfg = SearchConfig(recent_k=2, historical_k=2, hnsw_ef=80, ivf_n_probe=4)
+        res = idx.search(vecs[0], 4, config=cfg, now=NOW)
+        assert len(res) == 4
+
+    def test_empty_index(self):
+        idx = HybridIndex(8)
+        idx.initialize(None)
+        assert idx.search(np.zeros(8, np.float32), 5, now=NOW) == []
+
+
+class TestFilteredSearch:
+    def test_filter_pushdown(self):
+        idx, vecs = make_hybrid(20, 80)
+        metadata = [None] * idx.store.capacity
+        for i in range(100):
+            metadata[idx.store.row_of(f"v{i}")] = {
+                "parity": "even" if i % 2 == 0 else "odd", "i": i
+            }
+        res = idx.search_with_filter(
+            vecs[11], 5, {"parity": "odd"}, metadata, now=NOW
+        )
+        assert res[0][0] == "v11"
+        for vid, _ in res:
+            assert int(vid[1:]) % 2 == 1
+
+    def test_filter_no_matches(self):
+        idx, vecs = make_hybrid(20, 80)
+        metadata = [{"x": 1}] * idx.store.capacity
+        res = idx.search_with_filter(vecs[0], 5, {"x": 2}, metadata, now=NOW)
+        assert res == []
+
+    def test_none_filter_is_plain_search(self):
+        idx, vecs = make_hybrid(20, 80)
+        res = idx.search_with_filter(vecs[3], 3, None, [], now=NOW)
+        assert res[0][0] == "v3"
+
+
+class TestMigration:
+    def test_migration_moves_membership(self):
+        dim = 16
+        vecs = rand_vecs(120, dim)
+        idx = HybridIndex(dim, HybridConfig(
+            ivf=IVFConfig(n_clusters=4, n_probe=4), auto_migrate=False,
+            migration_batch_size=50,
+        ))
+        idx.initialize(vecs)
+        ids = [f"v{i}" for i in range(120)]
+        # all inserted as recent at t0
+        idx.insert_batch(ids, vecs, np.full(120, NOW - 10 * DAY), now=NOW - 9 * DAY)
+        assert idx.stats(now=NOW - 9 * DAY).recent_vectors == 120
+        # time passes; all are now old
+        n = idx.migrate_old_vectors(now=NOW)
+        assert n == 50  # one batch
+        total = idx.migrate_all(now=NOW)
+        assert total == 70
+        s = idx.stats(now=NOW)
+        assert s.recent_vectors == 0 and s.historical_vectors == 120
+        # no duplication: search still finds each vector once
+        res = idx.search(vecs[5], 3, config=SearchConfig(auto_migrate=False), now=NOW)
+        assert res[0][0] == "v5"
+        assert len({r[0] for r in res}) == 3
+
+    def test_auto_migrate_during_search(self):
+        dim = 8
+        vecs = rand_vecs(60, dim)
+        idx = HybridIndex(dim, HybridConfig(
+            ivf=IVFConfig(n_clusters=4, n_probe=4), auto_migrate=True,
+            migration_batch_size=1000,
+        ))
+        idx.initialize(vecs)
+        idx.insert_batch([f"v{i}" for i in range(60)], vecs,
+                         np.full(60, NOW - 30 * DAY), now=NOW - 29 * DAY)
+        idx.search(vecs[0], 1, now=NOW)  # triggers migration
+        assert idx.stats(now=NOW).historical_vectors == 60
+
+    def test_migration_noop_when_untrained(self):
+        idx = HybridIndex(8)
+        idx.initialize(rand_vecs(3, 8))
+        idx.insert_batch(["a"], rand_vecs(1, 8), np.full(1, NOW - 100 * DAY), now=NOW)
+        assert idx.migrate_old_vectors(now=NOW) == 0
+
+
+class TestCRUD:
+    def test_delete_and_vacuum_across_engines(self):
+        idx, vecs = make_hybrid(20, 80)
+        assert idx.delete("v5")       # recent
+        assert idx.delete("v50")      # historical
+        assert not idx.delete("v5")   # already deleted
+        stats = idx.deletion_stats()
+        assert stats["hnsw_deleted"] == 1
+        assert stats["ivf_deleted"] == 1
+        assert stats["total_deleted"] == 2
+        assert set(idx.get_deleted_vectors()) == {"v5", "v50"}
+
+        res = idx.search(vecs[5], 3, now=NOW)
+        assert res[0][0] != "v5"
+
+        vstats = idx.vacuum()
+        assert vstats == {"hnsw_removed": 1, "ivf_removed": 1, "total_removed": 2}
+        assert not idx.contains("v5")
+
+    def test_batch_delete_ignores_unknown(self):
+        idx, vecs = make_hybrid(10, 40)
+        n = idx.batch_delete(["v1", "v2", "ghost"])
+        assert n == 2
+
+    def test_get_vector(self):
+        idx, vecs = make_hybrid(10, 40)
+        np.testing.assert_array_equal(idx.get_vector("v7"), vecs[7])
+
+
+class TestFromParts:
+    def test_roundtrip_reconstruction(self):
+        idx, vecs = make_hybrid(20, 80)
+        idx.delete("v3")
+        ids = [idx.store.id_of(r) for r in range(idx.store.count)]
+        hnsw_member = idx.hnsw.member_mask()[: idx.store.count].copy()
+        idx2 = HybridIndex.from_parts(
+            dim=16,
+            config=idx.config,
+            ids=ids,
+            vectors=idx.store.data[: idx.store.count].copy(),
+            timestamps=idx.store.timestamps[: idx.store.count].copy(),
+            hnsw_member=hnsw_member,
+            centroids=idx.ivf.export_centroids(),
+            deleted_ids=idx.get_deleted_vectors(),
+        )
+        s1, s2 = idx.stats(now=NOW), idx2.stats(now=NOW)
+        assert s1.recent_vectors == s2.recent_vectors
+        assert s1.historical_vectors == s2.historical_vectors
+        assert s1.deleted_recent == s2.deleted_recent
+        r1 = idx.search(vecs[10], 5, config=SearchConfig(auto_migrate=False), now=NOW)
+        r2 = idx2.search(vecs[10], 5, config=SearchConfig(auto_migrate=False), now=NOW)
+        assert r1[0][0] == r2[0][0] == "v10"

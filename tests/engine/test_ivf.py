@@ -1,0 +1,167 @@
+"""IVF engine tests (mirrors reference tests/ivf/* behavior)."""
+import numpy as np
+import pytest
+
+from fabstir_vectordb_tpu.index import VectorStore, IVFIndex, IVFConfig
+from fabstir_vectordb_tpu.index.ivf import NotTrainedError, TrainingError
+
+
+def clustered_data(n_clusters=8, per=40, dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32) * 10
+    vecs = np.concatenate(
+        [c + rng.standard_normal((per, dim)).astype(np.float32) for c in centers]
+    )
+    return vecs, centers
+
+
+def make_index(n_clusters=8, per=40, dim=16):
+    vecs, centers = clustered_data(n_clusters, per, dim)
+    store = VectorStore(dim)
+    rows = store.add_batch([f"v{i}" for i in range(len(vecs))], vecs)
+    cfg = IVFConfig(n_clusters=n_clusters, n_probe=2, train_size=10_000, seed=0)
+    ivf = IVFIndex(store, cfg)
+    ivf.train(vecs)
+    ivf.insert_rows(rows)
+    return store, ivf, vecs
+
+
+class TestTraining:
+    def test_train_requires_enough_vectors(self):
+        store = VectorStore(8)
+        ivf = IVFIndex(store, IVFConfig(n_clusters=16))
+        with pytest.raises(TrainingError):
+            ivf.train(np.zeros((5, 8), np.float32))
+
+    def test_search_before_train_fails(self):
+        store = VectorStore(8)
+        ivf = IVFIndex(store)
+        with pytest.raises(NotTrainedError):
+            ivf.search_rows(np.zeros((1, 8), np.float32), 3)
+
+    def test_train_converges_on_clustered_data(self):
+        vecs, _ = clustered_data()
+        store = VectorStore(16)
+        ivf = IVFIndex(store, IVFConfig(n_clusters=8, seed=0))
+        stats = ivf.train(vecs)
+        assert stats.iterations <= 25
+        assert stats.final_error < 100.0
+
+
+class TestSearch:
+    def test_nearest_found_with_low_nprobe(self):
+        store, ivf, vecs = make_index()
+        q = vecs[13] + 0.01
+        d, rows = ivf.search_rows(q[None], 5, n_probe=2)
+        assert rows[0, 0] == 13
+        assert d[0, 0] < 0.2
+
+    def test_full_probe_equals_exact(self):
+        from fabstir_vectordb_tpu.index import FlatIndex
+        from fabstir_vectordb_tpu.index.flat import recall_at_k
+
+        store, ivf, vecs = make_index()
+        rng = np.random.default_rng(1)
+        q = vecs[rng.integers(0, len(vecs), 16)] + 0.05
+        _, rows = ivf.search_rows(q, 10, n_probe=8)  # probe all clusters
+        oracle = FlatIndex(store)
+        assert recall_at_k(oracle, rows, q, 10) == 1.0
+
+    def test_recall_improves_with_nprobe(self):
+        from fabstir_vectordb_tpu.index import FlatIndex
+        from fabstir_vectordb_tpu.index.flat import recall_at_k
+
+        store, ivf, vecs = make_index(n_clusters=16, per=30)
+        rng = np.random.default_rng(2)
+        q = rng.standard_normal((16, 16)).astype(np.float32) * 5
+        oracle = FlatIndex(store)
+        recalls = []
+        for p in (1, 4, 16):
+            _, rows = ivf.search_rows(q, 10, n_probe=p)
+            recalls.append(recall_at_k(oracle, rows, q, 10))
+        assert recalls[0] <= recalls[1] <= recalls[2]
+        assert recalls[2] == 1.0
+
+    def test_deleted_vectors_skipped(self):
+        store, ivf, vecs = make_index()
+        q = vecs[13]
+        store.mark_deleted("v13")
+        _, rows = ivf.search_rows(q[None], 3)
+        assert 13 not in rows[0]
+
+    def test_batch_search(self):
+        store, ivf, vecs = make_index()
+        q = np.stack([vecs[0], vecs[50], vecs[100]])
+        _, rows = ivf.search_rows(q, 1, n_probe=3)
+        assert list(rows[:, 0]) == [0, 50, 100]
+
+
+class TestOperations:
+    def test_vacuum_removes_deleted(self):
+        store, ivf, vecs = make_index()
+        store.mark_deleted("v0")
+        store.mark_deleted("v1")
+        assert ivf.deleted_count == 2
+        removed = ivf.vacuum()
+        assert removed == 2
+        assert ivf.active_count == len(vecs) - 2
+        store.vacuum()
+
+    def test_cluster_stats(self):
+        store, ivf, vecs = make_index(n_clusters=8, per=40)
+        stats = ivf.cluster_stats()
+        assert stats.total_vectors == len(vecs)
+        assert len(stats.sizes) == 8
+        assert stats.empty_clusters <= 1
+        assert stats.mean_variance > 0
+
+    def test_retrain(self):
+        store, ivf, vecs = make_index()
+        stats = ivf.retrain(IVFConfig(n_clusters=4, n_probe=2, seed=1))
+        assert ivf.centroids.shape[0] == 4
+        assert ivf.active_count == len(vecs)
+        assert stats.iterations >= 1
+
+    def test_add_clusters_reassigns(self):
+        store, ivf, vecs = make_index(n_clusters=4)
+        ivf.add_clusters(2)
+        assert ivf.centroids.shape[0] == 6
+        assert ivf.active_count == len(vecs)
+
+    def test_balance_clusters(self):
+        dim = 8
+        rng = np.random.default_rng(0)
+        # one dense blob + sparse outliers -> heavily imbalanced clusters
+        blob = rng.standard_normal((200, dim)).astype(np.float32) * 0.1
+        outliers = rng.standard_normal((8, dim)).astype(np.float32) * 20
+        vecs = np.concatenate([blob, outliers])
+        store = VectorStore(dim)
+        rows = store.add_batch([f"v{i}" for i in range(len(vecs))], vecs)
+        ivf = IVFIndex(store, IVFConfig(n_clusters=4, n_probe=4, seed=0))
+        ivf.train(vecs)
+        ivf.insert_rows(rows)
+        before = max(ivf.cluster_stats().sizes)
+        moves = ivf.balance_clusters(max_ratio=1.5)
+        if moves:
+            assert max(ivf.cluster_stats().sizes) <= before
+
+    def test_centroid_export_import(self):
+        store, ivf, vecs = make_index()
+        cents = ivf.export_centroids()
+        store2 = VectorStore(16)
+        rows2 = store2.add_batch([f"w{i}" for i in range(len(vecs))], vecs)
+        ivf2 = IVFIndex(store2, ivf.config)
+        ivf2.import_centroids(cents)
+        ivf2.insert_rows(rows2)
+        q = vecs[7][None]
+        _, r1 = ivf.search_rows(q, 3)
+        _, r2 = ivf2.search_rows(q, 3)
+        np.testing.assert_array_equal(r1, r2)
+
+    def test_evaluate_search_quality(self):
+        store, ivf, vecs = make_index()
+        rng = np.random.default_rng(3)
+        q = vecs[rng.integers(0, len(vecs), 8)]
+        quality = ivf.evaluate_search_quality(q, k=5)
+        assert 0.5 <= quality["recall"] <= 1.0
+        assert quality["avg_query_ms"] >= 0
