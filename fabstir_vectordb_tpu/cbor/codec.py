@@ -26,8 +26,11 @@ class CborError(ValueError):
 
 # RFC 8746 typed-array tags (little-endian variants).
 _TAG_U8 = 64
+_TAG_U16LE = 69
 _TAG_U32LE = 70
 _TAG_U64LE = 71
+_TAG_I8 = 72
+_TAG_I16LE = 77
 _TAG_I32LE = 78
 _TAG_I64LE = 79
 _TAG_F32LE = 85
@@ -35,8 +38,11 @@ _TAG_F64LE = 86
 
 _DTYPE_TO_TAG = {
     np.dtype(np.uint8): _TAG_U8,
+    np.dtype(np.uint16): _TAG_U16LE,
     np.dtype(np.uint32): _TAG_U32LE,
     np.dtype(np.uint64): _TAG_U64LE,
+    np.dtype(np.int8): _TAG_I8,
+    np.dtype(np.int16): _TAG_I16LE,
     np.dtype(np.int32): _TAG_I32LE,
     np.dtype(np.int64): _TAG_I64LE,
     np.dtype(np.float32): _TAG_F32LE,

@@ -596,6 +596,70 @@ class HNSWIndex:
             + self.levels.nbytes + self.up_offset.nbytes
         )
 
+    # ---------------------------------------------------------- persistence
+    def export_graph(self, order: np.ndarray) -> dict:
+        """Serialize the graph for the rows in ``order`` (store rows, all
+        members), remapping adjacency to positions within ``order`` so the
+        graph is loadable into a store with different row layout."""
+        order = np.asarray(order, np.int64)
+        pos = np.full(self.levels.shape[0], -1, np.int64)
+        pos[order] = np.arange(order.size)
+
+        def remap(a):
+            return np.where(a >= 0, pos[np.maximum(a, 0)], -1).astype(np.int32)
+
+        levels = self.levels[order].astype(np.int16)
+        nbrs0 = remap(self.nbrs0[order])
+        ups = []
+        up_pos = np.full(order.size, -1, np.int64)
+        cnt = 0
+        for i, r in enumerate(order):
+            lvl = int(levels[i])
+            if lvl > 0:
+                off = self.up_offset[r]
+                ups.append(remap(self.nbrs_up[off: off + lvl]))
+                up_pos[i] = cnt
+                cnt += lvl
+        nbrs_up = (
+            np.vstack(ups) if ups else np.zeros((0, self.config.m), np.int32)
+        )
+        entry_pos = int(pos[self.entry_point]) if self.entry_point >= 0 else -1
+        return {
+            "m": self.config.m,
+            "m0": self.config.m0,
+            "levels": levels,
+            "nbrs0": nbrs0,
+            "nbrs_up": nbrs_up,
+            "up_offset_pos": up_pos.astype(np.int64),
+            "entry_pos": entry_pos,
+            "max_level": int(self.max_level),
+        }
+
+    def install_graph(self, rows: np.ndarray, g: dict) -> None:
+        """Inverse of export_graph: rows[i] is the store row of position i."""
+        rows = np.asarray(rows, np.int64)
+        self._ensure_capacity()
+
+        def remap(a):
+            a = np.asarray(a, np.int64)
+            return np.where(a >= 0, rows[np.maximum(a, 0)], -1).astype(np.int32)
+
+        levels = np.asarray(g["levels"], np.int16)
+        self.levels[rows] = levels
+        self.nbrs0[rows] = remap(g["nbrs0"])
+        nbrs_up = np.asarray(g["nbrs_up"], np.int64)
+        up_pos = np.asarray(g["up_offset_pos"], np.int64)
+        for i, r in enumerate(rows):
+            lvl = int(levels[i])
+            if lvl > 0:
+                off = self._alloc_up_rows(lvl)
+                self.up_offset[r] = off
+                self.nbrs_up[off: off + lvl] = remap(nbrs_up[up_pos[i]: up_pos[i] + lvl])
+        entry_pos = int(g["entry_pos"])
+        self.entry_point = int(rows[entry_pos]) if entry_pos >= 0 else -1
+        self.max_level = int(g["max_level"])
+        self._version += 1
+
     def check_integrity(self) -> dict:
         """Neighbor lists must reference member rows only."""
         members = self.member_mask()

@@ -1,0 +1,73 @@
+"""Encryption-at-rest for persisted payloads.
+
+The reference delegates encryption to the S5 service via the
+``X-S5-Encryption: xchacha20-poly1305`` header (reference:
+src/storage/enhanced_s5_storage.rs:92-93,153-155,412-414). For non-S5
+backends (filesystem, memory) we provide a store decorator doing AEAD
+locally: ChaCha20-Poly1305 (IETF, 12-byte nonce) from the ``cryptography``
+package, with the key derived from the user's seed phrase — matching the
+reference's "encrypted with the user's blockchain-derived seed" contract.
+
+Wire format: magic "FVE1" | nonce(12) | ciphertext+tag. The key path is
+bound as associated data so blobs can't be swapped between keys.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+
+from ..core.object_store import ObjectStore, StorageError, _BaseStore
+
+try:
+    from cryptography.hazmat.primitives.ciphers.aead import ChaCha20Poly1305
+
+    HAVE_AEAD = True
+except Exception:  # pragma: no cover
+    HAVE_AEAD = False
+
+_MAGIC = b"FVE1"
+
+
+def derive_key(seed_phrase: str, salt: str = "fabstir-vectordb") -> bytes:
+    """32-byte key from a seed phrase (scrypt; deterministic per phrase)."""
+    return hashlib.scrypt(
+        seed_phrase.encode("utf-8"),
+        salt=salt.encode("utf-8"),
+        n=2**14, r=8, p=1, dklen=32,
+    )
+
+
+class EncryptedObjectStore(_BaseStore):
+    """AEAD encrypt/decrypt decorator around any ObjectStore."""
+
+    def __init__(self, inner: ObjectStore, key: bytes):
+        if not HAVE_AEAD:  # pragma: no cover
+            raise StorageError("cryptography package unavailable; cannot encrypt")
+        if len(key) != 32:
+            raise ValueError("key must be 32 bytes")
+        self.inner = inner
+        self._aead = ChaCha20Poly1305(key)
+
+    def put(self, key: str, data: bytes) -> None:
+        nonce = os.urandom(12)
+        ct = self._aead.encrypt(nonce, bytes(data), key.encode("utf-8"))
+        self.inner.put(key, _MAGIC + nonce + ct)
+
+    def get(self, key: str) -> bytes:
+        blob = self.inner.get(key)
+        if blob[:4] != _MAGIC:
+            return blob  # plaintext legacy object
+        nonce, ct = blob[4:16], blob[16:]
+        try:
+            return self._aead.decrypt(nonce, ct, key.encode("utf-8"))
+        except Exception as e:
+            raise StorageError(f"decryption failed for {key}") from e
+
+    def delete(self, key: str) -> None:
+        self.inner.delete(key)
+
+    def list_keys(self, prefix: str = "") -> list:
+        return self.inner.list_keys(prefix)
+
+    def exists(self, key: str) -> bool:
+        return self.inner.exists(key)

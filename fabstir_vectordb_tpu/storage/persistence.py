@@ -1,0 +1,599 @@
+"""Persistence: chunked manifest-v3 hybrid format + per-engine persisters.
+
+TPU-native rebuild of the reference persistence tier
+(reference: src/hybrid/persistence.rs, src/hnsw/persistence.rs,
+src/ivf/persistence.rs). Key mapping:
+  - ``HybridPersister.save_index_chunked`` (hybrid/persistence.rs:188-277):
+    collect vectors -> partition into chunk_size chunks (:315) -> chunk CBOR
+    blobs under chunks/chunk-N.cbor (:340-372) -> HNSW/IVF manifests
+    (:375-445) -> deleted ids into manifest (:234-238) -> manifest.json +
+    state + graph + metadata. Chunks are dense array shards (not per-id CBOR
+    maps) so a chunk uploads straight to HBM;
+  - row->engine membership and IVF assignments are persisted exactly
+    (state.cbor) instead of the reference's chunk-attribution hash heuristic
+    (:448-468) and O(N·C·D) nearest-centroid reassignment on load (:593-656)
+    — both listed in SURVEY §7 as quirks to fix;
+  - the full HNSW graph is saved (hnsw_graph.cbor, analog of the reference's
+    hnsw_nodes.cbor :261-271) with adjacency remapped to save-order
+    positions, so load is O(N) with zero rebuild;
+  - ``load_index_chunked`` (:497-693): manifest -> version check -> parallel
+    chunk fetch (thread pool ~ the reference's tokio fan-out :539-570) ->
+    graph install -> timestamps -> re-mark deleted (:684-690);
+  - incremental save via per-chunk content hashes (analog of dirty-node /
+    modified-cluster incremental saves, hnsw/persistence.rs:187-240,
+    ivf/persistence.rs:267-297);
+  - save_with_backup / restore_from_backup (hnsw/persistence.rs:242-305);
+  - check_integrity -> missing-chunk RecoveryInfo (hnsw/persistence.rs:307-349,
+    ivf count verification ivf/persistence.rs:206-265).
+"""
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import cbor
+from ..core.chunk import (
+    ChunkMetadata,
+    HNSWManifest,
+    IVFManifest,
+    Manifest,
+    VectorChunk,
+)
+from ..core.object_store import NotFoundError, ObjectStore
+from ..core.schema import MetadataSchema
+from ..index.hybrid import HybridConfig, HybridIndex
+from ..index.hnsw import HNSWConfig, HNSWIndex
+from ..index.ivf import IVFConfig, IVFIndex
+from ..index.store import VectorStore
+from .chunk_loader import ChunkLoader
+
+FORMAT_VERSION = 1  # binary payload version (manifest carries v3 semantics)
+
+
+class PersistenceError(RuntimeError):
+    pass
+
+
+class IncompleteSaveError(PersistenceError):
+    pass
+
+
+@dataclass
+class RecoveryInfo:
+    expected_chunks: int
+    found_chunks: int
+    missing_chunks: list = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return not self.missing_chunks
+
+
+def _sha(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()[:16]
+
+
+def _hybrid_config_json(cfg: HybridConfig) -> dict:
+    return {
+        "recent_threshold_secs": cfg.recent_threshold_secs,
+        "migration_batch_size": cfg.migration_batch_size,
+        "auto_migrate": cfg.auto_migrate,
+        "min_ivf_training_size": cfg.min_ivf_training_size,
+        "hnsw": {
+            "m": cfg.hnsw.m, "m0": cfg.hnsw.m0,
+            "ef_construction": cfg.hnsw.ef_construction,
+            "ef_search": cfg.hnsw.ef_search,
+            "level_p": cfg.hnsw.level_p, "max_level": cfg.hnsw.max_level,
+            "seed": cfg.hnsw.seed,
+        },
+        "ivf": {
+            "n_clusters": cfg.ivf.n_clusters, "n_probe": cfg.ivf.n_probe,
+            "train_size": cfg.ivf.train_size,
+            "max_iterations": cfg.ivf.max_iterations, "seed": cfg.ivf.seed,
+        },
+    }
+
+
+def _hybrid_config_from_json(obj: dict) -> HybridConfig:
+    h = obj.get("hnsw") or {}
+    v = obj.get("ivf") or {}
+    return HybridConfig(
+        recent_threshold_secs=obj.get("recent_threshold_secs", 7 * 86400.0),
+        migration_batch_size=obj.get("migration_batch_size", 100),
+        auto_migrate=obj.get("auto_migrate", True),
+        min_ivf_training_size=obj.get("min_ivf_training_size", 10),
+        hnsw=HNSWConfig(**h) if h else HNSWConfig(),
+        ivf=IVFConfig(**v) if v else IVFConfig(),
+    )
+
+
+class HybridPersister:
+    """Chunked manifest-v3 save/load of a HybridIndex over an ObjectStore."""
+
+    def __init__(self, store: ObjectStore, chunk_loader: ChunkLoader | None = None):
+        self.store = store
+        self.loader = chunk_loader or ChunkLoader(store)
+
+    # ------------------------------------------------------------------ save
+    def save_index_chunked(
+        self,
+        index: HybridIndex,
+        session_id: str,
+        chunk_size: int = 10_000,
+        schema: MetadataSchema | None = None,
+        incremental: bool = False,
+    ) -> Manifest:
+        s = index.store
+        # global save order: allocated rows with live ids (tombstones skipped)
+        order = np.array(
+            [r for r in range(s.count) if s.row_to_id[r] is not None], np.int64
+        )
+        ids = [s.row_to_id[r] for r in order]
+        n = order.size
+
+        prev_hashes: dict = {}
+        if incremental:
+            try:
+                prev = Manifest.from_json(
+                    self.store.get(f"{session_id}/manifest.json").decode()
+                )
+                prev_hashes = dict(prev.extra.get("chunk_hashes") or {})
+            except (NotFoundError, Exception):
+                prev_hashes = {}
+
+        manifest = Manifest(chunk_size=chunk_size, total_vectors=int(n))
+        chunk_hashes: dict = {}
+        chunk_of_pos = np.zeros(n, np.int32)
+        n_chunks = (n + chunk_size - 1) // chunk_size
+        skipped = 0
+        for ci in range(n_chunks):
+            lo, hi = ci * chunk_size, min((ci + 1) * chunk_size, n)
+            chunk_of_pos[lo:hi] = ci
+            chunk_id = f"chunk-{ci}"
+            chunk = VectorChunk(
+                chunk_id, lo, hi - 1, ids[lo:hi], s.data[order[lo:hi]]
+            )
+            payload = chunk.to_cbor()
+            h = _sha(payload)
+            chunk_hashes[chunk_id] = h
+            key = f"{session_id}/chunks/{chunk_id}.cbor"
+            if incremental and prev_hashes.get(chunk_id) == h and self.store.exists(key):
+                skipped += 1
+            else:
+                self.store.put(key, payload)
+            manifest.add_chunk(
+                ChunkMetadata(
+                    chunk_id,
+                    vector_count=hi - lo,
+                    byte_size=len(payload),
+                    id_range=(ids[lo], ids[hi - 1]) if hi > lo else None,
+                )
+            )
+
+        # engine membership + timestamps + IVF assignments, save-order aligned
+        hnsw_member = index.hnsw.member_mask()[order]
+        ivf_assign = index.ivf.assignments[order] if index.ivf.trained else np.full(
+            n, -1, np.int32
+        )
+        state = {
+            "format_version": FORMAT_VERSION,
+            "timestamps": s.timestamps[order].astype(np.float64),
+            "hnsw_member": hnsw_member.astype(np.uint8),
+            "ivf_assign": ivf_assign.astype(np.int32),
+        }
+        self.store.put(f"{session_id}/state.cbor", cbor.dumps(state))
+
+        # full HNSW graph (position space) for rebuild-free load
+        member_pos = np.nonzero(hnsw_member)[0]
+        if member_pos.size:
+            graph = index.hnsw.export_graph(order[member_pos])
+            graph["member_pos"] = member_pos.astype(np.int64)
+            self.store.put(f"{session_id}/hnsw_graph.cbor", cbor.dumps(graph))
+
+        # structures for the manifest (parity)
+        hm = HNSWManifest(
+            entry_point=s.id_of(index.hnsw.entry_point)
+            if index.hnsw.entry_point >= 0
+            else None
+        )
+        if member_pos.size:
+            lv = index.hnsw.levels[order[member_pos]]
+            for layer in range(int(lv.max()) + 1):
+                hm.add_layer(layer, int((lv >= layer).sum()))
+            if n <= 10_000:  # exact node->chunk map only for small indexes
+                for p in member_pos:
+                    hm.node_chunk_map[ids[p]] = f"chunk-{chunk_of_pos[p]}"
+        manifest.hnsw_structure = hm
+        if index.ivf.trained:
+            im = IVFManifest(centroids=index.ivf.export_centroids())
+            for c in range(im.num_centroids):
+                in_c = np.nonzero(ivf_assign == c)[0]
+                if in_c.size:
+                    im.cluster_assignments[str(c)] = sorted(
+                        {f"chunk-{chunk_of_pos[p]}" for p in in_c}
+                    )
+            manifest.ivf_structure = im
+
+        deleted = index.get_deleted_vectors()
+        manifest.deleted_vectors = deleted or None
+        manifest.schema = schema
+        manifest.extra = {
+            "dim": s.dim,
+            "hybrid_config": _hybrid_config_json(index.config),
+            "chunk_hashes": chunk_hashes,
+            "graph_saved": bool(member_pos.size),
+            "chunks_skipped_incremental": skipped,
+        }
+        manifest.validate()
+        self.store.put(
+            f"{session_id}/manifest.json", manifest.to_json().encode("utf-8")
+        )
+        self.loader.cache.clear()  # stored chunks may differ from cached ones
+        return manifest
+
+    def save_incremental(self, index: HybridIndex, session_id: str,
+                         chunk_size: int = 10_000,
+                         schema: MetadataSchema | None = None) -> Manifest:
+        return self.save_index_chunked(
+            index, session_id, chunk_size, schema, incremental=True
+        )
+
+    # ------------------------------------------------------------------ load
+    def load_manifest(self, session_id: str) -> Manifest:
+        try:
+            raw = self.store.get(f"{session_id}/manifest.json")
+        except NotFoundError:
+            raise PersistenceError(f"no manifest for session {session_id!r}") from None
+        return Manifest.from_json(raw.decode("utf-8"))
+
+    def load_index_chunked(
+        self,
+        session_id: str,
+        config: HybridConfig | None = None,
+    ) -> tuple:
+        """Returns (HybridIndex, Manifest)."""
+        manifest = self.load_manifest(session_id)
+        dim = int(manifest.extra.get("dim") or 0)
+        if config is None:
+            config = _hybrid_config_from_json(
+                manifest.extra.get("hybrid_config") or {}
+            )
+
+        keys = [
+            f"{session_id}/chunks/{c.chunk_id}.cbor" for c in manifest.chunks
+        ]
+        chunks = self.loader.load_chunks_parallel(keys)
+        ids: list = []
+        parts = []
+        for c in chunks:
+            ids.extend(c.ids)
+            parts.append(c.data)
+        if parts:
+            vectors = np.concatenate(parts, axis=0)
+            dim = dim or vectors.shape[1]
+        else:
+            vectors = np.zeros((0, dim or 1), np.float32)
+            dim = dim or 1
+        n = len(ids)
+        if n != manifest.total_vectors:
+            raise IncompleteSaveError(
+                f"manifest promises {manifest.total_vectors} vectors, "
+                f"chunks contain {n}"
+            )
+
+        state = cbor.loads(self.store.get(f"{session_id}/state.cbor"))
+        timestamps = np.asarray(state["timestamps"], np.float64)
+        hnsw_member = np.asarray(state["hnsw_member"], np.uint8).astype(bool)
+        ivf_assign = np.asarray(state["ivf_assign"], np.int32)
+
+        idx = HybridIndex(dim, config)
+        rows = idx.store.add_batch(ids, vectors, timestamps) if n else np.zeros(0, np.int32)
+
+        centroids = None
+        if manifest.ivf_structure and manifest.ivf_structure.num_centroids:
+            centroids = manifest.ivf_structure.centroids
+            idx.ivf.set_trained(centroids)
+            member = ivf_assign >= 0
+            if member.any():
+                idx.ivf._ensure_capacity()
+                idx.ivf.assignments[rows[member]] = ivf_assign[member]
+                idx.ivf._version += 1
+
+        if manifest.extra.get("graph_saved"):
+            graph = cbor.loads(self.store.get(f"{session_id}/hnsw_graph.cbor"))
+            member_pos = np.asarray(graph.pop("member_pos"), np.int64)
+            idx.hnsw.install_graph(rows[member_pos], graph)
+        elif hnsw_member.any():
+            idx.hnsw.insert_rows(rows[hnsw_member])  # rebuild fallback
+
+        for vid in manifest.deleted_vectors or []:
+            if idx.store.contains(vid):
+                idx.store.mark_deleted(vid)
+        idx.initialized = True
+        return idx, manifest
+
+    # ------------------------------------------------------------- integrity
+    def check_integrity(self, session_id: str) -> RecoveryInfo:
+        manifest = self.load_manifest(session_id)
+        missing = [
+            c.chunk_id
+            for c in manifest.chunks
+            if not self.store.exists(f"{session_id}/chunks/{c.chunk_id}.cbor")
+        ]
+        return RecoveryInfo(
+            expected_chunks=manifest.num_chunks,
+            found_chunks=manifest.num_chunks - len(missing),
+            missing_chunks=missing,
+        )
+
+    # ---------------------------------------------------------------- backup
+    def _session_keys(self, session_id: str) -> list:
+        manifest = self.load_manifest(session_id)
+        keys = [f"{session_id}/manifest.json", f"{session_id}/state.cbor"]
+        if manifest.extra.get("graph_saved"):
+            keys.append(f"{session_id}/hnsw_graph.cbor")
+        keys += [f"{session_id}/chunks/{c.chunk_id}.cbor" for c in manifest.chunks]
+        return keys
+
+    def save_with_backup(self, index: HybridIndex, session_id: str,
+                         chunk_size: int = 10_000) -> Manifest:
+        """Back up the current save (if any) under backup/, then save."""
+        try:
+            self.backup(session_id)
+        except PersistenceError:
+            pass  # nothing to back up yet
+        return self.save_index_chunked(index, session_id, chunk_size)
+
+    def backup(self, session_id: str) -> list:
+        keys = self._session_keys(session_id)
+        for key in keys:
+            data = self.store.get(key)
+            self.store.put(f"backup/{key}", data)
+        return keys
+
+    def restore_from_backup(self, session_id: str) -> None:
+        try:
+            raw = self.store.get(f"backup/{session_id}/manifest.json")
+        except NotFoundError:
+            raise PersistenceError(f"no backup for session {session_id!r}") from None
+        manifest = Manifest.from_json(raw.decode("utf-8"))
+        keys = [f"{session_id}/manifest.json", f"{session_id}/state.cbor"]
+        if manifest.extra.get("graph_saved"):
+            keys.append(f"{session_id}/hnsw_graph.cbor")
+        keys += [f"{session_id}/chunks/{c.chunk_id}.cbor" for c in manifest.chunks]
+        for key in keys:
+            self.store.put(key, self.store.get(f"backup/{key}"))
+        self.loader.cache.clear()
+
+
+# ---------------------------------------------------------------------------
+# Per-engine persisters (standalone engines over their own stores)
+# ---------------------------------------------------------------------------
+
+
+class HNSWPersister:
+    """metadata.cbor + node data chunked 1000/file under nodes/
+    (reference: src/hnsw/persistence.rs:77-185)."""
+
+    NODES_PER_CHUNK = 1000
+
+    def __init__(self, store: ObjectStore):
+        self.store = store
+
+    def save_index(self, index: HNSWIndex, path: str) -> None:
+        s = index.store
+        order = index.member_rows()
+        order = order[np.array([s.row_to_id[r] is not None for r in order], bool)] \
+            if order.size else order
+        ids = [s.row_to_id[r] for r in order]
+        graph = index.export_graph(order)
+        n = order.size
+        n_chunks = (n + self.NODES_PER_CHUNK - 1) // self.NODES_PER_CHUNK
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "dim": s.dim,
+            "count": int(n),
+            "n_chunks": int(n_chunks),
+            "entry_pos": graph["entry_pos"],
+            "max_level": graph["max_level"],
+            "m": index.config.m,
+            "m0": index.config.m0,
+            "ef_construction": index.config.ef_construction,
+            "deleted_ids": [
+                s.row_to_id[r]
+                for r in order[s.deleted[order]]
+            ],
+        }
+        self.store.put(f"{path}/metadata.cbor", cbor.dumps(meta))
+        self.store.put(f"{path}/graph.cbor", cbor.dumps(graph))
+        for ci in range(n_chunks):
+            lo = ci * self.NODES_PER_CHUNK
+            hi = min(lo + self.NODES_PER_CHUNK, n)
+            payload = {
+                "ids": ids[lo:hi],
+                "vectors": s.data[order[lo:hi]],
+                "timestamps": s.timestamps[order[lo:hi]],
+            }
+            self.store.put(
+                f"{path}/nodes/chunk_{ci:04d}.cbor", cbor.dumps(payload)
+            )
+
+    def load_index(self, path: str, config: HNSWConfig | None = None):
+        """Returns (VectorStore, HNSWIndex)."""
+        try:
+            meta = cbor.loads(self.store.get(f"{path}/metadata.cbor"))
+        except NotFoundError:
+            raise PersistenceError(f"no HNSW index at {path!r}") from None
+        if meta.get("format_version", 0) > FORMAT_VERSION:
+            raise PersistenceError("unsupported format version")
+        ids: list = []
+        vecs = []
+        ts = []
+        for ci in range(int(meta["n_chunks"])):
+            key = f"{path}/nodes/chunk_{ci:04d}.cbor"
+            try:
+                payload = cbor.loads(self.store.get(key))
+            except NotFoundError:
+                raise IncompleteSaveError(f"missing node chunk {key}") from None
+            ids.extend(payload["ids"])
+            vecs.append(np.asarray(payload["vectors"], np.float32))
+            ts.append(np.asarray(payload["timestamps"], np.float64))
+        if len(ids) != int(meta["count"]):
+            raise IncompleteSaveError(
+                f"expected {meta['count']} nodes, found {len(ids)}"
+            )
+        store = VectorStore(int(meta["dim"]))
+        cfg = config or HNSWConfig(
+            m=int(meta["m"]), m0=int(meta["m0"]),
+            ef_construction=int(meta["ef_construction"]),
+        )
+        index = HNSWIndex(store, cfg)
+        if ids:
+            rows = store.add_batch(ids, np.concatenate(vecs), np.concatenate(ts))
+            graph = cbor.loads(self.store.get(f"{path}/graph.cbor"))
+            index.install_graph(rows, graph)
+        for vid in meta.get("deleted_ids") or []:
+            if store.contains(vid):
+                store.mark_deleted(vid)
+        return store, index
+
+    def check_integrity(self, path: str) -> RecoveryInfo:
+        meta = cbor.loads(self.store.get(f"{path}/metadata.cbor"))
+        n_chunks = int(meta["n_chunks"])
+        missing = [
+            f"chunk_{ci:04d}"
+            for ci in range(n_chunks)
+            if not self.store.exists(f"{path}/nodes/chunk_{ci:04d}.cbor")
+        ]
+        return RecoveryInfo(n_chunks, n_chunks - len(missing), missing)
+
+
+class IVFPersister:
+    """metadata.cbor + centroids.cbor + per-cluster inverted list files with
+    optional zstd (reference: src/ivf/persistence.rs:101-265)."""
+
+    def __init__(self, store: ObjectStore, compress: bool = False):
+        self.store = store
+        self.compress = compress
+
+    def _encode(self, obj) -> bytes:
+        raw = cbor.dumps(obj)
+        return cbor.compress_zstd(raw) if self.compress else raw
+
+    def _decode(self, raw: bytes):
+        return cbor.loads(cbor.decompress_zstd(raw))
+
+    def save_index(self, index: IVFIndex, path: str) -> None:
+        if not index.trained:
+            raise PersistenceError("cannot save untrained IVF index")
+        s = index.store
+        c = index.centroids.shape[0]
+        members = index.member_rows()
+        members = members[
+            np.array([s.row_to_id[r] is not None for r in members], bool)
+        ] if members.size else members
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "dim": s.dim,
+            "n_clusters": int(c),
+            "n_probe": index.config.n_probe,
+            "total_vectors": int(members.size),
+            "compressed": self.compress,
+            "deleted_ids": [s.row_to_id[r] for r in members[s.deleted[members]]],
+        }
+        self.store.put(f"{path}/metadata.cbor", cbor.dumps(meta))
+        self.store.put(
+            f"{path}/centroids.cbor", cbor.dumps(index.centroids)
+        )
+        assign = index.assignments[members]
+        for ci in range(c):
+            rows = members[assign == ci]
+            payload = {
+                "ids": [s.row_to_id[r] for r in rows],
+                "vectors": s.data[rows],
+                "timestamps": s.timestamps[rows],
+            }
+            self.store.put(
+                f"{path}/inverted_lists/cluster_{ci:06d}.cbor",
+                self._encode(payload),
+            )
+
+    def save_incremental(self, index: IVFIndex, path: str,
+                         modified_clusters: list) -> None:
+        """Rewrite only the given clusters (reference: ivf/persistence.rs:267-297)."""
+        s = index.store
+        members = index.member_rows()
+        assign = index.assignments[members]
+        for ci in modified_clusters:
+            rows = members[assign == ci]
+            payload = {
+                "ids": [s.row_to_id[r] for r in rows],
+                "vectors": s.data[rows],
+                "timestamps": s.timestamps[rows],
+            }
+            self.store.put(
+                f"{path}/inverted_lists/cluster_{ci:06d}.cbor",
+                self._encode(payload),
+            )
+
+    def load_index(self, path: str, config: IVFConfig | None = None):
+        """Returns (VectorStore, IVFIndex)."""
+        try:
+            meta = cbor.loads(self.store.get(f"{path}/metadata.cbor"))
+        except NotFoundError:
+            raise PersistenceError(f"no IVF index at {path!r}") from None
+        centroids = np.asarray(
+            cbor.loads(self.store.get(f"{path}/centroids.cbor")), np.float32
+        )
+        c = int(meta["n_clusters"])
+        store = VectorStore(int(meta["dim"]))
+        cfg = config or IVFConfig(n_clusters=c, n_probe=int(meta["n_probe"]))
+        index = IVFIndex(store, cfg)
+        index.set_trained(centroids)
+        total = 0
+        for ci in range(c):
+            key = f"{path}/inverted_lists/cluster_{ci:06d}.cbor"
+            try:
+                payload = self._decode(self.store.get(key))
+            except NotFoundError:
+                raise IncompleteSaveError(f"missing cluster file {key}") from None
+            ids = payload["ids"]
+            if not ids:
+                continue
+            rows = store.add_batch(
+                ids,
+                np.asarray(payload["vectors"], np.float32),
+                np.asarray(payload["timestamps"], np.float64),
+            )
+            index._ensure_capacity()
+            index.assignments[rows] = ci
+            total += len(ids)
+        index._version += 1
+        if total != int(meta["total_vectors"]):
+            raise IncompleteSaveError(
+                f"expected {meta['total_vectors']} vectors, loaded {total}"
+            )
+        for vid in meta.get("deleted_ids") or []:
+            if store.contains(vid):
+                store.mark_deleted(vid)
+        return store, index
+
+    def check_integrity(self, path: str) -> RecoveryInfo:
+        meta = cbor.loads(self.store.get(f"{path}/metadata.cbor"))
+        c = int(meta["n_clusters"])
+        missing = [
+            f"cluster_{ci:06d}"
+            for ci in range(c)
+            if not self.store.exists(f"{path}/inverted_lists/cluster_{ci:06d}.cbor")
+        ]
+        return RecoveryInfo(c, c - len(missing), missing)
+
+    def migrate_index(self, path: str, new_config: IVFConfig,
+                      out_path: str | None = None) -> None:
+        """load -> retrain under new config -> save
+        (reference: ivf/persistence.rs:351-395)."""
+        store, index = self.load_index(path)
+        index.retrain(new_config)
+        self.save_index(index, out_path or path)

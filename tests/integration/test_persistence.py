@@ -1,0 +1,295 @@
+"""Chunked save/load roundtrips + per-engine persisters + integrity + backup
+(mirrors reference tests/integration/chunked_*_tests.rs and persistence tests)."""
+import numpy as np
+import pytest
+
+from fabstir_vectordb_tpu.core import MemoryObjectStore, MetadataSchema
+from fabstir_vectordb_tpu.index import (
+    HybridIndex,
+    HybridConfig,
+    HNSWIndex,
+    HNSWConfig,
+    IVFIndex,
+    IVFConfig,
+    VectorStore,
+    SearchConfig,
+)
+from fabstir_vectordb_tpu.storage import (
+    HybridPersister,
+    HNSWPersister,
+    IVFPersister,
+    ChunkLoader,
+)
+from fabstir_vectordb_tpu.storage.persistence import (
+    IncompleteSaveError,
+    PersistenceError,
+)
+
+NOW = 1_700_000_000.0
+DAY = 86_400.0
+
+
+def build_hybrid(n=300, dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = HybridIndex(dim, HybridConfig(ivf=IVFConfig(n_clusters=4, n_probe=4)))
+    idx.initialize(vecs)
+    ids = [f"v{i}" for i in range(n)]
+    ts = np.where(np.arange(n) % 2 == 0, NOW - DAY, NOW - 30 * DAY)
+    idx.insert_batch(ids, vecs, ts, now=NOW)
+    return idx, vecs
+
+
+class TestHybridRoundtrip:
+    def test_chunked_save_load(self):
+        idx, vecs = build_hybrid(n=250)
+        store = MemoryObjectStore()
+        p = HybridPersister(store)
+        manifest = p.save_index_chunked(idx, "sess1", chunk_size=100)
+        assert manifest.num_chunks == 3
+        assert manifest.total_vectors == 250
+        assert manifest.extra["graph_saved"]
+
+        idx2, m2 = p.load_index_chunked("sess1")
+        s1, s2 = idx.stats(now=NOW), idx2.stats(now=NOW)
+        assert s1.recent_vectors == s2.recent_vectors
+        assert s1.historical_vectors == s2.historical_vectors
+        # graph restored identically -> same search results
+        cfg = SearchConfig(auto_migrate=False)
+        for i in (0, 77, 123):
+            r1 = idx.search(vecs[i], 5, config=cfg, now=NOW)
+            r2 = idx2.search(vecs[i], 5, config=cfg, now=NOW)
+            assert r1[0][0] == r2[0][0] == f"v{i}"
+            assert [a for a, _ in r1] == [a for a, _ in r2]
+
+    def test_deleted_vectors_survive_roundtrip(self):
+        idx, vecs = build_hybrid(n=120)
+        idx.delete("v5")
+        idx.delete("v6")
+        store = MemoryObjectStore()
+        p = HybridPersister(store)
+        m = p.save_index_chunked(idx, "s", chunk_size=50)
+        assert set(m.deleted_vectors) == {"v5", "v6"}
+        idx2, _ = p.load_index_chunked("s")
+        assert idx2.store.is_deleted("v5") and idx2.store.is_deleted("v6")
+        res = idx2.search(vecs[5], 3, config=SearchConfig(auto_migrate=False), now=NOW)
+        assert res[0][0] != "v5"
+
+    def test_schema_in_manifest(self):
+        idx, _ = build_hybrid(n=60)
+        schema = MetadataSchema.from_json(
+            {"fields": {"t": {"type": "string"}}, "required": ["t"]}
+        )
+        store = MemoryObjectStore()
+        p = HybridPersister(store)
+        p.save_index_chunked(idx, "s", schema=schema)
+        m = p.load_manifest("s")
+        assert m.schema is not None and "t" in m.schema.fields
+
+    def test_hnsw_only_mode_roundtrip(self):
+        idx = HybridIndex(8)
+        idx.initialize(None)  # HNSW-only
+        rng = np.random.default_rng(1)
+        vecs = rng.standard_normal((5, 8)).astype(np.float32)
+        idx.insert_batch([f"s{i}" for i in range(5)], vecs, now=NOW)
+        p = HybridPersister(MemoryObjectStore())
+        p.save_index_chunked(idx, "tiny")
+        idx2, m = p.load_index_chunked("tiny")
+        assert not idx2.ivf_trained
+        assert idx2.search(vecs[1], 1, now=NOW)[0][0] == "s1"
+
+    def test_empty_index_roundtrip(self):
+        idx = HybridIndex(8)
+        idx.initialize(None)
+        p = HybridPersister(MemoryObjectStore())
+        p.save_index_chunked(idx, "empty")
+        idx2, m = p.load_index_chunked("empty")
+        assert m.total_vectors == 0
+        assert idx2.search(np.zeros(8, np.float32), 3, now=NOW) == []
+
+    def test_missing_manifest_error(self):
+        p = HybridPersister(MemoryObjectStore())
+        with pytest.raises(PersistenceError):
+            p.load_index_chunked("ghost")
+
+    def test_count_mismatch_detected(self):
+        idx, _ = build_hybrid(n=100)
+        store = MemoryObjectStore()
+        p = HybridPersister(store)
+        m = p.save_index_chunked(idx, "s", chunk_size=50)
+        # corrupt: drop a chunk and lie in manifest
+        raw = store.get("s/manifest.json").decode()
+        store.put("s/manifest.json", raw.replace('"total_vectors": 100',
+                                                 '"total_vectors": 150').encode())
+        with pytest.raises(IncompleteSaveError):
+            HybridPersister(store).load_index_chunked("s")
+
+
+class TestIncrementalSave:
+    def test_unchanged_chunks_skipped(self):
+        idx, vecs = build_hybrid(n=200)
+        store = MemoryObjectStore()
+        p = HybridPersister(store)
+        p.save_index_chunked(idx, "s", chunk_size=50)
+        puts_before = dict(store.put_calls)
+        m2 = p.save_incremental(idx, "s", chunk_size=50)
+        assert m2.extra["chunks_skipped_incremental"] == 4
+        for ci in range(4):
+            key = f"s/chunks/chunk-{ci}.cbor"
+            assert store.put_calls[key] == puts_before[key]  # not rewritten
+
+    def test_new_vectors_rewrite_tail_chunk(self):
+        idx, vecs = build_hybrid(n=99)
+        store = MemoryObjectStore()
+        p = HybridPersister(store)
+        p.save_index_chunked(idx, "s", chunk_size=50)
+        idx.insert_batch(["extra"], np.zeros((1, 16), np.float32), now=NOW)
+        m = p.save_incremental(idx, "s", chunk_size=50)
+        assert m.total_vectors == 100
+        assert m.extra["chunks_skipped_incremental"] == 1  # first chunk intact
+        idx2, _ = p.load_index_chunked("s")
+        assert idx2.store.contains("extra")
+
+
+class TestIntegrityAndBackup:
+    def test_check_integrity_reports_missing(self):
+        idx, _ = build_hybrid(n=150)
+        store = MemoryObjectStore()
+        p = HybridPersister(store)
+        p.save_index_chunked(idx, "s", chunk_size=50)
+        info = p.check_integrity("s")
+        assert info.ok and info.expected_chunks == 3
+        store.delete("s/chunks/chunk-1.cbor")
+        info = p.check_integrity("s")
+        assert not info.ok and info.missing_chunks == ["chunk-1"]
+
+    def test_backup_and_restore(self):
+        idx, vecs = build_hybrid(n=80)
+        store = MemoryObjectStore()
+        p = HybridPersister(store)
+        p.save_index_chunked(idx, "s", chunk_size=40)
+        p.backup("s")
+        # corrupt the live copy
+        store.put("s/chunks/chunk-0.cbor", b"garbage")
+        p.restore_from_backup("s")
+        idx2, _ = p.load_index_chunked("s")
+        assert idx2.store.active_count == 80
+
+    def test_save_with_backup(self):
+        idx, _ = build_hybrid(n=60)
+        store = MemoryObjectStore()
+        p = HybridPersister(store)
+        p.save_with_backup(idx, "s")  # first save: no previous to back up
+        idx.insert_batch(["x"], np.zeros((1, 16), np.float32), now=NOW)
+        p.save_with_backup(idx, "s")
+        assert store.exists("backup/s/manifest.json")
+
+
+class TestChunkLoader:
+    def test_cache_and_dedup(self):
+        idx, _ = build_hybrid(n=100)
+        store = MemoryObjectStore()
+        p = HybridPersister(store)
+        p.save_index_chunked(idx, "s", chunk_size=50)
+        loader = ChunkLoader(store)
+        key = "s/chunks/chunk-0.cbor"
+        c1 = loader.load_chunk(key)
+        c2 = loader.load_chunk(key)
+        assert c1.ids == c2.ids
+        assert store.get_calls[key] == 1  # second load from cache
+
+    def test_retry_on_transient_failure(self):
+        idx, _ = build_hybrid(n=60)
+        store = MemoryObjectStore()
+        p = HybridPersister(store)
+        p.save_index_chunked(idx, "s", chunk_size=60)
+        key = "s/chunks/chunk-0.cbor"
+        store.fail_on[key] = 2
+        sleeps = []
+        loader = ChunkLoader(store, sleep=sleeps.append)
+        chunk = loader.load_chunk(key)
+        assert len(chunk.ids) == 60
+        assert sleeps == [0.1, 0.2]
+
+    def test_parallel_load(self):
+        idx, _ = build_hybrid(n=200)
+        store = MemoryObjectStore()
+        p = HybridPersister(store)
+        m = p.save_index_chunked(idx, "s", chunk_size=40)
+        loader = ChunkLoader(store)
+        keys = [f"s/chunks/{c.chunk_id}.cbor" for c in m.chunks]
+        chunks = loader.load_chunks_parallel(keys)
+        assert sum(len(c.ids) for c in chunks) == 200
+
+
+class TestEnginePersisters:
+    def test_hnsw_persister_roundtrip(self):
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((120, 8)).astype(np.float32)
+        store = VectorStore(8)
+        rows = store.add_batch([f"n{i}" for i in range(120)], vecs)
+        hnsw = HNSWIndex(store, HNSWConfig(seed=0))
+        hnsw.insert_rows(rows)
+        store.mark_deleted("n3")
+
+        obj = MemoryObjectStore()
+        p = HNSWPersister(obj)
+        p.save_index(hnsw, "hnsw1")
+        info = p.check_integrity("hnsw1")
+        assert info.ok
+
+        store2, hnsw2 = p.load_index("hnsw1")
+        assert hnsw2.num_nodes == 120
+        assert store2.is_deleted("n3")
+        d, r = hnsw2.search_rows(vecs[50][None], 1)
+        assert store2.id_of(int(r[0, 0])) == "n50"
+
+    def test_ivf_persister_roundtrip_compressed(self):
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((200, 8)).astype(np.float32)
+        store = VectorStore(8)
+        rows = store.add_batch([f"i{i}" for i in range(200)], vecs)
+        ivf = IVFIndex(store, IVFConfig(n_clusters=4, n_probe=4, seed=0))
+        ivf.train(vecs)
+        ivf.insert_rows(rows)
+
+        obj = MemoryObjectStore()
+        p = IVFPersister(obj, compress=True)
+        p.save_index(ivf, "ivf1")
+        assert p.check_integrity("ivf1").ok
+
+        store2, ivf2 = p.load_index("ivf1")
+        assert ivf2.active_count == 200
+        _, r = ivf2.search_rows(vecs[7][None], 1, n_probe=4)
+        assert store2.id_of(int(r[0, 0])) == "i7"
+
+    def test_ivf_incomplete_save_detected(self):
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((100, 8)).astype(np.float32)
+        store = VectorStore(8)
+        rows = store.add_batch([f"i{i}" for i in range(100)], vecs)
+        ivf = IVFIndex(store, IVFConfig(n_clusters=4, n_probe=4, seed=0))
+        ivf.train(vecs)
+        ivf.insert_rows(rows)
+        obj = MemoryObjectStore()
+        p = IVFPersister(obj)
+        p.save_index(ivf, "x")
+        obj.delete("x/inverted_lists/cluster_000002.cbor")
+        with pytest.raises(IncompleteSaveError):
+            p.load_index("x")
+
+    def test_ivf_migrate_index(self):
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((150, 8)).astype(np.float32)
+        store = VectorStore(8)
+        rows = store.add_batch([f"i{i}" for i in range(150)], vecs)
+        ivf = IVFIndex(store, IVFConfig(n_clusters=8, n_probe=4, seed=0))
+        ivf.train(vecs)
+        ivf.insert_rows(rows)
+        obj = MemoryObjectStore()
+        p = IVFPersister(obj)
+        p.save_index(ivf, "old")
+        p.migrate_index("old", IVFConfig(n_clusters=4, n_probe=2, seed=1), "new")
+        _, ivf2 = p.load_index("new")
+        assert ivf2.centroids.shape[0] == 4
+        assert ivf2.active_count == 150
