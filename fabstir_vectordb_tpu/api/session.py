@@ -1,0 +1,503 @@
+"""VectorDBSession: the primary SDK, mirroring the reference Node bindings.
+
+API parity with the reference VectorDBSession (reference:
+bindings/node/src/session.rs and index.d.ts:107-242):
+  - ``create(config)`` validates sessionId / s5Portal / seedPhrase and
+    positive chunkSize/cacheSizeMb (session.rs:45-98);
+  - ``add_vectors``: dimension capture + enforcement (:345-357, :397-403),
+    first-batch lazy init using the first 10 vectors as IVF training
+    (:365-378), per-vector schema validation (:388-392), ``_originalId``
+    injection and ``_userMetadata`` wrapping of non-object metadata
+    (:411-429);
+  - ``search``: optional MongoDB-style filter -> search_with_filter
+    (:234-264), score = 1/(1+distance), threshold default 0.0 (:225-293),
+    ``_originalId`` extraction + ``_userMetadata`` unwrap (:303-315),
+    include_vectors (:266-281);
+  - ``delete_vector`` (:447-469), ``delete_by_metadata`` (:489-553),
+    ``update_metadata`` replace-not-merge preserving _originalId (:581-632),
+    ``save_to_s5`` chunked save + metadata_map.cbor + schema.json returning
+    the session id as "CID" (:636-695), ``load_user_vectors`` (:102-199),
+    ``get_stats`` (:699-721), ``set_schema`` (:742-764), ``vacuum``
+    (:793-809), ``destroy`` (:813-821).
+
+Error codes match bindings/node/src/error.rs:9-51.
+"""
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from .. import cbor
+from ..core.metadata_filter import FilterError, MetadataFilter
+from ..core.object_store import ObjectStore
+from ..core.schema import MetadataSchema, SchemaError
+from ..core.types import VectorId, distance_to_score
+from ..index.hybrid import HybridConfig, HybridIndex, SearchConfig
+from ..index.store import DuplicateIdError, UnknownIdError
+from ..storage.factory import StorageConfig, StorageFactory, validate_seed_phrase
+from ..storage.persistence import HybridPersister
+from ..utils.tracing import PerfMonitor, get_logger
+
+log = get_logger(__name__)
+
+# error codes (parity: bindings/node/src/error.rs:9-51)
+S5_ERROR = "S5_ERROR"
+STORAGE_ERROR = "STORAGE_ERROR"
+INDEX_ERROR = "INDEX_ERROR"
+INVALID_CONFIG = "INVALID_CONFIG"
+SESSION_ERROR = "SESSION_ERROR"
+INVALID_INPUT = "INVALID_INPUT"
+INVALID_DATA = "INVALID_DATA"
+
+
+class VectorDBError(Exception):
+    def __init__(self, message: str, code: str = SESSION_ERROR):
+        super().__init__(message)
+        self.message = message
+        self.code = code
+
+
+@dataclass
+class VectorDBConfig:
+    session_id: str
+    s5_portal: str = "http://localhost:5522"
+    user_seed_phrase: str = ""
+    memory_budget_mb: int = 512
+    debug: bool = False
+    encrypt_at_rest: bool = True
+    chunk_size: int = 10_000
+    cache_size_mb: int = 150
+    storage_mode: str | None = None  # mock | fs | real; None -> env
+    fs_root: str | None = None
+    hybrid: HybridConfig | None = None
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "VectorDBConfig":
+        return cls(
+            session_id=obj.get("sessionId", ""),
+            s5_portal=obj.get("s5Portal", "http://localhost:5522"),
+            user_seed_phrase=obj.get("userSeedPhrase", ""),
+            memory_budget_mb=int(obj.get("memoryBudgetMb", 512)),
+            debug=bool(obj.get("debug", False)),
+            encrypt_at_rest=bool(obj.get("encryptAtRest", True)),
+            chunk_size=int(obj.get("chunkSize", 10_000)),
+            cache_size_mb=int(obj.get("cacheSizeMb", 150)),
+            storage_mode=obj.get("storageMode"),
+            fs_root=obj.get("fsRoot"),
+        )
+
+
+@dataclass
+class SearchOptions:
+    threshold: float = 0.0
+    include_vectors: bool = False
+    filter: Any = None
+
+
+@dataclass
+class LoadOptions:
+    lazy_load: bool = True
+    memory_budget_mb: int | None = None
+
+
+@dataclass
+class SessionStats:
+    vector_count: int
+    memory_usage_mb: float
+    index_type: str
+    hnsw_vector_count: int
+    ivf_vector_count: int
+    hnsw_deleted_count: int
+    ivf_deleted_count: int
+    total_deleted_count: int
+
+    def to_json(self) -> dict:
+        return {
+            "vectorCount": self.vector_count,
+            "memoryUsageMb": self.memory_usage_mb,
+            "indexType": self.index_type,
+            "hnswVectorCount": self.hnsw_vector_count,
+            "ivfVectorCount": self.ivf_vector_count,
+            "hnswDeletedCount": self.hnsw_deleted_count,
+            "ivfDeletedCount": self.ivf_deleted_count,
+            "totalDeletedCount": self.total_deleted_count,
+        }
+
+
+@dataclass
+class DeleteResult:
+    deleted_count: int
+    deleted_ids: list = field(default_factory=list)
+
+    def to_json(self) -> dict:
+        return {"deletedCount": self.deleted_count, "deletedIds": self.deleted_ids}
+
+
+@dataclass
+class VacuumStats:
+    hnsw_removed: int
+    ivf_removed: int
+    total_removed: int
+
+    def to_json(self) -> dict:
+        return {
+            "hnswRemoved": self.hnsw_removed,
+            "ivfRemoved": self.ivf_removed,
+            "totalRemoved": self.total_removed,
+        }
+
+
+IVF_TRAINING_BATCH = 10  # first N vectors train IVF (session.rs:365-378)
+
+
+class VectorDBSession:
+    """In-process session over a HybridIndex + ObjectStore."""
+
+    def __init__(self, config: VectorDBConfig, store: ObjectStore):
+        self.config = config
+        self.object_store = store
+        self.index: HybridIndex | None = None
+        self.dim: int | None = None
+        self.metadata_map: dict[str, Any] = {}  # internal id -> metadata
+        self.schema: MetadataSchema | None = None
+        self.destroyed = False
+        self.monitor = PerfMonitor()
+        self._persister = HybridPersister(store)
+
+    # --------------------------------------------------------------- create
+    @classmethod
+    def create(cls, config: VectorDBConfig | dict,
+               store: ObjectStore | None = None) -> "VectorDBSession":
+        if isinstance(config, dict):
+            config = VectorDBConfig.from_json(config)
+        if not config.session_id:
+            raise VectorDBError("sessionId is required", INVALID_CONFIG)
+        if config.chunk_size <= 0:
+            raise VectorDBError("chunkSize must be positive", INVALID_CONFIG)
+        if config.cache_size_mb <= 0:
+            raise VectorDBError("cacheSizeMb must be positive", INVALID_CONFIG)
+        mode = config.storage_mode or StorageFactory.config_from_env().mode
+        if mode == "real":
+            if not config.s5_portal:
+                raise VectorDBError("s5Portal is required", INVALID_CONFIG)
+            if not config.user_seed_phrase:
+                raise VectorDBError("userSeedPhrase is required", INVALID_CONFIG)
+            try:
+                validate_seed_phrase(config.user_seed_phrase)
+            except Exception as e:
+                raise VectorDBError(str(e), INVALID_CONFIG) from e
+        if store is None:
+            scfg = StorageFactory.config_from_env()
+            scfg.mode = mode
+            scfg.portal_url = config.s5_portal or scfg.portal_url
+            scfg.encrypt_at_rest = config.encrypt_at_rest
+            scfg.seed_phrase = config.user_seed_phrase or scfg.seed_phrase
+            if config.fs_root:
+                scfg.fs_root = config.fs_root
+            store = StorageFactory.create(scfg)
+        return cls(config, store)
+
+    def _check_alive(self) -> None:
+        if self.destroyed:
+            raise VectorDBError("session has been destroyed", SESSION_ERROR)
+
+    # ---------------------------------------------------------------- ingest
+    def add_vectors(self, vectors: list) -> None:
+        """vectors: [{"id": str, "vector": [float], "metadata": any}, ...]"""
+        self._check_alive()
+        if not vectors:
+            return
+        ids, vecs, metas = [], [], []
+        for v in vectors:
+            vid = v.get("id")
+            emb = v.get("vector")
+            if not vid or not isinstance(vid, str):
+                raise VectorDBError("vector id must be a non-empty string",
+                                    INVALID_INPUT)
+            if emb is None or len(emb) == 0:
+                raise VectorDBError(f"vector for {vid!r} is empty", INVALID_INPUT)
+            ids.append(vid)
+            vecs.append(np.asarray(emb, np.float32))
+            metas.append(v.get("metadata"))
+
+        # dimension capture / enforcement
+        dims = {v.shape[0] for v in vecs}
+        if len(dims) != 1:
+            raise VectorDBError(f"inconsistent vector dimensions {sorted(dims)}",
+                                INVALID_INPUT)
+        d = dims.pop()
+        if self.dim is None:
+            self.dim = int(d)
+        elif d != self.dim:
+            raise VectorDBError(
+                f"vector dimension {d} does not match index dimension {self.dim}",
+                INVALID_INPUT,
+            )
+        arr = np.stack(vecs)
+
+        # lazy first-batch init: first IVF_TRAINING_BATCH vectors train IVF
+        if self.index is None:
+            self.index = HybridIndex(self.dim, self.config.hybrid)
+            self.index.initialize(arr[:IVF_TRAINING_BATCH])
+
+        # schema validation before any mutation
+        if self.schema is not None:
+            for vid, meta in zip(ids, metas):
+                try:
+                    self.schema.validate(self._unwrap_user(meta))
+                except SchemaError as e:
+                    raise VectorDBError(
+                        f"schema validation failed for {vid!r}: {e}", INVALID_DATA
+                    ) from e
+
+        internal = [self._internal_id(vid) for vid in ids]
+        try:
+            self.index.insert_batch(internal, arr)
+        except DuplicateIdError as e:
+            raise VectorDBError(str(e), INVALID_INPUT) from e
+
+        for vid, iid, meta in zip(ids, internal, metas):
+            self.metadata_map[iid] = self._wrap_metadata(vid, meta)
+
+    @staticmethod
+    def _internal_id(user_id: str) -> str:
+        # content-hash internal ids (parity with blake3 VectorId,
+        # core/types.rs:19-22); originals preserved via _originalId
+        return str(VectorId.from_string(user_id))
+
+    @staticmethod
+    def _wrap_metadata(user_id: str, meta: Any) -> dict:
+        if isinstance(meta, dict):
+            out = dict(meta)
+            out["_originalId"] = user_id
+            return out
+        # non-object metadata gets wrapped so _originalId fits alongside
+        return {"_originalId": user_id, "_userMetadata": meta}
+
+    @staticmethod
+    def _unwrap_user(meta: Any) -> Any:
+        if isinstance(meta, dict) and "_userMetadata" in meta:
+            return meta["_userMetadata"]
+        return meta
+
+    def _user_metadata(self, internal_id: str):
+        meta = self.metadata_map.get(internal_id)
+        if meta is None:
+            return {}
+        out = dict(meta) if isinstance(meta, dict) else meta
+        if isinstance(out, dict):
+            out.pop("_originalId", None)
+            if "_userMetadata" in out:
+                return out["_userMetadata"]
+        return out
+
+    def _original_id(self, internal_id: str) -> str:
+        meta = self.metadata_map.get(internal_id)
+        if isinstance(meta, dict) and isinstance(meta.get("_originalId"), str):
+            return meta["_originalId"]
+        return internal_id
+
+    def _resolve(self, user_id: str) -> str:
+        """user id -> internal id; raises if unknown."""
+        iid = self._internal_id(user_id)
+        if self.index is not None and self.index.contains(iid):
+            return iid
+        raise VectorDBError(f"vector {user_id!r} not found", INVALID_INPUT)
+
+    # ---------------------------------------------------------------- search
+    def search(self, query_vector, k: int, options: SearchOptions | dict | None = None) -> list:
+        self._check_alive()
+        if isinstance(options, dict):
+            options = SearchOptions(
+                threshold=float(options.get("threshold", 0.0)),
+                include_vectors=bool(options.get("includeVectors", False)),
+                filter=options.get("filter"),
+            )
+        options = options or SearchOptions()
+        if self.index is None:
+            return []
+        q = np.asarray(query_vector, np.float32)
+        if q.ndim != 1 or q.shape[0] != self.dim:
+            raise VectorDBError(
+                f"query dimension {q.shape} does not match index dimension {self.dim}",
+                INVALID_INPUT,
+            )
+        t0 = time.perf_counter()
+        if options.filter is not None:
+            try:
+                flt = MetadataFilter.from_json(options.filter)
+            except FilterError as e:
+                raise VectorDBError(f"invalid filter: {e}", INVALID_INPUT) from e
+            metadata_rows = self._metadata_by_row()
+            pairs = self.index.search_with_filter(q, k, flt, metadata_rows)
+        else:
+            pairs = self.index.search(q, k)
+        out = []
+        for iid, dist in pairs:
+            score = distance_to_score(dist)
+            if score < options.threshold:
+                continue
+            item = {
+                "id": self._original_id(iid),
+                "score": score,
+                "metadata": self._user_metadata(iid),
+            }
+            if options.include_vectors:
+                item["vector"] = [float(x) for x in self.index.get_vector(iid)]
+            out.append(item)
+        self.monitor.record((time.perf_counter() - t0) * 1000.0, len(out))
+        return out
+
+    def _metadata_by_row(self) -> list:
+        s = self.index.store
+        rows = [None] * s.count
+        for r in range(s.count):
+            iid = s.row_to_id[r]
+            if iid is not None:
+                meta = self.metadata_map.get(iid)
+                rows[r] = self._filterable_view(meta)
+        return rows
+
+    @staticmethod
+    def _filterable_view(meta: Any):
+        """Filters see user metadata fields (unwrapped), like the reference,
+        which filters on the stored metadata object."""
+        if isinstance(meta, dict) and "_userMetadata" in meta:
+            return meta["_userMetadata"] if isinstance(meta["_userMetadata"], dict) else None
+        return meta if isinstance(meta, dict) else None
+
+    # ------------------------------------------------------------------ CRUD
+    def delete_vector(self, user_id: str) -> None:
+        self._check_alive()
+        iid = self._resolve(user_id)
+        if not self.index.delete(iid):
+            raise VectorDBError(f"vector {user_id!r} already deleted", INVALID_INPUT)
+
+    def delete_by_metadata(self, filter_obj: Any) -> DeleteResult:
+        """Delete all vectors whose metadata matches (equality/array/dot
+        semantics via the full filter language)."""
+        self._check_alive()
+        if self.index is None:
+            return DeleteResult(0, [])
+        try:
+            flt = MetadataFilter.from_json(filter_obj)
+        except FilterError as e:
+            raise VectorDBError(f"invalid filter: {e}", INVALID_INPUT) from e
+        deleted = []
+        for iid, meta in list(self.metadata_map.items()):
+            if not self.index.contains(iid) or self.index.store.is_deleted(iid):
+                continue
+            if flt.matches(self._filterable_view(meta) or {}):
+                if self.index.delete(iid):
+                    deleted.append(self._original_id(iid))
+        return DeleteResult(len(deleted), deleted)
+
+    def update_metadata(self, user_id: str, metadata: Any) -> None:
+        """Replace metadata entirely (no merge); _originalId preserved."""
+        self._check_alive()
+        iid = self._resolve(user_id)
+        if self.schema is not None:
+            try:
+                self.schema.validate(metadata)
+            except SchemaError as e:
+                raise VectorDBError(str(e), INVALID_DATA) from e
+        self.metadata_map[iid] = self._wrap_metadata(user_id, metadata)
+
+    # ----------------------------------------------------------- persistence
+    def save_to_s5(self) -> str:
+        self._check_alive()
+        if self.index is None:
+            raise VectorDBError("nothing to save", SESSION_ERROR)
+        sid = self.config.session_id
+        try:
+            self._persister.save_index_chunked(
+                self.index, sid, chunk_size=self.config.chunk_size,
+                schema=self.schema,
+            )
+            self.object_store.put(
+                f"{sid}/metadata_map.cbor", cbor.dumps(self.metadata_map)
+            )
+            if self.schema is not None:
+                self.object_store.put(
+                    f"{sid}/schema.json",
+                    json.dumps(self.schema.to_json()).encode(),
+                )
+        except VectorDBError:
+            raise
+        except Exception as e:  # noqa: BLE001
+            raise VectorDBError(f"save failed: {e}", STORAGE_ERROR) from e
+        return sid  # session id acts as the CID (parity: session.rs:636-695)
+
+    def load_user_vectors(self, cid: str, options: LoadOptions | dict | None = None) -> None:
+        self._check_alive()
+        try:
+            index, manifest = self._persister.load_index_chunked(cid)
+        except Exception as e:  # noqa: BLE001
+            raise VectorDBError(f"load failed: {e}", STORAGE_ERROR) from e
+        self.index = index
+        self.dim = index.store.dim
+        try:
+            self.metadata_map = cbor.loads(
+                self.object_store.get(f"{cid}/metadata_map.cbor")
+            )
+        except Exception:
+            self.metadata_map = {}
+        self.schema = manifest.schema
+        if self.schema is None:
+            try:
+                self.schema = MetadataSchema.from_json(
+                    json.loads(self.object_store.get(f"{cid}/schema.json"))
+                )
+            except Exception:
+                self.schema = None
+
+    # ----------------------------------------------------------------- misc
+    def get_stats(self) -> SessionStats:
+        self._check_alive()
+        if self.index is None:
+            return SessionStats(0, 0.0, "none", 0, 0, 0, 0, 0)
+        st = self.index.stats()
+        mem_mb = self.index.memory_usage_bytes() / (1024 * 1024)
+        return SessionStats(
+            vector_count=st.total_vectors,
+            memory_usage_mb=round(mem_mb, 2),
+            index_type="hybrid" if st.ivf_trained else "hnsw",
+            hnsw_vector_count=st.recent_vectors,
+            ivf_vector_count=st.historical_vectors,
+            hnsw_deleted_count=st.deleted_recent,
+            ivf_deleted_count=st.deleted_historical,
+            total_deleted_count=st.deleted_recent + st.deleted_historical,
+        )
+
+    def set_schema(self, schema_json: Any = None) -> None:
+        self._check_alive()
+        if schema_json is None:
+            self.schema = None
+            return
+        try:
+            self.schema = MetadataSchema.from_json(schema_json)
+        except SchemaError as e:
+            raise VectorDBError(str(e), INVALID_DATA) from e
+
+    def vacuum(self) -> VacuumStats:
+        self._check_alive()
+        if self.index is None:
+            return VacuumStats(0, 0, 0)
+        removed_ids = self.index.get_deleted_vectors()
+        stats = self.index.vacuum()
+        for iid in removed_ids:
+            self.metadata_map.pop(iid, None)
+        return VacuumStats(
+            hnsw_removed=stats["hnsw_removed"],
+            ivf_removed=stats["ivf_removed"],
+            total_removed=stats["total_removed"],
+        )
+
+    def destroy(self) -> None:
+        self.index = None
+        self.metadata_map = {}
+        self.destroyed = True

@@ -21,6 +21,7 @@ import numpy as np
 
 from ..ops.distance import pairwise_distance
 from ..ops.topk import masked_topk
+from ..utils.padding import bucket
 from .store import VectorStore
 
 
@@ -53,13 +54,15 @@ class FlatIndex:
         mask = self.store.active_mask()
         if extra_mask is not None:
             mask = mask & extra_mask
-        k_eff = min(k, self.store.capacity)
+        # bucket k to a power of two so jit kernels are shared across k values
+        k_eff = min(bucket(k), self.store.capacity)
         d, rows = flat_search_kernel(
             mirror.x, mirror.x_sq, jnp.asarray(mask), jnp.asarray(queries),
             k_eff, self.metric,
         )
-        d = np.asarray(d)
-        rows = np.asarray(rows)
+        d = np.asarray(d)[:, :k]
+        rows = np.asarray(rows)[:, :k]
+        k_eff = min(k, k_eff)
         if self.metric == "euclidean":
             d = np.sqrt(np.maximum(d, 0.0))
         if k_eff < k:  # pad to requested k

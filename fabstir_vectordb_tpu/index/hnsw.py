@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.padding import bucket
 from .store import VectorStore
 
 INF = np.float32(np.inf)
@@ -331,7 +332,7 @@ class HNSWIndex:
                 step = max(1, n_members) if n_members else 1
                 step = min(step, self.config.bootstrap_threshold)
             else:
-                step = min(1024, max(256, n_members // 4))
+                step = 1024  # fixed post-bootstrap batch -> stable jit shapes
             batch = rows[pos: pos + step]
             self._insert_batch(batch)
             pos += len(batch)
@@ -388,6 +389,14 @@ class HNSWIndex:
         mirror = self.store.device()
         dev = self._device_arrays()
         mask = jnp.asarray(self._search_mask())
+        n_real = batch.size
+        # pad the batch to a power-of-two bucket for stable jit shapes
+        b_pad = bucket(n_real, minimum=1)
+        if b_pad > n_real:
+            batch = np.concatenate([batch, np.repeat(batch[:1], b_pad - n_real)])
+            levels_new = np.concatenate(
+                [levels_new, np.zeros(b_pad - n_real, levels_new.dtype)]
+            )
         q = jnp.asarray(self.store.data[batch])
 
         stop = np.minimum(levels_new, self.max_level).astype(np.int32)
@@ -486,7 +495,8 @@ class HNSWIndex:
     ):
         """Returns (distances [B, k] true euclidean, rows [B, k])."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
-        ef = max(ef or self.config.ef_search, k)
+        # bucket ef to a power of two so jit kernels are shared across k/ef
+        ef = bucket(max(ef or self.config.ef_search, k))
         self._fix_entry_point()
         if self.entry_point < 0:
             b = queries.shape[0]

@@ -30,7 +30,7 @@ import numpy as np
 from ..ops.distance import pairwise_distance
 from ..ops.kmeans import assign_clusters, kmeans_train
 from ..ops.topk import masked_topk, merge_topk
-from ..utils.padding import round_up
+from ..utils.padding import bucket, round_up
 from .store import VectorStore
 
 
@@ -288,6 +288,8 @@ class IVFIndex:
         mask = self.store.active_mask() & self.member_mask()[: self.store.capacity]
         if extra_mask is not None:
             mask = mask & extra_mask
+        # bucket k so jit kernels are shared across k values
+        k_eff = bucket(k)
         vals, rows, _ = ivf_search_kernel(
             mirror.x,
             mirror.x_sq,
@@ -295,12 +297,12 @@ class IVFIndex:
             jnp.asarray(self.centroids),
             jnp.asarray(self.tiles()),
             jnp.asarray(queries),
-            k,
+            k_eff,
             min(n_probe, self.centroids.shape[0]),
             metric,
         )
-        vals = np.asarray(vals)
-        rows = np.asarray(rows)
+        vals = np.asarray(vals)[:, :k]
+        rows = np.asarray(rows)[:, :k]
         if metric == "euclidean":
             vals = np.sqrt(np.maximum(vals, 0.0))
         return vals, rows

@@ -31,6 +31,18 @@ def grow_capacity(needed: int, minimum: int = 1024) -> int:
     return cap
 
 
+def bucket(x: int, minimum: int = 8) -> int:
+    """Round ``x`` up to a power-of-two bucket (>= minimum).
+
+    Used for jit static args (k, ef, n_probe) so distinct user-facing values
+    share compiled kernels; results are sliced back host-side.
+    """
+    b = max(minimum, 1)
+    while b < x:
+        b *= 2
+    return b
+
+
 def pad_rows(arr: np.ndarray, capacity: int, fill=0) -> np.ndarray:
     """Pad the leading dim of ``arr`` with ``fill`` up to ``capacity`` rows."""
     n = arr.shape[0]

@@ -1,0 +1,280 @@
+"""Session SDK e2e tests (mirrors reference bindings/node/test suite)."""
+import numpy as np
+import pytest
+
+from fabstir_vectordb_tpu.api import (
+    VectorDBSession,
+    VectorDBConfig,
+    VectorDBError,
+)
+from fabstir_vectordb_tpu.core import MemoryObjectStore
+
+
+def make_session(session_id="test-session", store=None):
+    cfg = VectorDBConfig(session_id=session_id, storage_mode="mock")
+    return VectorDBSession.create(cfg, store=store or MemoryObjectStore())
+
+
+def vec_inputs(n, dim=8, seed=0, prefix="doc", meta=None):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        out.append(
+            {
+                "id": f"{prefix}{i}",
+                "vector": rng.standard_normal(dim).astype(float).tolist(),
+                "metadata": (meta(i) if meta else {"index": i}),
+            }
+        )
+    return out
+
+
+class TestSessionConfig:
+    def test_create_requires_session_id(self):
+        with pytest.raises(VectorDBError) as e:
+            VectorDBSession.create({"sessionId": ""}, store=MemoryObjectStore())
+        assert e.value.code == "INVALID_CONFIG"
+
+    def test_create_validates_chunk_and_cache(self):
+        with pytest.raises(VectorDBError):
+            VectorDBSession.create(
+                {"sessionId": "s", "chunkSize": 0}, store=MemoryObjectStore()
+            )
+        with pytest.raises(VectorDBError):
+            VectorDBSession.create(
+                {"sessionId": "s", "cacheSizeMb": 0}, store=MemoryObjectStore()
+            )
+
+    def test_real_mode_requires_seed_phrase(self):
+        with pytest.raises(VectorDBError):
+            VectorDBSession.create(
+                {"sessionId": "s", "storageMode": "real", "userSeedPhrase": ""},
+            )
+
+    def test_real_mode_seed_phrase_word_count(self):
+        with pytest.raises(VectorDBError):
+            VectorDBSession.create(
+                {"sessionId": "s", "storageMode": "real",
+                 "userSeedPhrase": "too few words"},
+            )
+
+
+class TestAddAndSearch:
+    def test_add_and_exact_search(self):
+        s = make_session()
+        inputs = vec_inputs(20)
+        s.add_vectors(inputs)
+        res = s.search(inputs[7]["vector"], 3)
+        assert res[0]["id"] == "doc7"
+        assert res[0]["score"] > 0.99
+        assert res[0]["metadata"] == {"index": 7}
+        assert "_originalId" not in res[0]["metadata"]
+
+    def test_first_batch_trains_ivf_when_big_enough(self):
+        s = make_session()
+        s.add_vectors(vec_inputs(20))
+        assert s.get_stats().index_type == "hybrid"
+
+    def test_small_dataset_hnsw_only(self):
+        s = make_session()
+        s.add_vectors(vec_inputs(5))
+        stats = s.get_stats()
+        assert stats.index_type == "hnsw"
+        assert stats.vector_count == 5
+
+    def test_dimension_enforced(self):
+        s = make_session()
+        s.add_vectors(vec_inputs(3, dim=8))
+        with pytest.raises(VectorDBError) as e:
+            s.add_vectors(vec_inputs(1, dim=16, prefix="other"))
+        assert e.value.code == "INVALID_INPUT"
+        with pytest.raises(VectorDBError):
+            s.search([0.0] * 16, 3)
+
+    def test_duplicate_id_rejected(self):
+        s = make_session()
+        s.add_vectors(vec_inputs(3))
+        with pytest.raises(VectorDBError):
+            s.add_vectors(vec_inputs(1))
+
+    def test_non_object_metadata_wrapped_and_unwrapped(self):
+        s = make_session()
+        s.add_vectors(
+            [{"id": "a", "vector": [1.0] * 8, "metadata": "just-a-string"}]
+        )
+        res = s.search([1.0] * 8, 1)
+        assert res[0]["id"] == "a"
+        assert res[0]["metadata"] == "just-a-string"
+
+    def test_score_threshold(self):
+        s = make_session()
+        s.add_vectors(
+            [
+                {"id": "near", "vector": [0.0] * 8, "metadata": None},
+                {"id": "far", "vector": [10.0] * 8, "metadata": None},
+            ]
+        )
+        res = s.search([0.01] * 8, 2, {"threshold": 0.5})
+        assert [r["id"] for r in res] == ["near"]
+
+    def test_include_vectors(self):
+        s = make_session()
+        inputs = vec_inputs(4)
+        s.add_vectors(inputs)
+        res = s.search(inputs[0]["vector"], 1, {"includeVectors": True})
+        np.testing.assert_allclose(res[0]["vector"], inputs[0]["vector"], rtol=1e-6)
+
+    def test_filtered_search(self):
+        s = make_session()
+        s.add_vectors(
+            vec_inputs(30, meta=lambda i: {"cat": "a" if i % 2 == 0 else "b", "i": i})
+        )
+        q = [0.0] * 8
+        res = s.search(q, 5, {"filter": {"cat": "b"}})
+        assert res
+        for r in res:
+            assert r["metadata"]["cat"] == "b"
+        res2 = s.search(q, 5, {"filter": {"i": {"$gte": 10, "$lt": 20}}})
+        for r in res2:
+            assert 10 <= r["metadata"]["i"] < 20
+
+    def test_invalid_filter_rejected(self):
+        s = make_session()
+        s.add_vectors(vec_inputs(3))
+        with pytest.raises(VectorDBError):
+            s.search([0.0] * 8, 1, {"filter": {"x": {"$regex": "a"}}})
+
+
+class TestCRUD:
+    def test_delete_vector(self):
+        s = make_session()
+        inputs = vec_inputs(10)
+        s.add_vectors(inputs)
+        s.delete_vector("doc3")
+        res = s.search(inputs[3]["vector"], 10)
+        assert all(r["id"] != "doc3" for r in res)
+        with pytest.raises(VectorDBError):
+            s.delete_vector("doc3")  # already deleted
+        with pytest.raises(VectorDBError):
+            s.delete_vector("ghost")
+
+    def test_delete_by_metadata(self):
+        s = make_session()
+        s.add_vectors(
+            vec_inputs(12, meta=lambda i: {"user": {"id": str(i % 3)}, "i": i})
+        )
+        result = s.delete_by_metadata({"user.id": "1"})
+        assert result.deleted_count == 4
+        assert all(int(d[3:]) % 3 == 1 for d in result.deleted_ids)
+        # idempotent: second call deletes nothing
+        assert s.delete_by_metadata({"user.id": "1"}).deleted_count == 0
+
+    def test_delete_by_metadata_array_contains(self):
+        s = make_session()
+        s.add_vectors(
+            vec_inputs(6, meta=lambda i: {"tags": ["ai"] if i < 2 else ["ml"]})
+        )
+        result = s.delete_by_metadata({"tags": "ai"})
+        assert result.deleted_count == 2
+
+    def test_update_metadata_replaces(self):
+        s = make_session()
+        inputs = vec_inputs(5)
+        s.add_vectors(inputs)
+        s.update_metadata("doc2", {"title": "new", "tags": ["x"]})
+        res = s.search(inputs[2]["vector"], 1)
+        assert res[0]["id"] == "doc2"
+        assert res[0]["metadata"] == {"title": "new", "tags": ["x"]}
+        with pytest.raises(VectorDBError):
+            s.update_metadata("nope", {})
+
+    def test_vacuum(self):
+        s = make_session()
+        s.add_vectors(vec_inputs(20))
+        s.delete_vector("doc1")
+        s.delete_vector("doc2")
+        stats = s.vacuum()
+        assert stats.total_removed == 2
+        assert s.get_stats().total_deleted_count == 0
+        assert s.get_stats().vector_count == 18
+
+    def test_destroy(self):
+        s = make_session()
+        s.add_vectors(vec_inputs(3))
+        s.destroy()
+        with pytest.raises(VectorDBError) as e:
+            s.search([0.0] * 8, 1)
+        assert e.value.code == "SESSION_ERROR"
+
+
+class TestSchema:
+    SCHEMA = {
+        "fields": {"title": {"type": "string"}, "views": {"type": "number"}},
+        "required": ["title"],
+    }
+
+    def test_schema_enforced_on_add(self):
+        s = make_session()
+        s.set_schema(self.SCHEMA)
+        s.add_vectors(
+            [{"id": "ok", "vector": [0.1] * 8, "metadata": {"title": "t"}}]
+        )
+        with pytest.raises(VectorDBError) as e:
+            s.add_vectors(
+                [{"id": "bad", "vector": [0.1] * 8, "metadata": {"views": 3}}]
+            )
+        assert e.value.code == "INVALID_DATA"
+
+    def test_schema_enforced_on_update(self):
+        s = make_session()
+        s.set_schema(self.SCHEMA)
+        s.add_vectors(
+            [{"id": "a", "vector": [0.1] * 8, "metadata": {"title": "t"}}]
+        )
+        with pytest.raises(VectorDBError):
+            s.update_metadata("a", {"title": 5})
+
+    def test_schema_disable(self):
+        s = make_session()
+        s.set_schema(self.SCHEMA)
+        s.set_schema(None)
+        s.add_vectors([{"id": "x", "vector": [0.1] * 8, "metadata": {"v": 1}}])
+
+
+class TestPersistenceRoundtrip:
+    def test_save_load_roundtrip(self):
+        store = MemoryObjectStore()
+        s = make_session("sess-rt", store)
+        inputs = vec_inputs(40, meta=lambda i: {"i": i, "cat": "x"})
+        s.add_vectors(inputs)
+        s.set_schema({"fields": {"i": {"type": "number"}}, "required": []})
+        s.delete_vector("doc9")
+        cid = s.save_to_s5()
+        assert cid == "sess-rt"
+
+        s2 = make_session("sess-rt-2", store)
+        s2.load_user_vectors(cid)
+        stats = s2.get_stats()
+        assert stats.vector_count == 39
+        assert stats.total_deleted_count == 1
+        res = s2.search(inputs[4]["vector"], 3)
+        assert res[0]["id"] == "doc4"
+        assert res[0]["metadata"]["i"] == 4
+        assert s2.schema is not None
+        # deleted vector stays deleted
+        res9 = s2.search(inputs[9]["vector"], 40)
+        assert all(r["id"] != "doc9" for r in res9)
+
+    def test_load_missing_cid_fails(self):
+        s = make_session()
+        with pytest.raises(VectorDBError) as e:
+            s.load_user_vectors("no-such-cid")
+        assert e.value.code == "STORAGE_ERROR"
+
+    def test_stats_shape(self):
+        s = make_session()
+        s.add_vectors(vec_inputs(15))
+        js = s.get_stats().to_json()
+        for key in ("vectorCount", "memoryUsageMb", "indexType",
+                    "hnswVectorCount", "ivfVectorCount", "totalDeletedCount"):
+            assert key in js
