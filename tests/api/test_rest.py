@@ -1,0 +1,175 @@
+"""REST API tests via aiohttp test client (mirrors reference tests/api/rest tests)."""
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from fabstir_vectordb_tpu.api.rest import ApiConfig, create_app
+from fabstir_vectordb_tpu.core import MemoryObjectStore
+
+pytest_plugins = ("aiohttp.pytest_plugin",)
+
+
+@pytest.fixture
+async def client(aiohttp_client):
+    app = create_app(ApiConfig(session_id="rest-test"), store=MemoryObjectStore())
+    return await aiohttp_client(app)
+
+
+def vecs(n, dim=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, dim)).astype(float).tolist()
+
+
+async def seed_data(client, n=20, dim=8):
+    data = vecs(n, dim)
+    payload = {
+        "vectors": [
+            {"id": f"v{i}", "vector": data[i], "metadata": {"i": i, "cat": "a" if i % 2 else "b"}}
+            for i in range(n)
+        ]
+    }
+    resp = await client.post("/api/v1/vectors/batch", json=payload)
+    assert resp.status == 201
+    return data
+
+
+async def test_health(client):
+    resp = await client.get("/api/v1/health")
+    assert resp.status == 200
+    body = await resp.json()
+    assert body["status"] == "healthy"
+
+
+async def test_insert_and_get(client):
+    resp = await client.post(
+        "/api/v1/vectors",
+        json={"id": "a", "vector": [1.0] * 8, "metadata": {"x": 1}},
+    )
+    assert resp.status == 201
+    resp = await client.get("/api/v1/vectors/a")
+    assert resp.status == 200
+    body = await resp.json()
+    assert body["id"] == "a" and body["metadata"] == {"x": 1}
+    assert len(body["vector"]) == 8
+
+
+async def test_insert_requires_fields(client):
+    resp = await client.post("/api/v1/vectors", json={"vector": [1.0]})
+    assert resp.status == 400
+    resp = await client.post("/api/v1/vectors", json={"id": "x"})
+    assert resp.status == 400
+
+
+async def test_get_missing_404(client):
+    resp = await client.get("/api/v1/vectors/ghost")
+    assert resp.status == 404
+
+
+async def test_batch_partial_success(client):
+    payload = {
+        "vectors": [
+            {"id": "ok", "vector": [0.1] * 8, "metadata": None},
+            {"id": "bad", "vector": [], "metadata": None},
+        ]
+    }
+    resp = await client.post("/api/v1/vectors/batch", json=payload)
+    body = await resp.json()
+    assert body["inserted"] == 1 and body["failed"] == 1
+
+
+async def test_search_scores_and_threshold(client):
+    data = await seed_data(client)
+    resp = await client.post(
+        "/api/v1/search", json={"vector": data[3], "k": 5}
+    )
+    body = await resp.json()
+    assert body["results"][0]["id"] == "v3"
+    assert body["results"][0]["score"] > 0.99
+    # high threshold filters out weaker matches
+    resp = await client.post(
+        "/api/v1/search",
+        json={"vector": data[3], "k": 5, "options": {"score_threshold": 0.99}},
+    )
+    body = await resp.json()
+    assert body["count"] == 1
+
+
+async def test_search_with_filter(client):
+    data = await seed_data(client)
+    resp = await client.post(
+        "/api/v1/search",
+        json={"vector": data[0], "k": 5, "options": {"filter": {"cat": "a"}}},
+    )
+    body = await resp.json()
+    assert body["count"] > 0
+    for r in body["results"]:
+        assert r["metadata"]["cat"] == "a"
+
+
+async def test_delete(client):
+    data = await seed_data(client)
+    resp = await client.delete("/api/v1/vectors/v3")
+    assert resp.status == 200
+    resp = await client.post("/api/v1/search", json={"vector": data[3], "k": 20})
+    body = await resp.json()
+    assert all(r["id"] != "v3" for r in body["results"])
+    resp = await client.delete("/api/v1/vectors/v3")
+    assert resp.status == 404
+
+
+async def test_statistics(client):
+    await seed_data(client)
+    resp = await client.get("/api/v1/admin/statistics")
+    body = await resp.json()
+    assert body["initialized"]
+    assert body["index"]["vectorCount"] == 20
+
+
+async def test_admin_migrate_and_rebalance(client):
+    await seed_data(client)
+    resp = await client.post("/api/v1/admin/migrate")
+    assert resp.status == 200
+    resp = await client.post("/api/v1/admin/rebalance")
+    body = await resp.json()
+    assert resp.status == 200
+    assert "moved" in body
+
+
+async def test_admin_backup(client):
+    await seed_data(client)
+    resp = await client.post("/api/v1/admin/backup")
+    assert resp.status == 200
+    body = await resp.json()
+    assert body["backup"] == "rest-test"
+
+
+async def test_cors_headers(client):
+    resp = await client.get("/api/v1/health")
+    assert resp.headers["Access-Control-Allow-Origin"] == "*"
+
+
+async def test_sse_stream_receives_updates(client):
+    resp = await client.get("/api/v1/stream/updates")
+    assert resp.status == 200
+    await client.post(
+        "/api/v1/vectors", json={"id": "sse1", "vector": [0.5] * 8}
+    )
+    line = b""
+    while not line.startswith(b"data: "):
+        line = await resp.content.readline()
+    import json as _json
+
+    event = _json.loads(line[6:].decode())
+    assert event == {"type": "insert", "id": "sse1"}
+    resp.close()
+
+
+async def test_websocket_updates(client):
+    ws = await client.ws_connect("/api/v1/ws")
+    await ws.send_str("ping")
+    msg = await ws.receive_str()
+    assert msg == "pong"
+    await client.post("/api/v1/vectors", json={"id": "w1", "vector": [0.1] * 8})
+    event = await ws.receive_json()
+    assert event["type"] == "insert" and event["id"] == "w1"
+    await ws.close()
