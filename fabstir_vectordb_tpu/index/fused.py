@@ -1,0 +1,146 @@
+"""Fused hybrid search: the whole query path in ONE device program.
+
+Serving-path optimization (SURVEY §6 north star: sub-5ms p50): HNSW greedy
+descent + layer-0 beam, IVF centroid ranking + nprobe list scan, and the
+global top-k merge all execute inside a single jit, so a query costs one
+dispatch + one small host->device transfer (the query) + one [B, k]
+readback. Engine state (vectors, adjacency, tiles, masks) stays
+device-resident between calls, keyed by engine versions.
+
+Distances returned are squared euclidean (callers sqrt at the boundary).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.topk import merge_topk
+from .hnsw import beam_search_kernel, greedy_descent_kernel
+from .ivf import ivf_search_kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "ef", "n_probe", "has_hnsw", "has_ivf", "has_filter"),
+)
+def hybrid_search_kernel(
+    x,
+    x_sq,
+    hnsw_mask,
+    ivf_mask,
+    extra_mask,
+    nbrs0,
+    nbrs_up,
+    up_offset,
+    entry,
+    entry_level,
+    centroids,
+    tiles,
+    q,
+    k: int,
+    ef: int,
+    n_probe: int,
+    has_hnsw: bool,
+    has_ivf: bool,
+    has_filter: bool = False,
+):
+    b = q.shape[0]
+    vals = jnp.full((b, k), jnp.inf, jnp.float32)
+    rows = jnp.full((b, k), -1, jnp.int32)
+
+    if has_hnsw:
+        stop = jnp.zeros((b,), jnp.int32)
+        cur, _ = greedy_descent_kernel(
+            x, x_sq, hnsw_mask, nbrs_up, up_offset, q, entry, entry_level, stop
+        )
+        # traversal keeps the full graph; the filter bitmask only gates
+        # which rows may enter the result set
+        hd, hr = beam_search_kernel(
+            x, x_sq, hnsw_mask, nbrs0, nbrs_up, up_offset, q, cur[:, None],
+            jnp.ones((b,), bool), layer=0, ef=ef, max_iters=ef + 32,
+            result_mask=(hnsw_mask & extra_mask) if has_filter else None,
+            has_result_mask=has_filter,
+        )
+        vals, rows = merge_topk(vals, rows, hd[:, :k], hr[:, :k], k)
+
+    if has_ivf:
+        imask = (ivf_mask & extra_mask) if has_filter else ivf_mask
+        ivd, ivr, _ = ivf_search_kernel(
+            x, x_sq, imask, centroids, tiles, q, k, n_probe
+        )
+        vals, rows = merge_topk(vals, rows, ivd, ivr, k)
+
+    return vals, rows
+
+
+class FusedSearcher:
+    """Caches device-resident engine state and dispatches fused searches."""
+
+    def __init__(self, hybrid):
+        self.hybrid = hybrid
+        self._key = None
+        self._dev: dict | None = None
+
+    def _state_key(self):
+        h = self.hybrid
+        return (h.store._version, h.hnsw._version, h.ivf._version)
+
+    def _device_state(self) -> dict:
+        key = self._state_key()
+        if self._dev is None or self._key != key:
+            h = self.hybrid
+            h.hnsw._fix_entry_point()  # entry may have been deleted
+            key = self._state_key()
+            mirror = h.store.device()
+            graph = h.hnsw._device_arrays()
+            active = h.store.active_mask()
+            hnsw_mask = active & h.hnsw.member_mask()[: h.store.capacity]
+            ivf_mask = active & h.ivf.member_mask()[: h.store.capacity]
+            has_ivf = h.ivf.trained and bool(ivf_mask.any())
+            self._dev = {
+                "x": mirror.x,
+                "x_sq": mirror.x_sq,
+                "hnsw_mask": jnp.asarray(hnsw_mask),
+                "ivf_mask": jnp.asarray(ivf_mask),
+                "ones": jnp.ones((h.store.capacity,), bool),
+                "nbrs0": graph["nbrs0"],
+                "nbrs_up": graph["nbrs_up"],
+                "up_offset": graph["up_offset"],
+                "entry": jnp.int32(max(h.hnsw.entry_point, 0)),
+                "entry_level": jnp.int32(max(h.hnsw.max_level, 0)),
+                "centroids": jnp.asarray(h.ivf.centroids)
+                if h.ivf.trained
+                else jnp.zeros((1, h.store.dim), jnp.float32),
+                "tiles": jnp.asarray(h.ivf.tiles())
+                if has_ivf
+                else jnp.full((1, 128), -1, jnp.int32),
+                "has_hnsw": h.hnsw.num_nodes > 0 and h.hnsw.entry_point >= 0,
+                "has_ivf": has_ivf,
+            }
+            self._key = key
+        return self._dev
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        ef: int,
+        n_probe: int,
+        extra_mask: np.ndarray | None = None,
+    ):
+        """Returns (sq-dists [B, k], rows [B, k]) as numpy."""
+        dev = self._device_state()
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        extra = dev["ones"] if extra_mask is None else jnp.asarray(extra_mask)
+        n_probe_eff = min(n_probe, int(dev["centroids"].shape[0]))
+        vals, rows = hybrid_search_kernel(
+            dev["x"], dev["x_sq"], dev["hnsw_mask"], dev["ivf_mask"], extra,
+            dev["nbrs0"], dev["nbrs_up"], dev["up_offset"],
+            dev["entry"], dev["entry_level"], dev["centroids"], dev["tiles"],
+            q, k, ef, n_probe_eff, dev["has_hnsw"], dev["has_ivf"],
+            has_filter=extra_mask is not None,
+        )
+        return np.asarray(vals), np.asarray(rows)

@@ -115,10 +115,11 @@ def greedy_descent_kernel(
     return cur, cur_d
 
 
-@partial(jax.jit, static_argnames=("layer", "ef", "max_iters"))
+@partial(jax.jit, static_argnames=("layer", "ef", "max_iters", "has_result_mask"))
 def beam_search_kernel(
     x, x_sq, mask, nbrs0, nbrs_up, up_offset, q, start_ids, active,
     layer: int, ef: int, max_iters: int,
+    result_mask=None, has_result_mask: bool = False,
 ):
     """Batched beam search at one graph layer.
 
@@ -127,6 +128,10 @@ def beam_search_kernel(
     ascending, -1/inf padded. Classic candidate/nearest dual-heap beam
     rebuilt as: fixed [B, ef] pool + expansion flags + [B, cap] visited
     bitmap; each step expands the best unexpanded candidate of every query.
+
+    With ``has_result_mask``, traversal uses ``mask`` but only rows passing
+    ``result_mask`` are returned — this is how metadata-filter bitmasks fuse
+    into graph search without disconnecting the graph.
     """
     b, s = start_ids.shape
     cap = x.shape[0]
@@ -151,6 +156,21 @@ def beam_search_kernel(
     pool_id = jnp.take_along_axis(pool_id, order, axis=1)
     pool_exp = jnp.zeros((b, ef), bool)
 
+    if has_result_mask:
+        elig0 = start_valid & result_mask[safe_start]
+        res_d = jnp.where(elig0, d0, jnp.inf)
+        res_id = jnp.where(elig0, start_ids, -1)
+        pad_d = jnp.full((b, pad), jnp.inf, jnp.float32)
+        pad_i = jnp.full((b, pad), -1, jnp.int32)
+        res_d = jnp.concatenate([res_d, pad_d], axis=1)[:, :ef]
+        res_id = jnp.concatenate([res_id, pad_i], axis=1)[:, :ef]
+        rorder = jnp.argsort(res_d, axis=1)
+        res_d = jnp.take_along_axis(res_d, rorder, axis=1)
+        res_id = jnp.take_along_axis(res_id, rorder, axis=1)
+    else:
+        res_d = pool_d
+        res_id = pool_id
+
     visited = jnp.zeros((b, cap), bool)
     # mark starts visited (even invalid->slot 0; harmless since masked)
     visited = visited.at[
@@ -160,11 +180,11 @@ def beam_search_kernel(
     done = ~active
 
     def cond(state):
-        _, _, _, _, done, it = state
+        done, it = state[-2], state[-1]
         return jnp.any(~done) & (it < max_iters)
 
     def body(state):
-        pool_d, pool_id, pool_exp, visited, done, it = state
+        pool_d, pool_id, pool_exp, res_d, res_id, visited, done, it = state
         und = jnp.where(pool_exp | (pool_id < 0), jnp.inf, pool_d)
         bsel = jnp.argmin(und, axis=1)  # [B]
         bd = jnp.take_along_axis(und, bsel[:, None], axis=1)[:, 0]
@@ -202,12 +222,29 @@ def beam_search_kernel(
         pool_d = jnp.where(keep, pool_d, new_d)
         pool_id = jnp.where(keep, pool_id, new_id)
         pool_exp = jnp.where(keep, pool_exp2, new_exp)
-        return pool_d, pool_id, pool_exp, visited2, done2, it + 1
 
-    pool_d, pool_id, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (pool_d, pool_id, pool_exp, visited, done, 0)
+        if has_result_mask:
+            elig = valid & result_mask[nbr_safe]
+            rd = jnp.where(elig, nd, jnp.inf)
+            rall_d = jnp.concatenate([res_d, rd], axis=1)
+            rall_id = jnp.concatenate(
+                [res_id, jnp.where(elig, nbr, -1)], axis=1
+            )
+            rorder = jnp.argsort(rall_d, axis=1)[:, :ef]
+            nres_d = jnp.take_along_axis(rall_d, rorder, axis=1)
+            nres_id = jnp.take_along_axis(rall_id, rorder, axis=1)
+            res_d = jnp.where(keep, res_d, nres_d)
+            res_id = jnp.where(keep, res_id, nres_id)
+        else:
+            res_d, res_id = pool_d, pool_id
+
+        return pool_d, pool_id, pool_exp, res_d, res_id, visited2, done2, it + 1
+
+    out = jax.lax.while_loop(
+        cond, body,
+        (pool_d, pool_id, pool_exp, res_d, res_id, visited, done, 0),
     )
-    return pool_d, pool_id
+    return out[3], out[4]
 
 
 # ---------------------------------------------------------------------------
@@ -504,8 +541,6 @@ class HNSWIndex:
         mirror = self.store.device()
         dev = self._device_arrays()
         mask = self._search_mask()
-        if extra_mask is not None:
-            mask = mask & extra_mask
         maskj = jnp.asarray(mask)
         q = jnp.asarray(queries)
         b = queries.shape[0]
@@ -514,11 +549,15 @@ class HNSWIndex:
             mirror.x, mirror.x_sq, maskj, dev["nbrs_up"], dev["up_offset"],
             q, self.entry_point, max(self.max_level, 0), stop,
         )
+        # extra_mask (metadata filter) gates results only, not traversal
         pool_d, pool_id = beam_search_kernel(
             mirror.x, mirror.x_sq, maskj,
             dev["nbrs0"], dev["nbrs_up"], dev["up_offset"],
             q, np.asarray(cur)[:, None], jnp.ones((b,), bool),
             layer=0, ef=ef, max_iters=ef + 32,
+            result_mask=jnp.asarray(mask & extra_mask)
+            if extra_mask is not None else None,
+            has_result_mask=extra_mask is not None,
         )
         d = np.asarray(pool_d)[:, :k]
         rows = np.asarray(pool_id)[:, :k]

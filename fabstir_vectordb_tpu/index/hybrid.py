@@ -87,6 +87,9 @@ class HybridIndex:
         self.hnsw = HNSWIndex(self.store, self.config.hnsw)
         self.ivf = IVFIndex(self.store, self.config.ivf)
         self.flat = FlatIndex(self.store)
+        from .fused import FusedSearcher
+
+        self.fused = FusedSearcher(self)
         self.initialized = False
 
     # ------------------------------------------------------------ lifecycle
@@ -162,6 +165,27 @@ class HybridIndex:
 
         recent_k = cfg.recent_k or k
         historical_k = cfg.historical_k or k
+
+        # fast path: default per-engine k -> one fused device program
+        if recent_k == k and historical_k == k:
+            from ..utils.padding import bucket
+
+            k_eff = bucket(k)
+            vals, rows = self.fused.search(
+                queries,
+                k=k_eff,
+                ef=bucket(max(cfg.hnsw_ef, k)),
+                n_probe=cfg.ivf_n_probe or self.config.ivf.n_probe,
+                extra_mask=extra_mask,
+            )
+            vals, rows = vals[:, :k], rows[:, :k]
+            vals = np.sqrt(np.maximum(vals, 0.0))
+            vals = np.where(rows >= 0, vals, np.inf)
+            if vals.shape[1] < k:
+                pad = k - vals.shape[1]
+                vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=np.inf)
+                rows = np.pad(rows, ((0, 0), (0, pad)), constant_values=-1)
+            return vals, rows
 
         parts_d, parts_r = [], []
         if self.hnsw.num_nodes > 0:

@@ -1,0 +1,312 @@
+"""Multi-chip sharded search + training over a jax.sharding.Mesh.
+
+New capability vs the reference (its only "distributed backend" is HTTP to
+an S5 portal, SURVEY §2.10): inverted lists and the flat corpus shard across
+chips; queries can shard across a second mesh axis (data parallelism);
+partial top-k results merge with an all_gather over ICI and a final fused
+top-k — the collective top-k merge design from SURVEY §7 step 8.
+
+Everything is shard_map'd SPMD so XLA inserts the collectives:
+  - ``sharded_flat_search``: corpus rows sharded; per-device masked
+    distance matmul + local top-k; all_gather(k per device) + global top-k.
+  - ``sharded_ivf_search``: cluster tiles (vectors materialized per list)
+    sharded over the list axis; replicated centroid ranking; each device
+    scans only its probed∩owned lists; all_gather + merge.
+  - ``sharded_lloyd_step`` / ``sharded_kmeans_train``: training rows
+    sharded; one-hot matmul partial sums psum'd into replicated centroids —
+    the "training step" of a vector database.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.distance import pairwise_distance
+from ..ops.kmeans import kmeans_pp_init
+from ..ops.topk import masked_topk, merge_topk
+from ..utils.padding import round_up
+
+# --------------------------------------------------------------------------
+# Flat (exact) sharded search
+# --------------------------------------------------------------------------
+
+
+def sharded_flat_search(mesh: Mesh, axis: str = "data"):
+    """Builds a jitted exact search over a row-sharded corpus.
+
+    Returns fn(x [N, D] sharded, x_sq [N], mask [N], q [B, D] replicated, k)
+    -> (dists [B, k], rows [B, k]) replicated. N must divide evenly by the
+    axis size (pad with mask=False rows).
+    """
+
+    def body(x, x_sq, mask, q, k: int):
+        n_local = x.shape[0]
+        idx = jax.lax.axis_index(axis)
+        d = pairwise_distance(q, x, x_sq=x_sq)
+        vals, rows = masked_topk(d, mask, min(k, n_local))
+        rows = jnp.where(rows >= 0, rows + idx * n_local, -1)
+        # gather each device's top-k and merge
+        all_vals = jax.lax.all_gather(vals, axis)  # [n_dev, B, k]
+        all_rows = jax.lax.all_gather(rows, axis)
+        nd, b, kk = all_vals.shape
+        all_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, nd * kk)
+        all_rows = jnp.transpose(all_rows, (1, 0, 2)).reshape(b, nd * kk)
+        neg, pos = jax.lax.top_k(-all_vals, k)
+        out_rows = jnp.take_along_axis(all_rows, pos, axis=1)
+        return -neg, out_rows
+
+    @partial(jax.jit, static_argnames=("k",))
+    def run(x, x_sq, mask, q, k: int):
+        f = jax.shard_map(
+            partial(body, k=k),
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,  # outputs replicated via all_gather+top_k
+        )
+        return f(x, x_sq, mask, q)
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# Sharded IVF
+# --------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("centroids", "list_vecs", "list_rows", "list_valid"),
+    meta_fields=("n_clusters",),
+)
+@dataclass
+class ShardedIVFState:
+    """Cluster-major sharded IVF layout (a jax pytree).
+
+    centroids: [C_pad, D] replicated; list_vecs: [C_pad, L_pad, D] sharded
+    over clusters; list_rows: [C_pad, L_pad] int32 global row ids (-1 pad)
+    sharded; list_valid: [C_pad, L_pad] bool sharded.
+    """
+
+    centroids: jax.Array
+    list_vecs: jax.Array
+    list_rows: jax.Array
+    list_valid: jax.Array
+    n_clusters: int  # real (unpadded) cluster count
+
+
+def shard_ivf_state(
+    mesh: Mesh,
+    centroids: np.ndarray,
+    tiles: np.ndarray,
+    data: np.ndarray,
+    active_mask: np.ndarray,
+    axis: str = "data",
+) -> ShardedIVFState:
+    """Build device-sharded list tiles from host IVF state.
+
+    tiles: [C, L_pad] row ids (-1 padded) as produced by IVFIndex.tiles();
+    data: [cap, D] host rows; active_mask: [cap] bool.
+    """
+    n_dev = mesh.shape[axis]
+    c, l_pad = tiles.shape
+    d = data.shape[1]
+    c_pad = round_up(c, n_dev)
+    safe = np.maximum(tiles, 0)
+    vecs = data[safe]  # [C, L_pad, D]
+    valid = (tiles >= 0) & active_mask[safe]
+    if c_pad > c:
+        vecs = np.concatenate(
+            [vecs, np.zeros((c_pad - c, l_pad, d), np.float32)], axis=0
+        )
+        tiles = np.concatenate(
+            [tiles, np.full((c_pad - c, l_pad), -1, np.int32)], axis=0
+        )
+        valid = np.concatenate(
+            [valid, np.zeros((c_pad - c, l_pad), bool)], axis=0
+        )
+        centroids = np.concatenate(
+            [centroids, np.full((c_pad - c, d), 1e30, np.float32)], axis=0
+        )
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    return ShardedIVFState(
+        centroids=jax.device_put(np.asarray(centroids, np.float32), repl),
+        list_vecs=jax.device_put(vecs.astype(np.float32), shard),
+        list_rows=jax.device_put(tiles.astype(np.int32), shard),
+        list_valid=jax.device_put(valid, shard),
+        n_clusters=c,
+    )
+
+
+def sharded_ivf_search(mesh: Mesh, axis: str = "data",
+                       query_axis: str | None = None):
+    """Builds a jitted nprobe search over cluster-sharded inverted lists.
+
+    Returns fn(state, q [B, D], k, n_probe) -> (dists [B, k], rows [B, k]).
+    With query_axis set (2D mesh), the query batch is additionally data-
+    parallel: results come back sharded over the query axis.
+    """
+    qspec = P(query_axis) if query_axis else P()
+
+    def body(centroids, list_vecs, list_rows, list_valid, q, k: int, n_probe: int):
+        c_local = list_vecs.shape[0]
+        l_pad = list_vecs.shape[1]
+        my_lo = jax.lax.axis_index(axis) * c_local
+        b = q.shape[0]
+        q_sq = jnp.sum(q * q, axis=-1)
+
+        dc = pairwise_distance(q, centroids)  # [B, C_pad] replicated compute
+        _, probe = jax.lax.top_k(-dc, n_probe)  # [B, P] global cluster ids
+
+        def step(carry, probe_col):
+            vals, rows = carry
+            local = probe_col - my_lo  # [B]
+            mine = (local >= 0) & (local < c_local)
+            safe_c = jnp.clip(local, 0, c_local - 1)
+            xs = list_vecs[safe_c]  # [B, L_pad, D]
+            dots = jnp.einsum("bd,bld->bl", q, xs,
+                              preferred_element_type=jnp.float32)
+            xs_sq = jnp.sum(xs * xs, axis=-1)
+            dist = jnp.maximum(q_sq[:, None] - 2.0 * dots + xs_sq, 0.0)
+            valid = list_valid[safe_c] & mine[:, None]
+            cvals, cpos = masked_topk(dist, valid, min(k, l_pad))
+            crows_all = list_rows[safe_c]  # [B, L_pad]
+            crow = jnp.where(
+                cpos >= 0,
+                jnp.take_along_axis(crows_all, jnp.maximum(cpos, 0), axis=1),
+                -1,
+            )
+            return merge_topk(vals, rows, cvals, crow, k), None
+
+        init = (
+            jnp.full((b, k), jnp.inf, jnp.float32),
+            jnp.full((b, k), -1, jnp.int32),
+        )
+        (vals, rows), _ = jax.lax.scan(step, init, probe.T)
+        # merge partial top-k across the list shards
+        all_vals = jax.lax.all_gather(vals, axis)
+        all_rows = jax.lax.all_gather(rows, axis)
+        nd, bb, kk = all_vals.shape
+        all_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(bb, nd * kk)
+        all_rows = jnp.transpose(all_rows, (1, 0, 2)).reshape(bb, nd * kk)
+        neg, pos = jax.lax.top_k(-all_vals, k)
+        return -neg, jnp.take_along_axis(all_rows, pos, axis=1)
+
+    @partial(jax.jit, static_argnames=("k", "n_probe"))
+    def run(state: ShardedIVFState, q, k: int, n_probe: int):
+        f = jax.shard_map(
+            partial(body, k=k, n_probe=n_probe),
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), qspec),
+            out_specs=(qspec, qspec),
+            check_vma=False,  # outputs replicated over the list axis
+        )
+        return f(state.centroids, state.list_vecs, state.list_rows,
+                 state.list_valid, q)
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# Sharded k-means (the "training step")
+# --------------------------------------------------------------------------
+
+
+def sharded_lloyd_step(mesh: Mesh, axis: str = "data"):
+    """Builds a jitted data-parallel Lloyd iteration.
+
+    Returns fn(x [N, D] sharded, mask [N] sharded, centroids [C, D]
+    replicated) -> (new_centroids replicated, mean_sq_error scalar).
+    """
+
+    def body(x, mask, centroids):
+        c = centroids.shape[0]
+        d = pairwise_distance(x, centroids)  # [n_local, C]
+        assign = jnp.argmin(d, axis=1)
+        d2 = jnp.take_along_axis(d, assign[:, None], axis=1)[:, 0]
+        d2 = jnp.where(mask, d2, 0.0)
+        onehot = jax.nn.one_hot(jnp.where(mask, assign, -1), c, dtype=jnp.float32)
+        counts = jax.lax.psum(jnp.sum(onehot, axis=0), axis)  # [C]
+        sums = jax.lax.psum(
+            jax.lax.dot_general(
+                onehot, x.astype(jnp.float32),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            axis,
+        )  # [C, D]
+        new_centroids = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0),
+            centroids,
+        )
+        n_valid = jax.lax.psum(jnp.sum(mask.astype(jnp.float32)), axis)
+        err = jax.lax.psum(jnp.sum(d2), axis) / jnp.maximum(n_valid, 1.0)
+        return new_centroids, err
+
+    return jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), P(axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,  # outputs replicated via psum
+        )
+    )
+
+
+def sharded_kmeans_train(
+    mesh: Mesh,
+    x: np.ndarray,
+    mask: np.ndarray,
+    n_clusters: int,
+    max_iterations: int = 25,
+    tol: float = 1e-4,
+    seed: int = 42,
+    axis: str = "data",
+):
+    """Host-orchestrated multi-chip k-means: single-device k-means++ seeding
+    on a sample, then data-parallel Lloyd iterations over the mesh."""
+    n = x.shape[0]
+    n_dev = mesh.shape[axis]
+    n_pad = round_up(n, n_dev)
+    if n_pad > n:
+        x = np.concatenate([x, np.zeros((n_pad - n, x.shape[1]), np.float32)])
+        mask = np.concatenate([mask, np.zeros(n_pad - n, bool)])
+
+    # seed from a host-side sample (cheap, single device)
+    sample_idx = np.nonzero(mask)[0][: max(n_clusters * 40, n_clusters)]
+    init = kmeans_pp_init(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(x[sample_idx]),
+        jnp.ones(len(sample_idx), bool),
+        n_clusters,
+    )
+
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    xd = jax.device_put(x, shard)
+    md = jax.device_put(mask, shard)
+    cents = jax.device_put(np.asarray(init), repl)
+
+    step = sharded_lloyd_step(mesh, axis)
+    last_err = float("inf")
+    iterations = 0
+    converged = False
+    for i in range(max_iterations):
+        cents, err = step(xd, md, cents)
+        err = float(err)
+        iterations = i + 1
+        if i > 0 and abs(last_err - err) / max(last_err, 1e-30) < tol:
+            converged = True
+            break
+        last_err = err
+    return np.asarray(cents), {
+        "iterations": iterations,
+        "converged": converged,
+        "final_error": float(err),
+    }

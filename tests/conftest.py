@@ -15,6 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone can be overridden by platform plugins (e.g. a TPU tunnel
+# registered via sitecustomize); force the CPU backend explicitly so tests
+# always run on the 8-device virtual host platform.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 # Persistent compilation cache: kernel shapes repeat across test files/processes.
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -1,0 +1,101 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+
+from fabstir_vectordb_tpu.index import VectorStore, IVFIndex, IVFConfig, FlatIndex
+from fabstir_vectordb_tpu.parallel import (
+    cpu_mesh,
+    sharded_flat_search,
+    sharded_ivf_search,
+    sharded_kmeans_train,
+    shard_ivf_state,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return cpu_mesh(8)
+
+
+def test_sharded_flat_matches_single_device(mesh, rng):
+    n, d, b, k = 256, 16, 4, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    mask = np.ones(n, bool)
+    mask[5] = False  # a deleted row
+
+    fn = sharded_flat_search(mesh)
+    vals, rows = fn(x, (x * x).sum(1), mask, q, k)
+    vals, rows = np.asarray(vals), np.asarray(rows)
+
+    dist = ((q[:, None, :] - x[None]) ** 2).sum(-1)
+    dist[:, 5] = np.inf
+    want_rows = np.argsort(dist, axis=1)[:, :k]
+    np.testing.assert_array_equal(rows, want_rows)
+    np.testing.assert_allclose(
+        vals, np.take_along_axis(dist, want_rows, 1), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_sharded_ivf_matches_host_ivf(mesh, rng):
+    n, d, k = 400, 8, 5
+    x = rng.standard_normal((n, d)).astype(np.float32) * 3
+    store = VectorStore(d)
+    rows = store.add_batch([f"v{i}" for i in range(n)], x)
+    ivf = IVFIndex(store, IVFConfig(n_clusters=16, n_probe=16, seed=0))
+    ivf.train(x)
+    ivf.insert_rows(rows)
+    store.mark_deleted("v17")
+
+    state = shard_ivf_state(
+        mesh, ivf.export_centroids(), ivf.tiles(), store.data,
+        store.active_mask(),
+    )
+    fn = sharded_ivf_search(mesh)
+    q = x[:6] + 0.01
+    vals, out_rows = fn(state, q, k, 16)  # full probe -> exact among members
+    out_rows = np.asarray(out_rows)
+
+    _, host_rows = ivf.search_rows(q, k, n_probe=16)
+    np.testing.assert_array_equal(out_rows, host_rows)
+    assert 17 not in out_rows
+
+
+def test_sharded_ivf_query_sharding(rng):
+    mesh2 = None
+    try:
+        devs = jax.devices("cpu")[:8]
+        mesh2 = jax.sharding.Mesh(np.array(devs).reshape(4, 2), ("list", "query"))
+    except Exception:
+        pytest.skip("cannot build 2D mesh")
+    n, d, k = 200, 8, 3
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    store = VectorStore(d)
+    rows = store.add_batch([f"v{i}" for i in range(n)], x)
+    ivf = IVFIndex(store, IVFConfig(n_clusters=8, n_probe=8, seed=0))
+    ivf.train(x)
+    ivf.insert_rows(rows)
+    state = shard_ivf_state(
+        mesh2, ivf.export_centroids(), ivf.tiles(), store.data,
+        store.active_mask(), axis="list",
+    )
+    fn = sharded_ivf_search(mesh2, axis="list", query_axis="query")
+    q = x[:4]  # batch divisible by query axis (2)
+    vals, out_rows = fn(state, q, k, 8)
+    assert np.asarray(out_rows)[0, 0] == 0
+
+
+def test_sharded_kmeans_train(mesh, rng):
+    centers = np.array([[0, 0, 0, 0], [8, 8, 8, 8], [-8, 8, -8, 8]], np.float32)
+    pts = np.concatenate(
+        [c + 0.2 * rng.standard_normal((50, 4)).astype(np.float32) for c in centers]
+    )
+    mask = np.ones(len(pts), bool)
+    cents, info = sharded_kmeans_train(mesh, pts, mask, n_clusters=3, seed=1)
+    assert info["converged"]
+    # each true center recovered within noise
+    for c in centers:
+        d = np.linalg.norm(cents - c, axis=1).min()
+        assert d < 0.5
