@@ -51,8 +51,13 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     t0 = time.perf_counter()
-    vecs = rng.standard_normal((n, dim)).astype(np.float32)
-    log(f"data generated: {n}x{dim} in {time.perf_counter()-t0:.1f}s")
+    # clustered data (mixture of gaussians) ~ realistic embedding geometry;
+    # pure uniform noise has no cluster structure for IVF to exploit
+    n_centers = 1024
+    centers = rng.standard_normal((n_centers, dim)).astype(np.float32)
+    assign = rng.integers(0, n_centers, n)
+    vecs = centers[assign] + 0.35 * rng.standard_normal((n, dim)).astype(np.float32)
+    log(f"data generated: {n}x{dim} ({n_centers} clusters) in {time.perf_counter()-t0:.1f}s")
 
     idx = HybridIndex(
         dim,

@@ -143,4 +143,7 @@ class FusedSearcher:
             q, k, ef, n_probe_eff, dev["has_hnsw"], dev["has_ivf"],
             has_filter=extra_mask is not None,
         )
-        return np.asarray(vals), np.asarray(rows)
+        # one combined readback (separate np.asarray calls pay two RTTs on
+        # tunneled devices)
+        vals, rows = jax.device_get((vals, rows))
+        return vals, rows
