@@ -120,7 +120,13 @@ class S5ObjectStore(_BaseStore):
         self._cache.pop(key, None)
 
     def list_keys(self, prefix: str = "") -> list:
-        resp = self._request("GET", prefix.rstrip("/") + "/?list=1")
+        resp = self._session.get(
+            self._url(prefix.rstrip("/")),
+            params={"list": "1"},
+            timeout=self.timeout,
+        )
+        if resp.status_code >= 400:
+            raise StorageError(f"S5 list {prefix} -> {resp.status_code}")
         try:
             obj = resp.json()
         except Exception as e:

@@ -1,0 +1,105 @@
+"""S5ObjectStore against the mock S5 HTTP service (mirrors reference
+tests/test_s5_mock_integration.rs)."""
+import threading
+
+import numpy as np
+import pytest
+from aiohttp import web
+from aiohttp.test_utils import TestServer
+
+from fabstir_vectordb_tpu.core.object_store import NotFoundError
+from fabstir_vectordb_tpu.storage.s5 import S5ObjectStore, ENCRYPTION_HEADER
+from fabstir_vectordb_tpu.storage.s5_service import create_s5_app
+
+
+@pytest.fixture
+def s5_server(event_loop_or_none=None):
+    """Run the mock S5 service in a background thread with its own loop."""
+    import asyncio
+
+    app = create_s5_app()
+    started = threading.Event()
+    holder = {}
+
+    def run():
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        server = TestServer(app)
+        loop.run_until_complete(server.start_server())
+        holder["url"] = str(server.make_url("")).rstrip("/")
+        holder["loop"] = loop
+        holder["server"] = server
+        started.set()
+        loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert started.wait(10)
+    yield holder["url"], app
+    holder["loop"].call_soon_threadsafe(holder["loop"].stop)
+
+
+class TestS5ObjectStore:
+    def test_crud_roundtrip(self, s5_server):
+        url, app = s5_server
+        store = S5ObjectStore(url, timeout=5)
+        store.put("a/b/chunk.cbor", b"\x01\x02\x03")
+        assert store.get("a/b/chunk.cbor") == b"\x01\x02\x03"
+        assert store.exists("a/b/chunk.cbor")
+        store.delete("a/b/chunk.cbor")
+        store._cache.clear()
+        with pytest.raises(NotFoundError):
+            store.get("a/b/chunk.cbor")
+
+    def test_encryption_header_sent(self, s5_server):
+        url, app = s5_server
+        store = S5ObjectStore(url, timeout=5, encrypt_at_rest=True)
+        store.put("enc/blob", b"secret")
+        assert app["encryption_seen"]["enc/blob"] == "xchacha20-poly1305"
+
+        plain = S5ObjectStore(url, timeout=5, encrypt_at_rest=False)
+        plain.put("plain/blob", b"open")
+        assert "plain/blob" not in app["encryption_seen"]
+
+    def test_list_keys(self, s5_server):
+        url, _ = s5_server
+        store = S5ObjectStore(url, timeout=5)
+        store.put("pfx/one", b"1")
+        store.put("pfx/two", b"2")
+        store.put("other/x", b"3")
+        keys = store.list_keys("pfx")
+        assert keys == ["pfx/one", "pfx/two"]
+
+    def test_health(self, s5_server):
+        url, _ = s5_server
+        store = S5ObjectStore(url, timeout=5)
+        assert store.health()
+
+    def test_write_through_cache(self, s5_server):
+        url, app = s5_server
+        store = S5ObjectStore(url, timeout=5)
+        store.put("c/k", b"v")
+        app["blobs"].clear()  # wipe the backend
+        assert store.get("c/k") == b"v"  # served from cache
+
+    def test_full_persistence_roundtrip_over_http(self, s5_server):
+        """Chunked hybrid save/load through the real HTTP path."""
+        url, _ = s5_server
+        from fabstir_vectordb_tpu.index import HybridIndex, HybridConfig, IVFConfig
+        from fabstir_vectordb_tpu.storage import HybridPersister
+
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((80, 8)).astype(np.float32)
+        idx = HybridIndex(8, HybridConfig(ivf=IVFConfig(n_clusters=4, n_probe=4)))
+        idx.initialize(vecs)
+        idx.insert_batch([f"v{i}" for i in range(80)], vecs)
+
+        store = S5ObjectStore(url, timeout=10)
+        p = HybridPersister(store)
+        p.save_index_chunked(idx, "http-sess", chunk_size=30)
+
+        store2 = S5ObjectStore(url, timeout=10)
+        idx2, _ = HybridPersister(store2).load_index_chunked("http-sess")
+        assert idx2.store.active_count == 80
+        _, rows = idx2.hnsw.search_rows(vecs[5][None], 1)
+        assert idx2.store.id_of(int(rows[0, 0])) == "v5"
