@@ -329,5 +329,19 @@ def create_app(config: ApiConfig | None = None,
         resp.headers["Access-Control-Allow-Headers"] = "Content-Type"
         return resp
 
+    # ------------------------------------------------------- error shaping
+    @web.middleware
+    async def error_middleware(request, handler):
+        try:
+            return await handler(request)
+        except web.HTTPException:
+            raise
+        except json.JSONDecodeError:
+            return _error(400, "request body is not valid JSON", "INVALID_INPUT")
+        except Exception as e:  # noqa: BLE001 — uniform JSON error envelope
+            log.exception("unhandled error on %s %s", request.method, request.path)
+            return _error(500, str(e), "INDEX_ERROR")
+
     app.middlewares.append(cors_middleware)
+    app.middlewares.append(error_middleware)
     return app
