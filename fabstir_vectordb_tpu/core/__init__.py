@@ -1,4 +1,13 @@
-from .types import VectorId, Embedding, Vector, SearchResult, deduplicate_results
+from .types import (
+    VectorId,
+    Embedding,
+    Vector,
+    SearchResult,
+    deduplicate_results,
+    VideoMetadata,
+    VideoNFTMetadata,
+    S5Metadata,
+)
 from .metadata_filter import MetadataFilter, FilterError, get_field
 from .schema import MetadataSchema, SchemaError
 from .chunk import (
@@ -25,6 +34,7 @@ from .object_store import (
 
 __all__ = [
     "VectorId", "Embedding", "Vector", "SearchResult", "deduplicate_results",
+    "VideoMetadata", "VideoNFTMetadata", "S5Metadata",
     "MetadataFilter", "FilterError", "get_field",
     "MetadataSchema", "SchemaError",
     "VectorChunk", "ChunkMetadata", "HNSWManifest", "IVFManifest", "Manifest",

@@ -121,3 +121,158 @@ def distance_to_score(distance: float) -> float:
     src/api/rest.rs:599-677 use the same mapping.)
     """
     return 1.0 / (1.0 + float(distance))
+
+
+# ---------------------------------------------------------------------------
+# Domain metadata types (video / NFT / S5). JSON-dict round-tripping with the
+# reference's serde field names, including camelCase aliases on input.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class VideoMetadata:
+    """Video attributes attached to a stored vector
+    (reference: src/core/types.rs:153-188)."""
+
+    video_id: str = ""
+    title: str = ""
+    description: str | None = None
+    tags: list[str] = field(default_factory=list)
+    duration_seconds: int = 0
+    upload_timestamp: float = 0.0
+    model_name: str = ""
+    extra: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "video_id": self.video_id,
+            "title": self.title,
+            "description": self.description,
+            "tags": list(self.tags),
+            "duration_seconds": self.duration_seconds,
+            "upload_timestamp": self.upload_timestamp,
+            "model_name": self.model_name,
+            "extra": dict(self.extra),
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "VideoMetadata":
+        return cls(
+            video_id=d.get("video_id", ""),
+            title=d.get("title", ""),
+            description=d.get("description"),
+            tags=list(d.get("tags", [])),
+            duration_seconds=int(d.get("duration_seconds", 0)),
+            upload_timestamp=float(d.get("upload_timestamp", 0.0)),
+            model_name=d.get("model_name", ""),
+            extra=dict(d.get("extra", {})),
+        )
+
+
+@dataclass
+class VideoNFTMetadata:
+    """NFT-domain video metadata with camelCase input aliases
+    (reference: src/types/mod.rs:33-63 — serde aliases mintDateTime,
+    posterImage, userPub; ``type`` is a reserved word there too)."""
+
+    address: str = ""
+    attributes: list[dict] = field(default_factory=list)  # [{key, value}]
+    description: str | None = None
+    genre: list[str] = field(default_factory=list)
+    id: str = ""
+    image: str = ""
+    mint_date_time: str = ""
+    name: str = ""
+    poster_image: str | None = None
+    summary: str | None = None
+    supply: int | None = None
+    symbol: str | None = None
+    type: str = ""
+    uri: str | None = None
+    user_pub: str | None = None
+    video: str | None = None
+    animation_url: str | None = None
+
+    _ALIASES = {
+        "mint_date_time": ("mint_date_time", "mintDateTime"),
+        "poster_image": ("poster_image", "posterImage"),
+        "user_pub": ("user_pub", "userPub"),
+    }
+
+    def to_json(self) -> dict:
+        # snake_case canonical output; None optionals omitted (serde
+        # skip_serializing_if behavior).
+        out = {
+            "address": self.address,
+            "attributes": list(self.attributes),
+            "genre": list(self.genre),
+            "id": self.id,
+            "image": self.image,
+            "mint_date_time": self.mint_date_time,
+            "name": self.name,
+            "type": self.type,
+        }
+        for key in ("description", "poster_image", "summary", "supply",
+                    "symbol", "uri", "user_pub", "video", "animation_url"):
+            val = getattr(self, key)
+            if val is not None:
+                out[key] = val
+        return out
+
+    @classmethod
+    def from_json(cls, d: dict) -> "VideoNFTMetadata":
+        def pick(*names, default=None):
+            for n in names:
+                if n in d:
+                    return d[n]
+            return default
+
+        return cls(
+            address=d.get("address", ""),
+            attributes=list(d.get("attributes", [])),
+            description=d.get("description"),
+            genre=list(d.get("genre", [])),
+            id=d.get("id", ""),
+            image=d.get("image", ""),
+            mint_date_time=pick("mint_date_time", "mintDateTime", default=""),
+            name=d.get("name", ""),
+            poster_image=pick("poster_image", "posterImage"),
+            summary=d.get("summary"),
+            supply=d.get("supply"),
+            symbol=d.get("symbol"),
+            type=d.get("type", ""),
+            uri=d.get("uri"),
+            user_pub=pick("user_pub", "userPub"),
+            video=d.get("video"),
+            animation_url=pick("animation_url", "animationUrl"),
+        )
+
+
+@dataclass
+class S5Metadata:
+    """Metadata of a blob stored on S5 (reference: src/types/mod.rs:76-83)."""
+
+    cid: str
+    size: int
+    mime_type: str
+    created_at: int
+    encryption: str | None = None
+
+    def to_json(self) -> dict:
+        return {
+            "cid": self.cid,
+            "size": self.size,
+            "mime_type": self.mime_type,
+            "created_at": self.created_at,
+            "encryption": self.encryption,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "S5Metadata":
+        return cls(
+            cid=d["cid"],
+            size=int(d["size"]),
+            mime_type=d.get("mime_type", ""),
+            created_at=int(d.get("created_at", 0)),
+            encryption=d.get("encryption"),
+        )

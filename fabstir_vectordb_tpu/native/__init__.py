@@ -83,6 +83,18 @@ def load_library():
         ]
         lib.fvdb_index_id.argtypes = [c.c_void_p, c.c_int, c.c_char_p, c.c_int]
         lib.fvdb_index_get.argtypes = [c.c_void_p, c.c_char_p, c.POINTER(c.c_float)]
+        fp = c.POINTER(c.c_float)
+        lib.fvdb_vec_cosine.argtypes = [fp, fp, c.c_int]
+        lib.fvdb_vec_cosine.restype = c.c_float
+        lib.fvdb_vec_euclidean.argtypes = [fp, fp, c.c_int]
+        lib.fvdb_vec_euclidean.restype = c.c_float
+        lib.fvdb_vec_magnitude.argtypes = [fp, c.c_int]
+        lib.fvdb_vec_magnitude.restype = c.c_float
+        lib.fvdb_vec_batch_cosine.argtypes = [fp, c.c_int, c.c_int, fp, fp, c.c_int]
+        lib.fvdb_kmeans_cosine.argtypes = [
+            fp, c.c_int, c.c_int, c.c_int, c.c_int, c.POINTER(c.c_int), fp,
+        ]
+        lib.fvdb_kmeans_cosine.restype = c.c_int
         _lib = lib
         return lib
 

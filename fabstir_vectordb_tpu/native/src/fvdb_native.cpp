@@ -338,6 +338,119 @@ FVDB_API int fvdb_index_search(void* h, const float* q, int dim, int k,
   return kk;
 }
 
+// ---------------------------------------------------------------------------
+// 4. Vector math + cosine k-means (parity: bindings/wasm/src/vector.rs
+//    Vector/VectorBatch/cosine_similarity/euclidean_distance and
+//    bindings/wasm/src/video.rs VideoClustering::cluster)
+// ---------------------------------------------------------------------------
+
+static float cosine_sim(const float* a, const float* b, int dim) {
+  float dot = 0.f, na = 0.f, nb = 0.f;
+  for (int i = 0; i < dim; ++i) {
+    dot += a[i] * b[i];
+    na += a[i] * a[i];
+    nb += b[i] * b[i];
+  }
+  na = std::sqrt(na);
+  nb = std::sqrt(nb);
+  return (na > 0.f && nb > 0.f) ? dot / (na * nb) : 0.f;
+}
+
+FVDB_API float fvdb_vec_cosine(const float* a, const float* b, int dim) {
+  return cosine_sim(a, b, dim);
+}
+
+FVDB_API float fvdb_vec_euclidean(const float* a, const float* b, int dim) {
+  float s = 0.f;
+  for (int i = 0; i < dim; ++i) {
+    float d = a[i] - b[i];
+    s += d * d;
+  }
+  return std::sqrt(s);
+}
+
+FVDB_API float fvdb_vec_magnitude(const float* a, int dim) {
+  float s = 0.f;
+  for (int i = 0; i < dim; ++i) s += a[i] * a[i];
+  return std::sqrt(s);
+}
+
+// Cosine similarity of one query against n row-major vectors (VectorBatch::
+// compute_similarities). Threaded for large n.
+FVDB_API void fvdb_vec_batch_cosine(const float* rows, int n, int dim,
+                                    const float* q, float* out,
+                                    int n_threads) {
+  int workers = std::max(1, std::min(n_threads, n));
+  if (workers == 1 || n < 1024) {
+    for (int r = 0; r < n; ++r)
+      out[r] = cosine_sim(rows + (size_t)r * dim, q, dim);
+    return;
+  }
+  std::atomic<int> next(0);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < workers; ++t) {
+    pool.emplace_back([&]() {
+      for (;;) {
+        int r = next.fetch_add(1);
+        if (r >= n) return;
+        out[r] = cosine_sim(rows + (size_t)r * dim, q, dim);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+// K-means with cosine distance (1 - cos), deterministic strided init and
+// convergence when no assignment changes — the reference browser-side
+// clustering algorithm (video.rs:244-308). Returns iterations used.
+FVDB_API int fvdb_kmeans_cosine(const float* data, int n, int dim, int k,
+                                int max_iterations, int* assignments,
+                                float* centroids) {
+  if (n <= 0 || k <= 0) return 0;
+  if (k > n) k = n;
+  int step = n / k;
+  for (int j = 0; j < k; ++j)
+    memcpy(centroids + (size_t)j * dim, data + (size_t)(j * step) * dim,
+           dim * sizeof(float));
+  for (int i = 0; i < n; ++i) assignments[i] = 0;
+
+  int iter = 0;
+  for (; iter < max_iterations; ++iter) {
+    bool changed = false;
+    for (int i = 0; i < n; ++i) {
+      float best_d = 3.4e38f;
+      int best = 0;
+      for (int j = 0; j < k; ++j) {
+        float d = 1.0f - cosine_sim(data + (size_t)i * dim,
+                                    centroids + (size_t)j * dim, dim);
+        if (d < best_d) {
+          best_d = d;
+          best = j;
+        }
+      }
+      if (assignments[i] != best) {
+        assignments[i] = best;
+        changed = true;
+      }
+    }
+    if (!changed) break;
+    for (int j = 0; j < k; ++j) {
+      float* c = centroids + (size_t)j * dim;
+      int count = 0;
+      std::vector<double> acc(dim, 0.0);
+      for (int i = 0; i < n; ++i) {
+        if (assignments[i] != j) continue;
+        const float* x = data + (size_t)i * dim;
+        for (int d = 0; d < dim; ++d) acc[d] += x[d];
+        count++;
+      }
+      if (count > 0)
+        for (int d = 0; d < dim; ++d) c[d] = (float)(acc[d] / count);
+    }
+  }
+  return iter;
+}
+
 // Copies the row's id into buf (up to buf_len-1 chars). Returns id length.
 FVDB_API int fvdb_index_id(void* h, int row, char* buf, int buf_len) {
   auto* ix = (InMemoryIndex*)h;

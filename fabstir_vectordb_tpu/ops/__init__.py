@@ -4,9 +4,11 @@ from .distance import (
     pairwise_cosine_dist,
     pairwise_distance,
     squared_norms,
+    inner_product_to_cosine,
+    angular_distance,
     METRICS,
 )
-from .topk import masked_topk, merge_topk, chunked_topk
+from .topk import masked_topk, merge_topk, chunked_topk, StreamingTopK
 from .kmeans import kmeans_pp_init, lloyd_step, kmeans_train, assign_clusters
 
 __all__ = [
@@ -16,9 +18,12 @@ __all__ = [
     "pairwise_distance",
     "squared_norms",
     "METRICS",
+    "inner_product_to_cosine",
+    "angular_distance",
     "masked_topk",
     "merge_topk",
     "chunked_topk",
+    "StreamingTopK",
     "kmeans_pp_init",
     "lloyd_step",
     "kmeans_train",

@@ -107,3 +107,18 @@ def finalize_distance(d: jax.Array, metric: str) -> jax.Array:
     if metric == "euclidean":
         return jnp.sqrt(jnp.maximum(d, 0.0))
     return d
+
+
+def inner_product_to_cosine(ip, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Correct a raw inner product into cosine similarity; 0 where either
+    vector has zero norm (reference: src/core/vector_ops.rs:581-589)."""
+    denom = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
+    return jnp.where(denom > 0, ip / jnp.maximum(denom, 1e-30), 0.0)
+
+
+def angular_distance(a: jax.Array, b: jax.Array) -> jax.Array:
+    """arccos of clamped cosine similarity
+    (reference: src/core/vector_ops.rs:591-596)."""
+    ip = jnp.sum(a * b, axis=-1)
+    cos = inner_product_to_cosine(ip, a, b)
+    return jnp.arccos(jnp.clip(cos, -1.0, 1.0))

@@ -70,3 +70,53 @@ def chunked_topk(dist_fn, n_total: int, chunk: int, k: int, batch: int):
         return jax.lax.fori_loop(0, n_chunks, body, (init_vals, init_idx))
 
     return run
+
+
+class StreamingTopK:
+    """Host-side streaming top-k accumulator over result chunks.
+
+    The driver-loop analog of the reference's min-heap StreamingTopK
+    (reference: src/core/vector_ops.rs:204-263): push (distance, id) pairs
+    — or whole chunk results from device scans — and read back the k best
+    seen so far. Device-side streaming lives in ``chunked_topk``; this class
+    serves host orchestration (e.g. merging per-chunk results arriving
+    asynchronously from multiple device programs).
+    """
+
+    def __init__(self, k: int):
+        import heapq  # noqa: F401  (documents the structure)
+
+        if k <= 0:
+            raise ValueError("k must be positive")
+        self.k = k
+        self._heap: list = []  # max-heap via negated distance
+        self._counter = 0  # tiebreak: insertion order, avoids comparing ids
+
+    def push(self, distance: float, item) -> None:
+        import heapq
+
+        entry = (-float(distance), self._counter, item)
+        self._counter += 1
+        if len(self._heap) < self.k:
+            heapq.heappush(self._heap, entry)
+        elif entry[0] > self._heap[0][0]:  # smaller distance than current worst
+            heapq.heapreplace(self._heap, entry)
+
+    def push_many(self, distances, items) -> None:
+        for d, it in zip(distances, items):
+            self.push(float(d), it)
+
+    def __len__(self) -> int:
+        return len(self._heap)
+
+    @property
+    def worst(self) -> float:
+        """Largest distance currently kept (+inf when not yet full)."""
+        if len(self._heap) < self.k:
+            return float("inf")
+        return -self._heap[0][0]
+
+    def results(self) -> list:
+        """[(distance, item)] ascending by distance."""
+        out = sorted(self._heap, key=lambda e: (-e[0], e[1]))
+        return [(-d, item) for d, _, item in out]

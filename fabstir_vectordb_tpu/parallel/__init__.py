@@ -4,8 +4,11 @@ from .sharded import (
     sharded_ivf_search,
     sharded_lloyd_step,
     sharded_kmeans_train,
+    sharded_hnsw_search,
     ShardedIVFState,
     shard_ivf_state,
+    ShardedHNSWState,
+    shard_hnsw_state,
 )
 
 __all__ = [
@@ -15,6 +18,9 @@ __all__ = [
     "sharded_ivf_search",
     "sharded_lloyd_step",
     "sharded_kmeans_train",
+    "sharded_hnsw_search",
     "ShardedIVFState",
     "shard_ivf_state",
+    "ShardedHNSWState",
+    "shard_hnsw_state",
 ]

@@ -310,3 +310,89 @@ def sharded_kmeans_train(
         "converged": converged,
         "final_error": float(err),
     }
+
+
+# --------------------------------------------------------------------------
+# Sharded HNSW (query-data-parallel serving)
+# --------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("x", "x_sq", "mask", "nbrs0", "nbrs_up", "up_offset"),
+    meta_fields=("entry", "entry_level"),
+)
+@dataclass
+class ShardedHNSWState:
+    """Graph + vector arrays replicated on every device (a jax pytree).
+
+    HNSW traversal is pointer-chasing over the whole graph, so the graph
+    replicates and the QUERY batch shards — linear QPS scaling for serving
+    (capacity scaling across chips is the sharded-IVF path's job).
+    """
+
+    x: jax.Array
+    x_sq: jax.Array
+    mask: jax.Array
+    nbrs0: jax.Array
+    nbrs_up: jax.Array
+    up_offset: jax.Array
+    entry: int
+    entry_level: int
+
+
+def shard_hnsw_state(mesh: Mesh, hnsw) -> ShardedHNSWState:
+    """Replicate an HNSWIndex's device arrays over the mesh."""
+    repl = NamedSharding(mesh, P())
+    dev = hnsw._device_arrays()
+    mirror = hnsw.store.device()
+    put = lambda a: jax.device_put(a, repl)  # noqa: E731
+    return ShardedHNSWState(
+        x=put(mirror.x),
+        x_sq=put(mirror.x_sq),
+        mask=put(jnp.asarray(hnsw._search_mask())),
+        nbrs0=put(dev["nbrs0"]),
+        nbrs_up=put(dev["nbrs_up"]),
+        up_offset=put(dev["up_offset"]),
+        entry=int(hnsw.entry_point),
+        entry_level=max(int(hnsw.max_level), 0),
+    )
+
+
+def sharded_hnsw_search(mesh: Mesh, axis: str = "data"):
+    """Builds a jitted query-sharded HNSW search.
+
+    Returns fn(state, q [B, D] (B divisible by mesh axis), k, ef) ->
+    (dists [B, k], rows [B, k]), results sharded like the queries. Each
+    device runs greedy descent + layer-0 beam on its slice of the batch;
+    no collectives are needed (the merge axis is the batch).
+    """
+    from ..index.hnsw import beam_search_kernel, greedy_descent_kernel
+
+    def body(x, x_sq, mask, nbrs0, nbrs_up, up_offset, q,
+             entry: int, entry_level: int, k: int, ef: int):
+        b = q.shape[0]
+        stop = jnp.zeros((b,), jnp.int32)
+        cur, _ = greedy_descent_kernel(
+            x, x_sq, mask, nbrs_up, up_offset, q, entry, entry_level, stop
+        )
+        pool_d, pool_id = beam_search_kernel(
+            x, x_sq, mask, nbrs0, nbrs_up, up_offset, q, cur[:, None],
+            jnp.ones((b,), bool), layer=0, ef=ef, max_iters=ef + 32,
+        )
+        return pool_d[:, :k], pool_id[:, :k]
+
+    @partial(jax.jit, static_argnames=("k", "ef"))
+    def run(state: ShardedHNSWState, q, k: int, ef: int):
+        f = jax.shard_map(
+            partial(body, entry=state.entry, entry_level=state.entry_level,
+                    k=k, ef=ef),
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P(axis)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+        return f(state.x, state.x_sq, state.mask, state.nbrs0, state.nbrs_up,
+                 state.up_offset, q)
+
+    return run

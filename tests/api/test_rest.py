@@ -173,3 +173,17 @@ async def test_websocket_updates(client):
     event = await ws.receive_json()
     assert event["type"] == "insert" and event["id"] == "w1"
     await ws.close()
+
+
+async def test_malformed_json_returns_400_envelope(client):
+    """Error-shaping middleware: bad JSON bodies get the standard error
+    envelope as 400, never a raw 500 (clients retry 5xx)."""
+    for body in (b"{nope", b""):
+        resp = await client.post(
+            "/api/v1/search", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        assert resp.status == 400
+        payload = await resp.json()
+        assert payload["error"]["code"] == "INVALID_INPUT"
+        assert "JSON" in payload["error"]["message"]

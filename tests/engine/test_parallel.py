@@ -99,3 +99,29 @@ def test_sharded_kmeans_train(mesh, rng):
     for c in centers:
         d = np.linalg.norm(cents - c, axis=1).min()
         assert d < 0.5
+
+
+def test_sharded_hnsw_matches_single_device(mesh, rng):
+    from fabstir_vectordb_tpu.index import HNSWIndex
+    from fabstir_vectordb_tpu.parallel import (
+        shard_hnsw_state,
+        sharded_hnsw_search,
+    )
+
+    n, d, k, ef = 300, 16, 8, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    store = VectorStore(d)
+    rows = store.add_batch([f"v{i}" for i in range(n)], x)
+    hnsw = HNSWIndex(store)
+    hnsw.insert_rows(rows)
+    store.mark_deleted("v7")
+
+    state = shard_hnsw_state(mesh, hnsw)
+    fn = sharded_hnsw_search(mesh)
+    q = x[:16] + 0.01  # batch divisible by 8 devices
+    vals, out_rows = fn(state, q, k, ef)
+    out_rows = np.asarray(out_rows)
+
+    _, host_rows = hnsw.search_rows(q, k, ef=ef)
+    np.testing.assert_array_equal(out_rows, host_rows)
+    assert 7 not in out_rows
