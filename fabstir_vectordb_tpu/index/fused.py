@@ -1,25 +1,52 @@
 """Fused hybrid search: the whole query path in ONE device program.
 
-Serving-path optimization (SURVEY §6 north star: sub-5ms p50): HNSW greedy
-descent + layer-0 beam, IVF centroid ranking + nprobe list scan, and the
-global top-k merge all execute inside a single jit, so a query costs one
-dispatch + one small host->device transfer (the query) + one [B, k]
-readback. Engine state (vectors, adjacency, tiles, masks) stays
-device-resident between calls, keyed by engine versions.
+Serving-path optimization (SURVEY §6 north star: sub-5ms p50). Two regimes,
+picked by corpus size:
+
+- **HBM-resident (the common case, up to FLAT_THRESHOLD rows)**: one masked
+  exact L2 top-k — a [B, D] x [D, N] MXU matmul with the soft-delete /
+  membership / metadata-filter bitmask fused into selection. Measured on a
+  v5e: sub-ms device time for 128 queries over 131K x 384 vs ~580 ms for
+  the gather-based IVF nprobe scan — at these scales brute-force matmul IS
+  the speed-of-light kernel, and recall is exactly 1.0. Graph/IVF pruning
+  is a pointer-chasing optimization for machines that can't stream the
+  corpus; the MXU can.
+- **Beyond the threshold**: HNSW greedy descent + layer-0 beam, IVF
+  centroid ranking + nprobe list scan, global top-k merge — still one jit.
+  (Past single-chip HBM, the sharded path in ``parallel/`` takes over.)
+
+Either way a query costs one dispatch + one small host->device transfer
+(the query) + one [B, k] readback. Engine state (vectors, adjacency,
+tiles, masks) stays device-resident between calls, keyed by engine
+versions.
 
 Distances returned are squared euclidean (callers sqrt at the boundary).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.topk import merge_topk
+from ..ops.distance import pairwise_distance
+from ..ops.topk import masked_topk, merge_topk
 from .hnsw import beam_search_kernel, greedy_descent_kernel
 from .ivf import ivf_search_kernel
+
+# Above this many (padded) rows the exact flat scan stops being the fastest
+# query plan on one chip (~6 GB of HBM traffic per scan at 384-dim) and the
+# pruned path takes over. Tunable for benchmarking both regimes.
+FLAT_THRESHOLD = int(os.environ.get("FVDB_FLAT_THRESHOLD", 4_194_304))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def flat_search_kernel(x, x_sq, mask, q, k: int):
+    """Masked exact top-k: one distance matmul + fused top-k."""
+    d = pairwise_distance(q, x, x_sq=x_sq)
+    return masked_topk(d, mask, k)
 
 
 @partial(
@@ -105,6 +132,7 @@ class FusedSearcher:
                 "x_sq": mirror.x_sq,
                 "hnsw_mask": jnp.asarray(hnsw_mask),
                 "ivf_mask": jnp.asarray(ivf_mask),
+                "members": jnp.asarray(hnsw_mask | ivf_mask),
                 "ones": jnp.ones((h.store.capacity,), bool),
                 "nbrs0": graph["nbrs0"],
                 "nbrs_up": graph["nbrs_up"],
@@ -134,6 +162,14 @@ class FusedSearcher:
         """Returns (sq-dists [B, k], rows [B, k]) as numpy."""
         dev = self._device_state()
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+
+        if dev["x"].shape[0] <= FLAT_THRESHOLD:
+            mask = dev["members"]
+            if extra_mask is not None:
+                mask = mask & jnp.asarray(extra_mask)
+            vals, rows = flat_search_kernel(dev["x"], dev["x_sq"], mask, q, k)
+            return jax.device_get((vals, rows))
+
         extra = dev["ones"] if extra_mask is None else jnp.asarray(extra_mask)
         n_probe_eff = min(n_probe, int(dev["centroids"].shape[0]))
         vals, rows = hybrid_search_kernel(

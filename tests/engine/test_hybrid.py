@@ -207,3 +207,53 @@ class TestFromParts:
         r1 = idx.search(vecs[10], 5, config=SearchConfig(auto_migrate=False), now=NOW)
         r2 = idx2.search(vecs[10], 5, config=SearchConfig(auto_migrate=False), now=NOW)
         assert r1[0][0] == r2[0][0] == "v10"
+
+
+def test_fused_flat_and_pruned_regimes_agree(rng):
+    """The serving path has two regimes (exact flat scan under
+    FLAT_THRESHOLD, pruned HNSW+IVF above); both must return correct
+    results, and the flat regime must equal the exact oracle."""
+    import fabstir_vectordb_tpu.index.fused as fused_mod
+    from fabstir_vectordb_tpu.index import (
+        FlatIndex, HybridConfig, HybridIndex, IVFConfig, SearchConfig,
+    )
+
+    dim, n, k = 16, 400, 5
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = HybridIndex(
+        dim,
+        HybridConfig(ivf=IVFConfig(n_clusters=8, n_probe=8, seed=0),
+                     auto_migrate=False),
+    )
+    idx.initialize(vecs[:100])
+    ids = [f"v{i}" for i in range(n)]
+    ts = np.full(n, NOW - 30 * DAY)
+    ts[: n // 4] = NOW - DAY
+    idx.insert_batch(ids, vecs, ts, now=NOW)
+    idx.delete("v3")
+
+    q = vecs[:8] + 0.01
+    cfg = SearchConfig(auto_migrate=False)
+
+    old = fused_mod.FLAT_THRESHOLD
+    try:
+        fused_mod.FLAT_THRESHOLD = 10**9
+        idx.fused._key = None  # drop cached state between regime switches
+        d_flat, r_flat = idx.search_rows(q, k, config=cfg, now=NOW)
+
+        fused_mod.FLAT_THRESHOLD = 0
+        idx.fused._key = None
+        d_pruned, r_pruned = idx.search_rows(q, k, config=cfg, now=NOW)
+    finally:
+        fused_mod.FLAT_THRESHOLD = old
+        idx.fused._key = None
+
+    # flat regime == exact oracle
+    oracle = FlatIndex(idx.store)
+    od, orows = oracle.search_rows(q, k)
+    np.testing.assert_array_equal(r_flat, orows)
+    assert 3 not in r_flat  # deleted row excluded
+
+    # pruned regime: full-probe IVF + beam -> near-exact here
+    assert (r_pruned[:, 0] == orows[:, 0]).mean() >= 0.9
+    assert 3 not in r_pruned
