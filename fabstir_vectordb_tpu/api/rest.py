@@ -254,6 +254,78 @@ def create_app(config: ApiConfig | None = None,
         await state.run(state.session._persister.backup, cid)
         return web.json_response({"backup": cid})
 
+    # ------------------------------------------------ session-level routes
+    # Beyond the reference REST surface: the reference exposes these only
+    # through the in-process Node binding (bindings/node/src/session.rs);
+    # here the engine lives in the serving process, so remote SDKs (the
+    # Node SDK in bindings/node) reach them over HTTP.
+    async def delete_by_metadata(request: web.Request):
+        body = await request.json()
+        flt = body.get("filter")
+        if flt is None:
+            return _error(400, "filter is required", "INVALID_INPUT")
+        try:
+            result = await state.run(state.session.delete_by_metadata, flt)
+        except VectorDBError as e:
+            return _error(_err_status(e), e.message, e.code)
+        state.publish({"type": "delete_by_metadata", "count": result.deleted_count})
+        return web.json_response(result.to_json())
+
+    async def update_metadata(request: web.Request):
+        vid = request.match_info["id"]
+        body = await request.json()
+        if "metadata" not in body:
+            return _error(400, "metadata is required", "INVALID_INPUT")
+        try:
+            await state.run(state.session.update_metadata, vid, body["metadata"])
+        except VectorDBError as e:
+            return _error(_err_status(e), e.message, e.code)
+        state.publish({"type": "update_metadata", "id": vid})
+        return web.json_response({"id": vid, "status": "updated"})
+
+    async def session_save(request: web.Request):
+        try:
+            cid = await state.run(state.session.save_to_s5)
+        except VectorDBError as e:
+            return _error(_err_status(e), e.message, e.code)
+        return web.json_response({"cid": cid})
+
+    async def session_load(request: web.Request):
+        body = await request.json()
+        cid = body.get("cid")
+        if not cid:
+            return _error(400, "cid is required", "INVALID_INPUT")
+        try:
+            await state.run(state.session.load_user_vectors, cid,
+                            body.get("options"))
+        except VectorDBError as e:
+            return _error(_err_status(e), e.message, e.code)
+        stats = await state.run(state.session.get_stats)
+        return web.json_response({"cid": cid, "loaded": stats.vector_count})
+
+    async def session_schema(request: web.Request):
+        body = await request.json()
+        try:
+            await state.run(state.session.set_schema, body.get("schema"))
+        except VectorDBError as e:
+            return _error(_err_status(e), e.message, e.code)
+        return web.json_response({"status": "ok"})
+
+    async def session_vacuum(request: web.Request):
+        try:
+            stats = await state.run(state.session.vacuum)
+        except VectorDBError as e:
+            return _error(_err_status(e), e.message, e.code)
+        state.publish({"type": "vacuum", "removed": stats.total_removed})
+        return web.json_response(stats.to_json())
+
+    async def session_stats(request: web.Request):
+        try:
+            stats = await state.run(state.session.get_stats)
+        except VectorDBError as e:
+            return _error(_err_status(e), e.message, e.code)
+        return web.json_response(stats.to_json())
+
     async def stream_updates(request: web.Request):
         resp = web.StreamResponse(
             headers={
@@ -313,6 +385,13 @@ def create_app(config: ApiConfig | None = None,
     app.router.add_post(f"{prefix}/admin/migrate", migrate)
     app.router.add_post(f"{prefix}/admin/rebalance", rebalance)
     app.router.add_post(f"{prefix}/admin/backup", backup)
+    app.router.add_post(f"{prefix}/vectors/delete-by-metadata", delete_by_metadata)
+    app.router.add_patch(f"{prefix}/vectors/{{id}}/metadata", update_metadata)
+    app.router.add_post(f"{prefix}/session/save", session_save)
+    app.router.add_post(f"{prefix}/session/load", session_load)
+    app.router.add_put(f"{prefix}/session/schema", session_schema)
+    app.router.add_post(f"{prefix}/session/vacuum", session_vacuum)
+    app.router.add_get(f"{prefix}/session/stats", session_stats)
     app.router.add_get(f"{prefix}/stream/updates", stream_updates)
     app.router.add_get(f"{prefix}/ws", websocket)
 
@@ -325,7 +404,9 @@ def create_app(config: ApiConfig | None = None,
             resp = await handler(request)
         origins = ",".join(config.cors_origins)
         resp.headers["Access-Control-Allow-Origin"] = origins
-        resp.headers["Access-Control-Allow-Methods"] = "GET,POST,DELETE,OPTIONS"
+        resp.headers["Access-Control-Allow-Methods"] = (
+            "GET,POST,PUT,PATCH,DELETE,OPTIONS"
+        )
         resp.headers["Access-Control-Allow-Headers"] = "Content-Type"
         return resp
 

@@ -187,3 +187,71 @@ async def test_malformed_json_returns_400_envelope(client):
         payload = await resp.json()
         assert payload["error"]["code"] == "INVALID_INPUT"
         assert "JSON" in payload["error"]["message"]
+
+
+async def test_session_routes_full_lifecycle(client):
+    """Session-level routes the Node SDK depends on: schema -> insert ->
+    update-metadata -> delete-by-metadata -> vacuum -> save -> load -> stats."""
+    # schema
+    resp = await client.put("/api/v1/session/schema", json={
+        "schema": {"fields": {"cat": {"type": "string"}}, "required": ["cat"]}
+    })
+    assert resp.status == 200
+
+    data = vecs(12)
+    payload = {"vectors": [
+        {"id": f"s{i}", "vector": data[i], "metadata": {"cat": "a" if i < 6 else "b"}}
+        for i in range(12)
+    ]}
+    resp = await client.post("/api/v1/vectors/batch", json=payload)
+    assert resp.status == 201
+
+    # schema violation rejected
+    resp = await client.post("/api/v1/vectors", json={
+        "id": "bad", "vector": data[0], "metadata": {"nope": 1}})
+    assert resp.status == 400
+
+    # update metadata
+    resp = await client.patch("/api/v1/vectors/s0/metadata",
+                              json={"metadata": {"cat": "c"}})
+    assert resp.status == 200
+    resp = await client.get("/api/v1/vectors/s0")
+    assert (await resp.json())["metadata"]["cat"] == "c"
+    # unknown id -> error envelope
+    resp = await client.patch("/api/v1/vectors/ghost/metadata",
+                              json={"metadata": {"cat": "c"}})
+    assert resp.status == 400
+    assert (await resp.json())["error"]["code"] == "INVALID_INPUT"
+
+    # delete by metadata
+    resp = await client.post("/api/v1/vectors/delete-by-metadata",
+                             json={"filter": {"cat": "b"}})
+    body = await resp.json()
+    assert resp.status == 200 and body["deletedCount"] == 6
+    assert set(body["deletedIds"]) == {f"s{i}" for i in range(6, 12)}
+
+    # vacuum removes soft-deleted
+    resp = await client.post("/api/v1/session/vacuum")
+    body = await resp.json()
+    assert resp.status == 200 and body["totalRemoved"] == 6
+
+    # save -> returns cid
+    resp = await client.post("/api/v1/session/save")
+    body = await resp.json()
+    assert resp.status == 200 and body["cid"]
+
+    # load the saved cid back
+    resp = await client.post("/api/v1/session/load", json={"cid": body["cid"]})
+    body = await resp.json()
+    assert resp.status == 200 and body["loaded"] == 6
+
+    # stats
+    resp = await client.get("/api/v1/session/stats")
+    body = await resp.json()
+    assert resp.status == 200
+    assert body["vectorCount"] == 6
+    assert body["totalDeletedCount"] == 0
+
+    # load with missing cid -> 400
+    resp = await client.post("/api/v1/session/load", json={})
+    assert resp.status == 400
