@@ -3,6 +3,7 @@ from .flat import FlatIndex
 from .ivf import IVFIndex, IVFConfig
 from .hnsw import HNSWIndex, HNSWConfig
 from .hybrid import HybridIndex, HybridConfig, SearchConfig
+from .tiered import TieredFlatSearcher
 
 __all__ = [
     "VectorStore",
@@ -14,4 +15,5 @@ __all__ = [
     "HybridIndex",
     "HybridConfig",
     "SearchConfig",
+    "TieredFlatSearcher",
 ]

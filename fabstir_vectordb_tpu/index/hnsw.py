@@ -48,6 +48,12 @@ class HNSWConfig:
     max_level: int = 16
     seed: int | None = 42
     bootstrap_threshold: int = 1024  # below this, exact candidates (host)
+    # Candidate search during insert: "layer0" runs greedy descent + ONE
+    # layer-0 beam and links every layer from that pool (one compiled beam
+    # variant, ~constant device dispatches per batch); "per_layer" runs a
+    # beam per layer like the textbook algorithm (marginally better upper-
+    # layer links, several times the build cost on remote-compile targets).
+    link_mode: str = "layer0"
 
 
 @dataclass
@@ -115,11 +121,31 @@ def greedy_descent_kernel(
     return cur, cur_d
 
 
-@partial(jax.jit, static_argnames=("layer", "ef", "max_iters", "has_result_mask"))
 def beam_search_kernel(
     x, x_sq, mask, nbrs0, nbrs_up, up_offset, q, start_ids, active,
-    layer: int, ef: int, max_iters: int,
+    layer, ef: int, max_iters: int,
     result_mask=None, has_result_mask: bool = False,
+    use_nbrs0: bool | None = None,
+):
+    if use_nbrs0 is None:
+        use_nbrs0 = int(layer) == 0  # layer must be a python int to default
+    return _beam_search_jit(
+        x, x_sq, mask, nbrs0, nbrs_up, up_offset, q, start_ids, active,
+        jnp.int32(layer), ef=ef, max_iters=max_iters,
+        result_mask=result_mask, has_result_mask=has_result_mask,
+        use_nbrs0=bool(use_nbrs0),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("use_nbrs0", "ef", "max_iters", "has_result_mask"),
+)
+def _beam_search_jit(
+    x, x_sq, mask, nbrs0, nbrs_up, up_offset, q, start_ids, active,
+    layer, ef: int, max_iters: int,
+    result_mask=None, has_result_mask: bool = False,
+    use_nbrs0: bool = True,
 ):
     """Batched beam search at one graph layer.
 
@@ -128,6 +154,12 @@ def beam_search_kernel(
     ascending, -1/inf padded. Classic candidate/nearest dual-heap beam
     rebuilt as: fixed [B, ef] pool + expansion flags + [B, cap] visited
     bitmap; each step expands the best unexpanded candidate of every query.
+
+    ``layer`` is a TRACED argument (python int or int32 scalar); the static
+    ``use_nbrs0`` flag (defaulting to ``layer == 0`` when a python int is
+    given) picks which adjacency to read. Only two compiled variants exist —
+    layer 0 and upper layers — instead of one per layer value; on
+    remote-compile targets compiles dominate index-build cost.
 
     With ``has_result_mask``, traversal uses ``mask`` but only rows passing
     ``result_mask`` are returned — this is how metadata-filter bitmasks fuse
@@ -198,7 +230,7 @@ def beam_search_kernel(
         nid_safe = jnp.maximum(nid, 0)
         pool_exp2 = pool_exp.at[jnp.arange(b), bsel].max(run)
 
-        if layer == 0:
+        if use_nbrs0:
             nbr = nbrs0[nid_safe]  # [B, M0]
         else:
             row = jnp.maximum(up_offset[nid_safe] + layer - 1, 0)
@@ -436,6 +468,24 @@ class HNSWIndex:
             )
         q = jnp.asarray(self.store.data[batch])
 
+        if cfg.link_mode == "layer0":
+            # greedy all the way down, one ef_construction beam at layer 0;
+            # upper layers link from the same pool filtered by node level
+            stop0 = jnp.zeros((b_pad,), jnp.int32)
+            cur, _ = greedy_descent_kernel(
+                mirror.x, mirror.x_sq, mask, dev["nbrs_up"], dev["up_offset"],
+                q, self.entry_point, self.max_level, stop0,
+            )
+            pool_d, pool_id = beam_search_kernel(
+                mirror.x, mirror.x_sq, mask,
+                dev["nbrs0"], dev["nbrs_up"], dev["up_offset"],
+                q, cur[:, None], jnp.ones((b_pad,), bool),
+                layer=0, ef=cfg.ef_construction,
+                max_iters=cfg.ef_construction + 32,
+            )
+            pool_d, pool_id = jax.device_get((pool_d, pool_id))
+            return {"mode": "exact", "ids": pool_id, "dists": pool_d}
+
         stop = np.minimum(levels_new, self.max_level).astype(np.int32)
         cur, _ = greedy_descent_kernel(
             mirror.x, mirror.x_sq, mask, dev["nbrs_up"], dev["up_offset"],
@@ -485,7 +535,7 @@ class HNSWIndex:
                 if cands["mode"] == "exact":
                     ids = cands["ids"][qi]
                     dd = cands["dists"][qi]
-                    keep = (self.levels[ids] >= layer) & (ids != row)
+                    keep = (ids >= 0) & (self.levels[ids] >= layer) & (ids != row)
                 else:
                     ids, dd = (arr[qi] for arr in cands["per_layer"][layer])
                     keep = (ids >= 0) & (ids != row)

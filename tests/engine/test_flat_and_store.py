@@ -109,3 +109,42 @@ class TestFlatIndex:
         idx = FlatIndex(store, metric="cosine")
         q = 3.0 * vecs[11]  # scale-invariant under cosine
         assert idx.search(q, 1)[0][0] == "v11"
+
+
+class TestTieredFlatSearcher:
+    def test_matches_resident_exact(self, rng):
+        from fabstir_vectordb_tpu.index.tiered import TieredFlatSearcher
+
+        n, d, k = 5000, 32, 10
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        mask = np.ones(n, bool)
+        mask[[7, 999, 4321]] = False
+        q = x[:6] + 0.01
+
+        tiered = TieredFlatSearcher(x, mask, tile_rows=1024)  # 5 tiles, ragged tail
+        assert tiered.n_tiles == 5
+        vals, rows = tiered.search(q, k)
+
+        dist = ((q[:, None, :] - x[None]) ** 2).sum(-1)
+        dist[:, ~mask] = np.inf
+        want = np.argsort(dist, axis=1)[:, :k]
+        np.testing.assert_array_equal(rows, want)
+        np.testing.assert_allclose(
+            vals, np.take_along_axis(dist, want, 1), rtol=1e-3, atol=1e-3
+        )
+        assert not {7, 999, 4321} & set(rows.ravel().tolist())
+
+    def test_extra_mask_and_small_corpus(self, rng):
+        from fabstir_vectordb_tpu.index.tiered import TieredFlatSearcher
+
+        n, d, k = 100, 8, 5
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        tiered = TieredFlatSearcher(x)
+        extra = np.zeros(n, bool)
+        extra[:10] = True
+        vals, rows = tiered.search(x[2][None], k, extra_mask=extra)
+        assert rows[0, 0] == 2
+        assert set(rows[0].tolist()) <= set(range(10))
+        # original mask untouched after the filtered query
+        vals2, rows2 = tiered.search(x[50][None], k)
+        assert rows2[0, 0] == 50
