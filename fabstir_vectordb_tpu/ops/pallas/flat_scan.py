@@ -19,8 +19,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _select_topk(d, base_idx, k):
-    """K rounds of masked argmin over axis 1. d [B, T] -> ([B,k], [B,k])."""
+def _select_topk(d, ids, k):
+    """K rounds of masked argmin over axis 1, carrying global ids alongside
+    (no gather — Mosaic only lowers same-shape gathers). d, ids [B, T] ->
+    ([B, k], [B, k])."""
     b, t = d.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
     vals = []
@@ -29,9 +31,12 @@ def _select_topk(d, base_idx, k):
     for _ in range(k):
         m = jnp.min(cur, axis=1)  # [B]
         col = jnp.argmin(cur, axis=1).astype(jnp.int32)  # [B]
+        sel = cols == col[:, None]
+        # exactly one column selected per row -> masked sum extracts its id
+        id_at = jnp.sum(jnp.where(sel, ids, 0), axis=1)
         vals.append(m)
-        idxs.append(jnp.where(jnp.isfinite(m), col + base_idx, -1))
-        cur = jnp.where(cols == col[:, None], jnp.inf, cur)
+        idxs.append(jnp.where(jnp.isfinite(m), id_at, -1))
+        cur = jnp.where(sel, jnp.inf, cur)
     return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
 
 
@@ -58,12 +63,12 @@ def _scan_kernel(q_ref, qsq_ref, x_ref, xsq_ref, mask_ref,
     valid = mask_ref[:].reshape(1, -1) != 0
     d = jnp.where(valid, d, jnp.inf)
 
-    tile_d, tile_i = _select_topk(d, i * tile, k)
+    b, t = d.shape
+    tile_ids = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1) + i * tile
+    tile_d, tile_i = _select_topk(d, tile_ids, k)
     all_d = jnp.concatenate([best_d[:], tile_d], axis=1)  # [B, 2K]
     all_i = jnp.concatenate([best_i[:], tile_i], axis=1)
-    merged_d, pos = _select_topk(all_d, 0, k)
-    merged_i = jnp.take_along_axis(all_i, jnp.maximum(pos, 0), axis=1)
-    merged_i = jnp.where(pos >= 0, merged_i, -1)
+    merged_d, merged_i = _select_topk(all_d, all_i, k)
     best_d[:] = merged_d
     best_i[:] = merged_i
 
