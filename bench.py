@@ -38,6 +38,10 @@ def main() -> None:
 
     import jax
 
+    from fabstir_vectordb_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from fabstir_vectordb_tpu.index import (
         FlatIndex,
         HybridConfig,

@@ -41,6 +41,9 @@ async def serve(config: ApiConfig | None = None) -> None:
 
 
 def main() -> None:
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # warm restarts skip remote-compile costs
     asyncio.run(serve())
 
 

@@ -24,7 +24,7 @@ Distances returned are squared euclidean (callers sqrt at the boundary).
 """
 from __future__ import annotations
 
-import os
+
 from functools import partial
 
 import jax
@@ -39,7 +39,7 @@ from .ivf import ivf_search_kernel
 # Above this many (padded) rows the exact flat scan stops being the fastest
 # query plan on one chip (~6 GB of HBM traffic per scan at 384-dim) and the
 # pruned path takes over. Tunable for benchmarking both regimes.
-FLAT_THRESHOLD = int(os.environ.get("FVDB_FLAT_THRESHOLD", 4_194_304))
+from ..utils.limits import FLAT_THRESHOLD  # noqa: E402
 
 
 @partial(jax.jit, static_argnames=("k",))

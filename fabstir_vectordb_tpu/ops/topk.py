@@ -33,6 +33,24 @@ def masked_topk(dists: jax.Array, mask: jax.Array, k: int):
     return jnp.where(valid, vals, INF), jnp.where(valid, idx, -1).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("k", "recall_target"))
+def masked_approx_topk(dists: jax.Array, mask: jax.Array, k: int,
+                       recall_target: float = 0.95):
+    """Approximate top-k smallest via the TPU-native ``lax.approx_min_k``.
+
+    Same conventions as masked_topk. exact top_k lowers to a full sort on
+    TPU (O(N log N) and slow for large k); approx_min_k is the hardware-
+    friendly O(N) selection — use it where slight tail imprecision is fine
+    (e.g. HNSW linking candidates, oversampled prefilter pools).
+    """
+    if mask.ndim == 1:
+        mask = mask[None, :]
+    masked = jnp.where(mask, dists, INF)
+    vals, idx = jax.lax.approx_min_k(masked, k, recall_target=recall_target)
+    valid = jnp.isfinite(vals)
+    return jnp.where(valid, vals, INF), jnp.where(valid, idx, -1).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def merge_topk(vals_a, idx_a, vals_b, idx_b, k: int):
     """Merge two top-k result sets (same convention as masked_topk)."""

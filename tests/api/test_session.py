@@ -278,3 +278,90 @@ class TestPersistenceRoundtrip:
         for key in ("vectorCount", "memoryUsageMb", "indexType",
                     "hnswVectorCount", "ivfVectorCount", "totalDeletedCount"):
             assert key in js
+
+
+class TestRegressions:
+    """Edge regressions mirroring the reference's topk / dimension
+    regression scripts (reference: bindings/node/test)."""
+
+    def test_k_exceeds_count_returns_all(self):
+        s = make_session()
+        s.add_vectors(vec_inputs(5))
+        out = s.search([0.0] * 8, 50)
+        assert len(out) == 5
+        # results sorted by descending score
+        scores = [r["score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_k_one(self):
+        s = make_session()
+        inputs = vec_inputs(20)
+        s.add_vectors(inputs)
+        out = s.search(inputs[7]["vector"], 1)
+        assert len(out) == 1 and out[0]["id"] == "doc7"
+
+    def test_search_dimension_mismatch(self):
+        s = make_session()
+        s.add_vectors(vec_inputs(12))
+        with pytest.raises(VectorDBError) as e:
+            s.search([0.0] * 4, 5)
+        assert e.value.code == "INVALID_INPUT"
+
+    def test_search_empty_session(self):
+        s = make_session()
+        assert s.search([0.0] * 8, 5) == []
+
+    def test_ids_unicode_and_long(self):
+        s = make_session()
+        weird = "café/путь:☂ " + "x" * 300
+        s.add_vectors([{"id": weird, "vector": [0.5] * 8, "metadata": None}])
+        out = s.search([0.5] * 8, 1)
+        assert out[0]["id"] == weird
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("FVDB_SCALE_TESTS") != "1",
+    reason="FVDB_SCALE_TESTS=1 to enable",
+)
+class TestE2EChunked50K:
+    """50K add -> save -> load -> search -> delete -> vacuum -> destroy
+    (reference: bindings/node/test/e2e-chunked.test.js:60-80)."""
+
+    def test_full_workflow(self):
+        store = MemoryObjectStore()
+        s = make_session("e2e-50k", store=store)
+        n, dim = 50_000, 64
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        batch = [
+            {"id": f"v{i}", "vector": vecs[i].tolist(),
+             "metadata": {"i": i, "genre": "g" + str(i % 5)}}
+            for i in range(n)
+        ]
+        for lo in range(0, n, 10_000):
+            s.add_vectors(batch[lo:lo + 10_000])
+        assert s.get_stats().vector_count == n
+
+        cid = s.save_to_s5()
+        # 50K / 10K chunk -> 5 chunks
+        chunk_keys = [k for k in store.list_keys() if "/chunks/" in k]
+        assert len(chunk_keys) == 5
+
+        s2 = make_session("e2e-50k-load", store=store)
+        s2.load_user_vectors(cid)
+        assert s2.get_stats().vector_count == n
+
+        q = vecs[123] + 0.001
+        out = s2.search(q.tolist(), 10, {"filter": {"genre": "g3"}})
+        assert out and all(r["metadata"]["genre"] == "g3" for r in out)
+        out = s2.search(q.tolist(), 10)
+        assert out[0]["id"] == "v123"
+
+        s2.delete_vector("v123")
+        out = s2.search(q.tolist(), 10)
+        assert out[0]["id"] != "v123"
+        removed = s2.vacuum()
+        assert removed.total_removed == 1
+        s2.destroy()
+        with pytest.raises(VectorDBError):
+            s2.search(q.tolist(), 5)
