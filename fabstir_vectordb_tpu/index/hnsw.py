@@ -35,7 +35,7 @@ import numpy as np
 from ..ops.distance import pairwise_distance
 from ..ops.topk import masked_topk, masked_approx_topk
 from ..utils.limits import FLAT_THRESHOLD
-from ..utils.padding import bucket
+from ..utils.padding import bucket, grow_rows
 from .store import VectorStore
 
 INF = np.float32(np.inf)
@@ -324,21 +324,14 @@ class HNSWIndex:
     def _ensure_capacity(self) -> None:
         cap = self.store.capacity
         if self.levels.shape[0] < cap:
-            extra = cap - self.levels.shape[0]
-            self.levels = np.concatenate([self.levels, np.full(extra, -1, np.int16)])
-            self.nbrs0 = np.vstack(
-                [self.nbrs0, np.full((extra, self.config.m0), -1, np.int32)]
-            )
-            self.up_offset = np.concatenate(
-                [self.up_offset, np.full(extra, -1, np.int32)]
-            )
+            self.levels = grow_rows(self.levels, cap, fill=-1)
+            self.nbrs0 = grow_rows(self.nbrs0, cap, fill=-1)
+            self.up_offset = grow_rows(self.up_offset, cap, fill=-1)
 
     def _alloc_up_rows(self, n: int) -> int:
         if self.up_count + n > self.up_cap:
             extra = max(self.up_cap, n)
-            self.nbrs_up = np.vstack(
-                [self.nbrs_up, np.full((extra, self.config.m), -1, np.int32)]
-            )
+            self.nbrs_up = grow_rows(self.nbrs_up, self.up_cap + extra, fill=-1)
             self.up_cap += extra
         start = self.up_count
         self.up_count += n

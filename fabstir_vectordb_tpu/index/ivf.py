@@ -30,7 +30,7 @@ import numpy as np
 from ..ops.distance import pairwise_distance
 from ..ops.kmeans import assign_clusters, kmeans_train
 from ..ops.topk import masked_topk, merge_topk
-from ..utils.padding import bucket, round_up
+from ..utils.padding import bucket, round_up, grow_rows
 from .store import VectorStore
 
 
@@ -191,9 +191,8 @@ class IVFIndex:
     # ------------------------------------------------------------- mutation
     def _ensure_capacity(self) -> None:
         if self.assignments.shape[0] < self.store.capacity:
-            extra = self.store.capacity - self.assignments.shape[0]
-            self.assignments = np.concatenate(
-                [self.assignments, np.full(extra, -1, np.int32)]
+            self.assignments = grow_rows(
+                self.assignments, self.store.capacity, fill=-1
             )
 
     def insert_rows(self, rows: np.ndarray) -> None:

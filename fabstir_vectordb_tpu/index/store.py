@@ -21,7 +21,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.padding import grow_capacity
+from ..utils.padding import grow_capacity, grow_rows
 
 
 class DuplicateIdError(ValueError):
@@ -69,15 +69,9 @@ class VectorStore:
         if needed <= self.capacity:
             return
         new_cap = grow_capacity(needed, self.capacity)
-        self.data = np.vstack(
-            [self.data, np.zeros((new_cap - self.capacity, self.dim), np.float32)]
-        )
-        self.deleted = np.concatenate(
-            [self.deleted, np.zeros(new_cap - self.capacity, bool)]
-        )
-        self.timestamps = np.concatenate(
-            [self.timestamps, np.zeros(new_cap - self.capacity, np.float64)]
-        )
+        self.data = grow_rows(self.data, new_cap)
+        self.deleted = grow_rows(self.deleted, new_cap)
+        self.timestamps = grow_rows(self.timestamps, new_cap)
         self.capacity = new_cap
 
     def add_batch(
@@ -104,6 +98,46 @@ class VectorStore:
             self._grow_to(self.count + n)
             rows = np.arange(self.count, self.count + n, dtype=np.int32)
             self.data[rows] = vectors
+            if timestamps is None:
+                timestamps = time.time()
+            self.timestamps[rows] = timestamps
+            self.deleted[rows] = False
+            for vid, row in zip(ids, rows):
+                self.id_to_row[vid] = int(row)
+                self.row_to_id.append(vid)
+            self.count += n
+            self._version += 1
+            return rows
+
+    def add_blocks(
+        self,
+        ids: list,
+        blocks: list,
+        timestamps: np.ndarray | float | None = None,
+    ) -> np.ndarray:
+        """Append pre-chunked [ni, dim] blocks without concatenating them
+        first (bulk-load path: one copy straight into the store instead of
+        materializing an intermediate corpus-sized array)."""
+        n = sum(int(b.shape[0]) for b in blocks)
+        if len(ids) != n:
+            raise ValueError("ids/blocks length mismatch")
+        with self._lock:
+            if len(set(ids)) != len(ids):
+                raise DuplicateIdError("duplicate ids within batch")
+            for vid in ids:
+                if vid in self.id_to_row:
+                    raise DuplicateIdError(f"duplicate vector id: {vid}")
+            self._grow_to(self.count + n)
+            pos = self.count
+            for b in blocks:
+                b = np.asarray(b, np.float32)
+                if b.ndim != 2 or b.shape[1] != self.dim:
+                    raise DimensionMismatchError(
+                        f"expected [n, {self.dim}] block, got {b.shape}"
+                    )
+                self.data[pos: pos + b.shape[0]] = b
+                pos += b.shape[0]
+            rows = np.arange(self.count, self.count + n, dtype=np.int32)
             if timestamps is None:
                 timestamps = time.time()
             self.timestamps[rows] = timestamps

