@@ -434,8 +434,17 @@ class VectorDBSession:
 
     def load_user_vectors(self, cid: str, options: LoadOptions | dict | None = None) -> None:
         self._check_alive()
+        if isinstance(options, dict):
+            options = LoadOptions(
+                lazy_load=bool(options.get("lazyLoad",
+                                           options.get("lazy_load", True))),
+                memory_budget_mb=options.get("memoryBudgetMb"),
+            )
+        opts = options or LoadOptions()
         try:
-            index, manifest = self._persister.load_index_chunked(cid)
+            index, manifest = self._persister.load_index_chunked(
+                cid, lazy=opts.lazy_load
+            )
         except Exception as e:  # noqa: BLE001
             raise VectorDBError(f"load failed: {e}", STORAGE_ERROR) from e
         self.index = index

@@ -91,8 +91,32 @@ class HybridIndex:
 
         self.fused = FusedSearcher(self)
         self.initialized = False
+        self._materialize_event = None  # set during lazy loads
+        self._load_error: Exception | None = None
 
     # ------------------------------------------------------------ lifecycle
+    def begin_materialize(self, event) -> None:
+        """Mark the index as lazily loading; data-plane ops block on
+        wait_ready() until the background materializer signals ``event``."""
+        self._materialize_event = event
+
+    def wait_ready(self, timeout: float | None = None) -> None:
+        """Block until lazily loaded vector data is resident (no-op for
+        eager loads). Raises the materializer's error if loading failed."""
+        ev = self._materialize_event
+        if ev is None:
+            return
+        if not ev.wait(timeout):
+            raise TimeoutError("lazy load still materializing")
+        if self._load_error is not None:
+            raise self._load_error
+        self._materialize_event = None
+
+    @property
+    def ready(self) -> bool:
+        ev = self._materialize_event
+        return ev is None or ev.is_set()
+
     @property
     def ivf_trained(self) -> bool:
         return self.ivf.trained
@@ -123,6 +147,7 @@ class HybridIndex:
         now: float | None = None,
     ) -> np.ndarray:
         """Insert vectors, routing each by age. Returns store rows."""
+        self.wait_ready()
         now = time.time() if now is None else now
         vectors = np.asarray(vectors, np.float32)
         if timestamps is None:
@@ -156,6 +181,7 @@ class HybridIndex:
         now: float | None = None,
     ):
         """Batched dual-engine search. Returns (dists [B,k], rows [B,k])."""
+        self.wait_ready()
         cfg = config or SearchConfig()
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         b = queries.shape[0]
@@ -266,6 +292,7 @@ class HybridIndex:
         """Move aged-out HNSW rows to IVF. Returns number migrated."""
         if not self.ivf.trained:
             return 0
+        self.wait_ready()
         now = time.time() if now is None else now
         batch_size = batch_size or self.config.migration_batch_size
         m = self.hnsw.member_mask()[: self.store.count]
@@ -304,6 +331,7 @@ class HybridIndex:
 
     def vacuum(self) -> dict:
         """Physically remove soft-deleted vectors from both engines."""
+        self.wait_ready()
         hnsw_removed = self.hnsw.vacuum()
         ivf_removed = self.ivf.vacuum()
         self.store.vacuum()
@@ -333,6 +361,7 @@ class HybridIndex:
         return self.store.contains(vid)
 
     def get_vector(self, vid: str) -> np.ndarray:
+        self.wait_ready()
         return self.store.get_vector(vid)
 
     # ---------------------------------------------------------------- stats

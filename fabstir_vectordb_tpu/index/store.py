@@ -149,6 +149,47 @@ class VectorStore:
             self._version += 1
             return rows
 
+    def register_rows(
+        self, ids: list, timestamps: np.ndarray | float | None = None
+    ) -> np.ndarray:
+        """Allocate rows and id mappings WITHOUT writing vector data (lazy
+        load: data arrives later via fill_rows). Rows read as zeros until
+        filled."""
+        with self._lock:
+            if len(set(ids)) != len(ids):
+                raise DuplicateIdError("duplicate ids within batch")
+            for vid in ids:
+                if vid in self.id_to_row:
+                    raise DuplicateIdError(f"duplicate vector id: {vid}")
+            n = len(ids)
+            self._grow_to(self.count + n)
+            rows = np.arange(self.count, self.count + n, dtype=np.int32)
+            if timestamps is None:
+                timestamps = time.time()
+            self.timestamps[rows] = timestamps
+            self.deleted[rows] = False
+            for vid, row in zip(ids, rows):
+                self.id_to_row[vid] = int(row)
+                self.row_to_id.append(vid)
+            self.count += n
+            self._version += 1
+            return rows
+
+    def fill_rows(self, start_row: int, block: np.ndarray,
+                  bump_version: bool = False) -> None:
+        """Write a contiguous [n, dim] data block into pre-registered rows.
+        Callers streaming many blocks bump the version once at the end
+        (each bump invalidates the device mirror)."""
+        block = np.asarray(block, np.float32)
+        with self._lock:
+            self.data[start_row: start_row + block.shape[0]] = block
+            if bump_version:
+                self._version += 1
+
+    def bump_version(self) -> None:
+        with self._lock:
+            self._version += 1
+
     def row_of(self, vid: str) -> int:
         try:
             return self.id_to_row[vid]

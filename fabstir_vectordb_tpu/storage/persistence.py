@@ -40,6 +40,8 @@ from ..core.chunk import (
     IVFManifest,
     Manifest,
     VectorChunk,
+    _pack_ids,
+    _unpack_ids,
 )
 from ..core.object_store import NotFoundError, ObjectStore
 from ..core.schema import MetadataSchema
@@ -182,6 +184,10 @@ class HybridPersister:
             "timestamps": s.timestamps[order].astype(np.float64),
             "hnsw_member": hnsw_member.astype(np.uint8),
             "ivf_assign": ivf_assign.astype(np.int32),
+            # ids also live in the chunks; duplicating them here (packed,
+            # ~20 bytes/row) lets lazy loads build the full id<->row mapping
+            # without fetching any chunk
+            "ids_packed": _pack_ids(ids),
         }
         self.store.put(f"{session_id}/state.cbor", cbor.dumps(state))
 
@@ -252,8 +258,19 @@ class HybridPersister:
         self,
         session_id: str,
         config: HybridConfig | None = None,
+        lazy: bool = False,
     ) -> tuple:
-        """Returns (HybridIndex, Manifest)."""
+        """Returns (HybridIndex, Manifest).
+
+        With ``lazy=True`` (and a save that recorded packed ids in
+        state.cbor), the index returns after fetching only the small
+        sidecars (manifest, state, graph — no vector chunks); chunk data
+        streams into the store from background threads, and the first
+        search blocks on ``HybridIndex.wait_ready()``. This is the
+        fast-startup path the reference's lazyLoad option promised but
+        left unimplemented (reference: bindings/node/src/session.rs:102-199,
+        docs/IMPLEMENTATION_CHUNKED.md:44-50).
+        """
         manifest = self.load_manifest(session_id)
         dim = int(manifest.extra.get("dim") or 0)
         if config is None:
@@ -264,14 +281,25 @@ class HybridPersister:
         keys = [
             f"{session_id}/chunks/{c.chunk_id}.cbor" for c in manifest.chunks
         ]
-        chunks = self.loader.load_chunks_parallel(keys)
-        ids: list = []
-        blocks = []
-        for c in chunks:
-            ids.extend(c.ids)
-            if c.data.shape[0]:
-                blocks.append(c.data)
-                dim = dim or int(c.data.shape[1])
+        state = cbor.loads(self.store.get(f"{session_id}/state.cbor"))
+        timestamps = np.asarray(state["timestamps"], np.float64)
+        hnsw_member = np.asarray(state["hnsw_member"], np.uint8).astype(bool)
+        ivf_assign = np.asarray(state["ivf_assign"], np.int32)
+        ids_packed = state.get("ids_packed")
+
+        deferred = lazy and ids_packed is not None
+        if deferred:
+            ids = _unpack_ids(ids_packed)
+            blocks: list = []
+        else:
+            chunks = self.loader.load_chunks_parallel(keys)
+            ids = []
+            blocks = []
+            for c in chunks:
+                ids.extend(c.ids)
+                if c.data.shape[0]:
+                    blocks.append(c.data)
+                    dim = dim or int(c.data.shape[1])
         dim = dim or 1
         n = len(ids)
         if n != manifest.total_vectors:
@@ -280,16 +308,16 @@ class HybridPersister:
                 f"chunks contain {n}"
             )
 
-        state = cbor.loads(self.store.get(f"{session_id}/state.cbor"))
-        timestamps = np.asarray(state["timestamps"], np.float64)
-        hnsw_member = np.asarray(state["hnsw_member"], np.uint8).astype(bool)
-        ivf_assign = np.asarray(state["ivf_assign"], np.int32)
-
         idx = HybridIndex(dim, config)
-        # blocks copy straight into the pre-sized store — no corpus-sized
-        # intermediate concatenation (first-touch page faults dominate load)
-        rows = (idx.store.add_blocks(ids, blocks, timestamps)
-                if n else np.zeros(0, np.int32))
+        if deferred:
+            # rows allocated (== save-order positions), data streamed below
+            rows = (idx.store.register_rows(ids, timestamps)
+                    if n else np.zeros(0, np.int32))
+        else:
+            # blocks copy straight into the pre-sized store — no corpus-
+            # sized intermediate concat (first-touch faults dominate load)
+            rows = (idx.store.add_blocks(ids, blocks, timestamps)
+                    if n else np.zeros(0, np.int32))
 
         centroids = None
         if manifest.ivf_structure and manifest.ivf_structure.num_centroids:
@@ -312,6 +340,30 @@ class HybridPersister:
             if idx.store.contains(vid):
                 idx.store.mark_deleted(vid)
         idx.initialized = True
+
+        if deferred and n:
+            import threading
+
+            event = threading.Event()
+            idx.begin_materialize(event)
+            loader = self.loader
+            store = idx.store
+
+            def _materialize() -> None:
+                try:
+                    pos = 0
+                    for chunk in loader.load_chunks_parallel(keys):
+                        store.fill_rows(pos, chunk.data)
+                        pos += len(chunk)
+                    store.bump_version()
+                except Exception as e:  # noqa: BLE001 - surfaced on wait_ready
+                    idx._load_error = e
+                finally:
+                    event.set()
+
+            threading.Thread(
+                target=_materialize, name="fvdb-materialize", daemon=True
+            ).start()
         return idx, manifest
 
     # ------------------------------------------------------------- integrity

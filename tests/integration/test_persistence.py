@@ -293,3 +293,93 @@ class TestEnginePersisters:
         _, ivf2 = p.load_index("new")
         assert ivf2.centroids.shape[0] == 4
         assert ivf2.active_count == 150
+
+
+class TestLazyLoad:
+    def test_lazy_load_defers_chunks_and_search_blocks(self, rng):
+        """lazy=True returns after sidecars only; vector chunks stream in the
+        background and the first search blocks on materialization."""
+        import threading
+        import time as _time
+
+        from fabstir_vectordb_tpu.core import MemoryObjectStore
+        from fabstir_vectordb_tpu.index import (
+            FlatIndex, HybridConfig, HybridIndex, IVFConfig, SearchConfig,
+        )
+        from fabstir_vectordb_tpu.storage.persistence import HybridPersister
+
+        n, dim, k = 600, 16, 5
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HybridIndex(dim, HybridConfig(
+            ivf=IVFConfig(n_clusters=8, n_probe=8, seed=0), auto_migrate=False))
+        idx.initialize(vecs[:100])
+        ts = np.full(n, NOW - 30 * DAY)
+        ts[:100] = NOW - DAY
+        idx.insert_batch([f"v{i}" for i in range(n)], vecs, ts, now=NOW)
+
+        inner = MemoryObjectStore()
+        HybridPersister(inner).save_index_chunked(idx, "lazy", chunk_size=100)
+
+        gate = threading.Event()
+
+        class GatedStore:
+            """Blocks chunk GETs until the gate opens; sidecars pass."""
+            def __init__(self, store): self._s = store
+            def get(self, key):
+                if "/chunks/" in key:
+                    assert gate.wait(10), "gate never opened"
+                return self._s.get(key)
+            def __getattr__(self, name): return getattr(self._s, name)
+
+        p = HybridPersister(GatedStore(inner))
+        t0 = _time.perf_counter()
+        loaded, manifest = p.load_index_chunked("lazy", lazy=True)
+        load_s = _time.perf_counter() - t0
+        assert load_s < 5.0  # returned without waiting on the gate
+        assert not loaded.ready
+        assert loaded.stats(now=NOW).total_vectors == n  # metadata ops work
+
+        results = {}
+        def do_search():
+            q = vecs[:4] + 0.001
+            results["out"] = loaded.search_rows(
+                q, k, config=SearchConfig(auto_migrate=False), now=NOW)
+
+        t = threading.Thread(target=do_search)
+        t.start()
+        t.join(0.5)
+        assert t.is_alive()  # search is blocked on materialization
+        gate.set()
+        t.join(30)
+        assert not t.is_alive()
+        assert loaded.ready
+
+        _, rows = results["out"]
+        oracle = FlatIndex(loaded.store)
+        _, want = oracle.search_rows(vecs[:4] + 0.001, k)
+        np.testing.assert_array_equal(rows, want)
+
+    def test_lazy_falls_back_to_eager_for_v1_state(self, rng):
+        """Saves without packed ids (older format) load eagerly under
+        lazy=True."""
+        from fabstir_vectordb_tpu import cbor
+        from fabstir_vectordb_tpu.core import MemoryObjectStore
+        from fabstir_vectordb_tpu.index import HybridConfig, HybridIndex, IVFConfig
+        from fabstir_vectordb_tpu.storage.persistence import HybridPersister
+
+        n, dim = 50, 8
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HybridIndex(dim, HybridConfig(
+            ivf=IVFConfig(n_clusters=4, n_probe=4, seed=0), auto_migrate=False))
+        idx.initialize(vecs[:20])
+        idx.insert_batch([f"v{i}" for i in range(n)], vecs,
+                         np.full(n, NOW - DAY), now=NOW)
+        store = MemoryObjectStore()
+        HybridPersister(store).save_index_chunked(idx, "old")
+        state = cbor.loads(store.get("old/state.cbor"))
+        state.pop("ids_packed")
+        store.put("old/state.cbor", cbor.dumps(state))
+
+        loaded, _ = HybridPersister(store).load_index_chunked("old", lazy=True)
+        assert loaded.ready  # eager fallback
+        assert loaded.stats(now=NOW).total_vectors == n
