@@ -127,6 +127,7 @@ class HybridPersister:
         schema: MetadataSchema | None = None,
         incremental: bool = False,
     ) -> Manifest:
+        index.wait_ready()  # a lazily-loaded index must be resident to save
         s = index.store
         # global save order: allocated rows with live ids (tombstones skipped)
         order = np.array(

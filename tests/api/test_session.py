@@ -365,3 +365,40 @@ class TestE2EChunked50K:
         s2.destroy()
         with pytest.raises(VectorDBError):
             s2.search(q.tolist(), 5)
+
+
+class TestConcurrency:
+    """Concurrent readers/writer smoke test (the reference relies on
+    Arc<RwLock> + unsafe Send/Sync, src/hnsw/core.rs:688; here the store
+    serializes mutation under an RLock and searches snapshot device state)."""
+
+    def test_parallel_searches_during_inserts(self):
+        import threading
+
+        s = make_session()
+        s.add_vectors(vec_inputs(64, seed=1))
+        errors = []
+        stop = threading.Event()
+
+        def searcher():
+            rng = np.random.default_rng(0)
+            while not stop.is_set():
+                try:
+                    out = s.search(rng.standard_normal(8).tolist(), 5)
+                    assert len(out) >= 1
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+                    return
+
+        threads = [threading.Thread(target=searcher) for _ in range(4)]
+        for t in threads:
+            t.start()
+        try:
+            for i in range(8):
+                s.add_vectors(vec_inputs(32, seed=100 + i, prefix=f"b{i}-"))
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(20)
+        assert not errors, errors[:1]
+        assert s.get_stats().vector_count == 64 + 8 * 32
