@@ -544,8 +544,9 @@ class HNSWIndex:
 
     def _link_batch(self, batch: np.ndarray, levels_new: np.ndarray, cands: dict) -> None:
         cfg = self.config
-        if cands["mode"] == "beam":
-            max_searched = max(cands["per_layer"].keys())
+        if cands["mode"] == "exact":
+            return self._link_batch_exact(batch, levels_new, cands)
+        max_searched = max(cands["per_layer"].keys())
         for qi, row in enumerate(batch):
             row = int(row)
             level = int(levels_new[qi])
@@ -573,6 +574,110 @@ class HNSWIndex:
             if level > self.max_level:
                 self.entry_point = row
                 self.max_level = level
+
+    def _link_batch_exact(self, batch: np.ndarray, levels_new: np.ndarray,
+                          cands: dict) -> None:
+        """Vectorized linking from per-query exact candidate pools.
+
+        Replaces the per-node python loop (~1.2 ms/node) with batched numpy:
+        forward links are a masked keep-first selection per layer; reverse
+        links group (target, new) pairs by target, fill free slots with one
+        scatter, and batch-prune only the overfull targets. Two deliberate
+        (quality-neutral or better) deviations from strict sequential order:
+        nodes install before linking, so a batch-mate that raises max_level
+        lets its peers link their upper layers too; and overfull reverse
+        lists prune once against the union of additions (a global top-M)
+        instead of greedily one addition at a time.
+        """
+        cfg = self.config
+        batch = np.asarray(batch, np.int64)
+        for qi, row in enumerate(batch):
+            self._install_node(int(row), int(levels_new[qi]))
+        for qi, row in enumerate(batch):
+            if int(levels_new[qi]) > self.max_level:
+                self.entry_point = int(row)
+                self.max_level = int(levels_new[qi])
+
+        ids_all = np.asarray(cands["ids"])
+        top_cap = self.max_level if self.max_level >= 0 else 0
+        max_l = int(min(levels_new.max(initial=0), top_cap))
+        for layer in range(0, max_l + 1):
+            at = np.nonzero(levels_new >= layer)[0]
+            if at.size == 0:
+                continue
+            rows = batch[at]
+            ids = ids_all[at]
+            keep = (
+                (ids >= 0)
+                & (self.levels[np.maximum(ids, 0)] >= layer)
+                & (ids != rows[:, None])
+            )
+            m_l = cfg.m0 if layer == 0 else cfg.m
+            w = min(m_l, ids.shape[1])  # candidate pool may be narrower
+            order = np.argsort(~keep, axis=1, kind="stable")[:, :w]
+            chosen = np.where(
+                np.take_along_axis(keep, order, axis=1),
+                np.take_along_axis(ids, order, axis=1),
+                -1,
+            )
+            if layer == 0:
+                self.nbrs0[rows] = -1
+                self.nbrs0[rows[:, None], np.arange(w)[None, :]] = chosen
+            else:
+                r = self.up_offset[rows] + layer - 1
+                self.nbrs_up[r] = -1
+                self.nbrs_up[r[:, None], np.arange(w)[None, :]] = chosen
+            self._add_reverse_links_bulk(layer, rows, chosen)
+
+    def _add_reverse_links_bulk(self, layer: int, src_rows: np.ndarray,
+                                chosen: np.ndarray) -> None:
+        """Add src -> target reverse links for a whole batch at one layer."""
+        targets = chosen.ravel()
+        news = np.repeat(src_rows, chosen.shape[1])
+        ok = targets >= 0
+        if not ok.any():
+            return
+        targets, news = targets[ok], news[ok]
+        order = np.argsort(targets, kind="stable")
+        targets, news = targets[order], news[order]
+        uniq, start, counts = np.unique(
+            targets, return_index=True, return_counts=True
+        )
+
+        if layer == 0:
+            lists = self.nbrs0[uniq]  # fancy-index copy; written back below
+        else:
+            up_rows = self.up_offset[uniq] + layer - 1
+            lists = self.nbrs_up[up_rows]
+        t_count, width = lists.shape
+
+        free = lists < 0
+        free_count = free.sum(axis=1)
+        n_fit = np.minimum(counts, free_count)
+        # column of each target's i-th free slot (free-first stable order)
+        free_order = np.argsort(~free, axis=1, kind="stable")
+        fit_mask = np.arange(width)[None, :] < n_fit[:, None]
+        cols = free_order[fit_mask]  # row-major: target 0's slots, then 1's...
+        rows_idx = np.repeat(np.arange(t_count), n_fit)
+        within = np.arange(len(targets)) - np.repeat(start, counts)
+        vals = news[within < np.repeat(n_fit, counts)]
+        lists[rows_idx, cols] = vals
+
+        over = np.nonzero(counts > free_count)[0]
+        for i in over:
+            extras = news[start[i] + n_fit[i]: start[i] + counts[i]]
+            cand = np.concatenate([lists[i][lists[i] >= 0], extras])
+            vecs = self.store.data[cand]
+            tv = self.store.data[uniq[i]]
+            d = ((vecs - tv) ** 2).sum(-1)
+            best = cand[np.argsort(d, kind="stable")[:width]]
+            lists[i] = -1
+            lists[i, : len(best)] = best
+
+        if layer == 0:
+            self.nbrs0[uniq] = lists
+        else:
+            self.nbrs_up[up_rows] = lists
 
     def _layer_list(self, row: int, layer: int) -> np.ndarray:
         if layer == 0:
