@@ -112,6 +112,34 @@ class VectorDbClient:
     def backup(self) -> dict:
         return self._request("POST", "/admin/backup")
 
+    # ------------------------------------------------ session-level routes
+    def delete_by_metadata(self, flt: Any) -> dict:
+        return self._request(
+            "POST", "/vectors/delete-by-metadata", {"filter": flt}
+        )
+
+    def update_metadata(self, vid: str, metadata: Any) -> dict:
+        return self._request(
+            "PATCH", f"/vectors/{vid}/metadata", {"metadata": metadata}
+        )
+
+    def save_session(self) -> str:
+        return self._request("POST", "/session/save")["cid"]
+
+    def load_session(self, cid: str, options: dict | None = None) -> dict:
+        return self._request(
+            "POST", "/session/load", {"cid": cid, "options": options}
+        )
+
+    def set_schema(self, schema: Any) -> dict:
+        return self._request("PUT", "/session/schema", {"schema": schema})
+
+    def vacuum(self) -> dict:
+        return self._request("POST", "/session/vacuum")
+
+    def session_stats(self) -> dict:
+        return self._request("GET", "/session/stats")
+
     def subscribe_updates(self):
         """Yields server-sent events as dicts (blocking generator)."""
         resp = self._session.get(
