@@ -137,3 +137,35 @@ def test_pq_roundtrip_and_adc(rng):
     adc = np.asarray(pq_adc_distances(table, codes))
     exact_to_decoded = ((np.asarray(q)[:, None, :] - decoded[None]) ** 2).sum(-1)
     np.testing.assert_allclose(adc, exact_to_decoded, rtol=1e-3, atol=1e-2)
+
+
+def test_masked_approx_topk_respects_mask(rng):
+    from fabstir_vectordb_tpu.ops.topk import masked_approx_topk
+
+    d = jnp.asarray(rng.standard_normal((4, 512)).astype(np.float32) ** 2)
+    mask = np.ones(512, bool)
+    mask[:256] = False
+    vals, idx = masked_approx_topk(d, jnp.asarray(mask), 8)
+    idx = np.asarray(idx)
+    assert (idx >= 256).all()
+    # high recall vs exact on the masked region
+    want = np.argsort(np.where(mask, np.asarray(d), np.inf), axis=1)[:, :8]
+    hit = np.mean([
+        len(set(idx[i]) & set(want[i])) / 8 for i in range(4)
+    ])
+    assert hit >= 0.75
+
+
+def test_grow_rows_preserves_prefix(rng):
+    from fabstir_vectordb_tpu.utils.padding import grow_rows
+
+    a = rng.standard_normal((10, 4)).astype(np.float32)
+    g = grow_rows(a, 64)
+    assert g.shape == (64, 4)
+    np.testing.assert_array_equal(g[:10], a)
+    assert (g[10:] == 0).all()
+
+    b = np.arange(6, dtype=np.int32)
+    g2 = grow_rows(b, 16, fill=-1)
+    np.testing.assert_array_equal(g2[:6], b)
+    assert (g2[6:] == -1).all()
