@@ -825,6 +825,51 @@ class HNSWIndex:
             + self.levels.nbytes + self.up_offset.nbytes
         )
 
+    # ---------------------------------------------------- graph maintenance
+    # Real implementations of operations the reference declares but stubs
+    # out to return zeros (reference: src/hnsw/operations.rs:202-225,306-325
+    # optimize_connections / compact_layers / defragment "TODO").
+
+    def optimize_connections(self) -> int:
+        """Re-order every layer-0 neighbor list by ascending distance
+        (reverse-link appends fill lists in arrival order; distance order
+        improves beam expansion quality). Returns lists touched."""
+        members = self.member_rows()
+        if members.size == 0:
+            return 0
+        lists = self.nbrs0[members]  # [n, M0]
+        safe = np.maximum(lists, 0)
+        diffs = self.store.data[safe] - self.store.data[members][:, None, :]
+        d = np.einsum("nmd,nmd->nm", diffs, diffs)
+        d[lists < 0] = np.inf
+        order = np.argsort(d, axis=1, kind="stable")
+        self.nbrs0[members] = np.take_along_axis(lists, order, axis=1)
+        self._version += 1
+        return int(members.size)
+
+    def defragment(self) -> int:
+        """Re-pack ``nbrs_up`` dropping rows orphaned by vacuum/removal.
+        Returns rows reclaimed."""
+        members = self.member_rows()
+        live = members[self.levels[members] > 0]
+        order = np.argsort(self.up_offset[live], kind="stable")
+        live = live[order]
+        new_up = np.full_like(self.nbrs_up, -1)
+        pos = 0
+        new_offsets = np.full_like(self.up_offset, -1)
+        for r in live:
+            lvl = int(self.levels[r])
+            off = self.up_offset[r]
+            new_up[pos: pos + lvl] = self.nbrs_up[off: off + lvl]
+            new_offsets[r] = pos
+            pos += lvl
+        reclaimed = self.up_count - pos
+        self.nbrs_up = new_up
+        self.up_offset = new_offsets
+        self.up_count = pos
+        self._version += 1
+        return int(reclaimed)
+
     # ---------------------------------------------------------- persistence
     def export_graph(self, order: np.ndarray) -> dict:
         """Serialize the graph for the rows in ``order`` (store rows, all

@@ -121,3 +121,43 @@ class TestStats:
         frac_upper = (levels >= 1).mean()
         # P(level>=1) = 0.408; allow generous tolerance
         assert 0.3 < frac_upper < 0.52
+
+
+def test_optimize_connections_orders_by_distance(rng):
+    store = VectorStore(8)
+    x = rng.standard_normal((200, 8)).astype(np.float32)
+    rows = store.add_batch([f"v{i}" for i in range(200)], x)
+    h = HNSWIndex(store)
+    h.insert_rows(rows)
+    touched = h.optimize_connections()
+    assert touched == 200
+    # every list now ascends by distance (invalid slots trail)
+    for r in rows[:20]:
+        lst = h.nbrs0[r]
+        valid = lst[lst >= 0]
+        d = ((store.data[valid] - store.data[r]) ** 2).sum(-1)
+        assert (np.diff(d) >= -1e-5).all()
+    # search still correct
+    q = x[:4] + 0.01
+    _, got = h.search_rows(q, 5)
+    assert (got[:, 0] == rows[:4]).all()
+
+
+def test_defragment_reclaims_after_removal(rng):
+    store = VectorStore(8)
+    x = rng.standard_normal((300, 8)).astype(np.float32)
+    rows = store.add_batch([f"v{i}" for i in range(300)], x)
+    h = HNSWIndex(store)
+    h.insert_rows(rows)
+    before = h.up_count
+    # remove a third of the nodes, then physically drop them
+    for i in range(0, 300, 3):
+        store.mark_deleted(f"v{i}")
+    h.remove_rows(rows[::3])
+    reclaimed = h.defragment()
+    assert reclaimed >= 0
+    assert h.up_count <= before
+    q = x[1][None] + 0.01
+    _, got = h.search_rows(q, 5)
+    assert got[0, 0] == rows[1]
+    assert h.check_integrity()["ok"]
