@@ -118,3 +118,35 @@ def test_manifest_duplicate_chunk_id_invalid():
     m.add_chunk(ChunkMetadata("dup", 1, 1))
     with pytest.raises(ChunkError, match="Duplicate"):
         m.validate()
+
+
+class TestChunkPartitionProperties:
+    """Property-style partition invariants over random sizes (reference:
+    proptest chunk partition tests per docs/IMPLEMENTATION_CHUNKED.md:67)."""
+
+    def test_partition_invariants_random(self, rng):
+        from fabstir_vectordb_tpu.core import MemoryObjectStore
+        from fabstir_vectordb_tpu.index import HybridConfig, HybridIndex, IVFConfig
+        from fabstir_vectordb_tpu.storage.persistence import HybridPersister
+
+        for trial in range(5):
+            n = int(rng.integers(1, 400))
+            chunk_size = int(rng.integers(1, 120))
+            dim = int(rng.integers(2, 12))
+            vecs = rng.standard_normal((n, dim)).astype(np.float32)
+            idx = HybridIndex(dim, HybridConfig(auto_migrate=False))
+            idx.initialize(None)  # HNSW-only mode
+            idx.insert_batch([f"t{trial}-v{i}" for i in range(n)], vecs,
+                             np.full(n, 1.0), now=1.0)
+            store = MemoryObjectStore()
+            m = HybridPersister(store).save_index_chunked(
+                idx, f"p{trial}", chunk_size=chunk_size)
+
+            # invariants: chunk count, disjoint full coverage, size bounds
+            want_chunks = (n + chunk_size - 1) // chunk_size
+            assert len(m.chunks) == want_chunks
+            assert sum(c.vector_count for c in m.chunks) == n
+            assert all(c.vector_count <= chunk_size for c in m.chunks)
+            assert all(c.vector_count >= 1 for c in m.chunks)
+            loaded, _ = HybridPersister(store).load_index_chunked(f"p{trial}")
+            assert loaded.stats(now=1.0).total_vectors == n
