@@ -34,7 +34,7 @@ class ChunkLoader:
         sleep=time.sleep,
     ):
         self.store = store
-        self.cache = cache or ChunkCache(max_chunks=15)
+        self.cache = cache if cache is not None else ChunkCache(max_chunks=15)
         self.max_retries = max_retries
         self.base_delay = base_delay
         self._sleep = sleep

@@ -199,3 +199,28 @@ class TestBatchStore:
         assert inner.exists("a")
         s.flush()
         assert not inner.exists("a")
+
+
+def test_chunk_loader_honors_injected_empty_cache():
+    """Regression: an EMPTY ChunkCache is falsy (__len__ == 0); the loader
+    must not silently replace it with a default-sized one."""
+    import numpy as np
+
+    from fabstir_vectordb_tpu.core import ChunkCache, MemoryObjectStore
+    from fabstir_vectordb_tpu.core.chunk import VectorChunk
+    from fabstir_vectordb_tpu.storage.chunk_loader import ChunkLoader
+
+    store = MemoryObjectStore()
+    for i in range(10):
+        store.put(
+            f"chunks/chunk-{i}.cbor",
+            VectorChunk(f"chunk-{i}", 0, 0, ["a"],
+                        np.zeros((1, 4), np.float32)).to_cbor(),
+        )
+    cache = ChunkCache(max_chunks=6)
+    loader = ChunkLoader(store, cache=cache)
+    assert loader.cache is cache
+    for i in range(10):
+        loader.load_chunk(f"chunks/chunk-{i}.cbor")
+    assert len(cache) == 6  # bounded by the injected capacity
+    assert cache.metrics.evictions == 4
