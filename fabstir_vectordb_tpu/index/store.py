@@ -65,6 +65,22 @@ class VectorStore:
         self._lock = threading.RLock()
 
     # ------------------------------------------------------------ mutation
+    def _check_new_ids(self, ids: list) -> None:
+        """Duplicate-id validation that permits re-inserting a soft-deleted
+        id: the tombstoned row releases its mapping (stays deleted forever)
+        and the id maps to the new row — this is how delete-then-reinsert
+        (the reference client's update) works without a vacuum in between."""
+        if len(set(ids)) != len(ids):
+            raise DuplicateIdError("duplicate ids within batch")
+        for vid in ids:
+            row = self.id_to_row.get(vid)
+            if row is None:
+                continue
+            if not self.deleted[row]:
+                raise DuplicateIdError(f"duplicate vector id: {vid}")
+            self.row_to_id[row] = None
+            del self.id_to_row[vid]
+
     def _grow_to(self, needed: int) -> None:
         if needed <= self.capacity:
             return
@@ -89,11 +105,7 @@ class VectorStore:
         if len(ids) != vectors.shape[0]:
             raise ValueError("ids/vectors length mismatch")
         with self._lock:
-            for vid in ids:
-                if vid in self.id_to_row:
-                    raise DuplicateIdError(f"duplicate vector id: {vid}")
-            if len(set(ids)) != len(ids):
-                raise DuplicateIdError("duplicate ids within batch")
+            self._check_new_ids(ids)
             n = vectors.shape[0]
             self._grow_to(self.count + n)
             rows = np.arange(self.count, self.count + n, dtype=np.int32)
@@ -122,11 +134,7 @@ class VectorStore:
         if len(ids) != n:
             raise ValueError("ids/blocks length mismatch")
         with self._lock:
-            if len(set(ids)) != len(ids):
-                raise DuplicateIdError("duplicate ids within batch")
-            for vid in ids:
-                if vid in self.id_to_row:
-                    raise DuplicateIdError(f"duplicate vector id: {vid}")
+            self._check_new_ids(ids)
             self._grow_to(self.count + n)
             pos = self.count
             for b in blocks:
@@ -156,11 +164,7 @@ class VectorStore:
         load: data arrives later via fill_rows). Rows read as zeros until
         filled."""
         with self._lock:
-            if len(set(ids)) != len(ids):
-                raise DuplicateIdError("duplicate ids within batch")
-            for vid in ids:
-                if vid in self.id_to_row:
-                    raise DuplicateIdError(f"duplicate vector id: {vid}")
+            self._check_new_ids(ids)
             n = len(ids)
             self._grow_to(self.count + n)
             rows = np.arange(self.count, self.count + n, dtype=np.int32)

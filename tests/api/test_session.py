@@ -402,3 +402,25 @@ class TestConcurrency:
                 t.join(20)
         assert not errors, errors[:1]
         assert s.get_stats().vector_count == 64 + 8 * 32
+
+
+def test_delete_then_reinsert_same_id():
+    """Re-inserting a soft-deleted id works without vacuum (the reference
+    client's update() is delete+insert); the tombstoned row stays invisible
+    and persistence keeps the live id out of deleted_vectors."""
+    from fabstir_vectordb_tpu.core import MemoryObjectStore
+
+    store = MemoryObjectStore()
+    s = make_session(store=store)
+    s.add_vectors(vec_inputs(12))
+    s.delete_vector("doc3")
+    s.add_vectors([{"id": "doc3", "vector": [0.25] * 8, "metadata": {"v": 2}}])
+    out = s.search([0.25] * 8, 1)
+    assert out[0]["id"] == "doc3" and out[0]["metadata"] == {"v": 2}
+
+    cid = s.save_to_s5()
+    s2 = make_session("reload", store=store)
+    s2.load_user_vectors(cid)
+    out = s2.search([0.25] * 8, 1)
+    assert out[0]["id"] == "doc3" and out[0]["metadata"] == {"v": 2}
+    assert s2.get_stats().vector_count == 12
