@@ -29,8 +29,6 @@ import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
-import numpy as np
-
 from aiohttp import web, WSMsgType
 
 from ..core.object_store import ObjectStore

@@ -36,9 +36,9 @@ from ..core.metadata_filter import FilterError, MetadataFilter
 from ..core.object_store import ObjectStore
 from ..core.schema import MetadataSchema, SchemaError
 from ..core.types import VectorId, distance_to_score
-from ..index.hybrid import HybridConfig, HybridIndex, SearchConfig
-from ..index.store import DuplicateIdError, UnknownIdError
-from ..storage.factory import StorageConfig, StorageFactory, validate_seed_phrase
+from ..index.hybrid import HybridConfig, HybridIndex
+from ..index.store import DuplicateIdError
+from ..storage.factory import StorageFactory, validate_seed_phrase
 from ..storage.persistence import HybridPersister
 from ..utils.tracing import PerfMonitor, get_logger
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.distance import pairwise_distance
-from ..ops.topk import masked_topk, masked_approx_topk
+from ..ops.topk import masked_approx_topk
 from ..utils.limits import FLAT_THRESHOLD
 from ..utils.padding import bucket, grow_rows
 from .store import VectorStore

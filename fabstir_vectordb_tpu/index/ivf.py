@@ -416,7 +416,7 @@ class IVFIndex:
     def evaluate_search_quality(self, queries: np.ndarray, k: int = 10) -> dict:
         """Recall/precision vs exhaustive ground truth + avg query latency
         (reference: src/ivf/operations.rs:329-391)."""
-        from .flat import FlatIndex, recall_at_k
+        from .flat import FlatIndex
 
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         member_mask = self.member_mask()[: self.store.capacity]

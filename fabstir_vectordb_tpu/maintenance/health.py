@@ -9,9 +9,8 @@ from __future__ import annotations
 
 import threading
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-import numpy as np
 
 from ..index.hybrid import HybridIndex
 from ..utils.tracing import PerfMonitor, get_logger
