@@ -79,6 +79,13 @@ class TieredFlatSearcher:
     def search(self, queries: np.ndarray, k: int,
                extra_mask: np.ndarray | None = None):
         """Returns (sq-dists [B, k], rows [B, k]); exact over active rows."""
+        return jax.device_get(self.search_async(queries, k, extra_mask))
+
+    def search_async(self, queries: np.ndarray, k: int,
+                     extra_mask: np.ndarray | None = None):
+        """Like search() but returns device arrays without blocking — all
+        tile transfers/compute are dispatched; callers running several
+        searchers (e.g. one per device) overlap them by deferring the get."""
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
         b = q.shape[0]
         vals = jnp.full((b, k), jnp.inf, jnp.float32)
@@ -99,9 +106,61 @@ class TieredFlatSearcher:
                 )
         finally:
             self.mask = old_mask
-        return jax.device_get((vals, rows))
+        return vals, rows
 
     def _put(self, t: int):
         x, m, lo = self._host_tile(t)
         # device_put is async: returns immediately with transfers in flight
         return jax.device_put(x), jax.device_put(m), lo
+
+
+class MultiDeviceTieredSearcher:
+    """Exact search over a host corpus streamed across SEVERAL devices.
+
+    The beyond-total-HBM regime (SURVEY §7 step 8 per-shard tiering): rows
+    partition across devices; each device independently double-buffers its
+    own host->HBM tile stream (async dispatch overlaps every device's copy
+    and compute with all the others'), keeps a running [B, k] top-k, and
+    the per-device partials merge on the host at the end. No collectives —
+    the merge axis is k*n_devices values per query, negligible.
+    """
+
+    def __init__(self, data: np.ndarray, mask: np.ndarray | None = None,
+                 devices: list | None = None,
+                 hbm_budget_bytes: int = 2 << 30,
+                 tile_rows: int | None = None):
+        self.devices = devices or jax.devices()
+        n = data.shape[0]
+        n_dev = len(self.devices)
+        bounds = np.linspace(0, n, n_dev + 1).astype(np.int64)
+        full_mask = np.ones(n, bool) if mask is None else mask
+        self.shards = []
+        for d, lo, hi in zip(self.devices, bounds[:-1], bounds[1:]):
+            if hi <= lo:
+                continue
+            searcher = TieredFlatSearcher(
+                data[lo:hi], full_mask[lo:hi],
+                hbm_budget_bytes=hbm_budget_bytes, tile_rows=tile_rows,
+            )
+            self.shards.append((d, searcher, int(lo)))
+
+    def search(self, queries: np.ndarray, k: int):
+        """Returns (sq-dists [B, k], rows [B, k]) over the global corpus."""
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        pending = []
+        # dispatch every shard's full tile pipeline before blocking on any —
+        # devices stream and compute concurrently
+        for dev, searcher, base in self.shards:
+            with jax.default_device(dev):
+                pending.append((searcher.search_async(q, k), base))
+        partials = []
+        for (vals_d, rows_d), base in pending:
+            vals, rows = jax.device_get((vals_d, rows_d))
+            partials.append((vals, np.where(rows >= 0, rows + base, -1)))
+        all_vals = np.concatenate([p[0] for p in partials], axis=1)
+        all_rows = np.concatenate([p[1] for p in partials], axis=1)
+        order = np.argsort(all_vals, axis=1, kind="stable")[:, :k]
+        return (
+            np.take_along_axis(all_vals, order, axis=1),
+            np.take_along_axis(all_rows, order, axis=1),
+        )

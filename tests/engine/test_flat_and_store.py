@@ -148,3 +148,24 @@ class TestTieredFlatSearcher:
         # original mask untouched after the filtered query
         vals2, rows2 = tiered.search(x[50][None], k)
         assert rows2[0, 0] == 50
+
+
+def test_multi_device_tiered_matches_exact(rng):
+    import jax
+
+    from fabstir_vectordb_tpu.index.tiered import MultiDeviceTieredSearcher
+
+    n, d, k = 6000, 16, 7
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    mask = np.ones(n, bool)
+    mask[123] = False
+    ms = MultiDeviceTieredSearcher(
+        x, mask, devices=jax.devices("cpu")[:8], tile_rows=1024)
+    assert len(ms.shards) == 8
+    q = x[:5] + 0.01
+    vals, rows = ms.search(q, k)
+
+    dist = ((q[:, None, :] - x[None]) ** 2).sum(-1)
+    dist[:, 123] = np.inf
+    want = np.argsort(dist, axis=1)[:, :k]
+    np.testing.assert_array_equal(rows, want)
