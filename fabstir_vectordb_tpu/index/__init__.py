@@ -3,7 +3,7 @@ from .flat import FlatIndex
 from .ivf import IVFIndex, IVFConfig
 from .hnsw import HNSWIndex, HNSWConfig
 from .hybrid import HybridIndex, HybridConfig, SearchConfig
-from .tiered import TieredFlatSearcher
+from .tiered import TieredFlatSearcher, MultiDeviceTieredSearcher
 
 __all__ = [
     "VectorStore",
@@ -16,4 +16,5 @@ __all__ = [
     "HybridConfig",
     "SearchConfig",
     "TieredFlatSearcher",
+    "MultiDeviceTieredSearcher",
 ]
