@@ -25,6 +25,7 @@ Distances returned are squared euclidean (callers sqrt at the boundary).
 from __future__ import annotations
 
 
+import os
 from functools import partial
 
 import jax
@@ -42,10 +43,19 @@ from .ivf import ivf_search_kernel
 from ..utils.limits import FLAT_THRESHOLD  # noqa: E402
 
 
+SERVING_DTYPE = os.environ.get("FVDB_SERVING_DTYPE", "float32")
+
+
 @partial(jax.jit, static_argnames=("k",))
 def flat_search_kernel(x, x_sq, mask, q, k: int):
-    """Masked exact top-k: one distance matmul + fused top-k."""
-    d = pairwise_distance(q, x, x_sq=x_sq)
+    """Masked exact top-k: one distance matmul + fused top-k.
+
+    With a bf16-resident corpus (FVDB_SERVING_DTYPE=bfloat16: half the HBM
+    per row, double the capacity), the matmul runs in bf16 with f32
+    accumulation; precomputed f32 x_sq keeps the norm term full-precision.
+    """
+    compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    d = pairwise_distance(q, x, x_sq=x_sq, compute_dtype=compute)
     return masked_topk(d, mask, k)
 
 
@@ -121,7 +131,7 @@ class FusedSearcher:
             h = self.hybrid
             h.hnsw._fix_entry_point()  # entry may have been deleted
             key = self._state_key()
-            mirror = h.store.device()
+            mirror = h.store.device(dtype=SERVING_DTYPE)
             graph = h.hnsw._device_arrays()
             active = h.store.active_mask()
             hnsw_mask = active & h.hnsw.member_mask()[: h.store.capacity]

@@ -41,6 +41,7 @@ class DeviceMirror:
     x: jnp.ndarray
     x_sq: jnp.ndarray
     version: int
+    dtype: str = "float32"
 
 
 class VectorStore:
@@ -265,13 +266,25 @@ class VectorStore:
             if not self.deleted[r] and self.row_to_id[r] is not None
         ]
 
-    def device(self) -> DeviceMirror:
-        """Device-resident (x, x_sq); re-uploaded only when host data changed."""
+    def device(self, dtype: str = "float32") -> DeviceMirror:
+        """Device-resident (x, x_sq); re-uploaded only when host data changed.
+
+        ``dtype="bfloat16"`` keeps the resident vectors in bf16 — half the
+        HBM per row (double the single-chip capacity) with distances still
+        accumulated in f32 on the MXU; x_sq stays f32 from the host copy.
+        """
         with self._lock:
-            if self._mirror is None or self._mirror.version != self._version:
-                x = jnp.asarray(self.data)
-                x_sq = jnp.sum(x * x, axis=1)
-                self._mirror = DeviceMirror(x=x, x_sq=x_sq, version=self._version)
+            m = self._mirror
+            if m is None or m.version != self._version or m.dtype != dtype:
+                if dtype == "bfloat16":
+                    x = jnp.asarray(self.data, jnp.bfloat16)
+                    x_sq = jnp.asarray((
+                        self.data.astype(np.float32) ** 2).sum(axis=1))
+                else:
+                    x = jnp.asarray(self.data)
+                    x_sq = jnp.sum(x * x, axis=1)
+                self._mirror = DeviceMirror(
+                    x=x, x_sq=x_sq, version=self._version, dtype=dtype)
             return self._mirror
 
     def memory_usage_bytes(self) -> int:

@@ -257,3 +257,42 @@ def test_fused_flat_and_pruned_regimes_agree(rng):
     # pruned regime: full-probe IVF + beam -> near-exact here
     assert (r_pruned[:, 0] == orows[:, 0]).mean() >= 0.9
     assert 3 not in r_pruned
+
+
+def test_bfloat16_serving_mirror(rng):
+    """FVDB_SERVING_DTYPE=bfloat16 halves resident vector HBM; results stay
+    near-exact (f32 accumulation + f32 norms)."""
+    import fabstir_vectordb_tpu.index.fused as fused_mod
+    from fabstir_vectordb_tpu.index import (
+        FlatIndex, HybridConfig, HybridIndex, IVFConfig, SearchConfig,
+    )
+
+    dim, n, k = 16, 500, 5
+    vecs = (rng.standard_normal((n, dim)) * 3).astype(np.float32)
+    idx = HybridIndex(dim, HybridConfig(
+        ivf=IVFConfig(n_clusters=8, n_probe=8, seed=0), auto_migrate=False))
+    idx.initialize(vecs[:100])
+    idx.insert_batch([f"v{i}" for i in range(n)], vecs,
+                     np.full(n, NOW - DAY), now=NOW)
+
+    q = vecs[:8] + 0.01
+    cfg = SearchConfig(auto_migrate=False)
+    old = fused_mod.SERVING_DTYPE
+    try:
+        fused_mod.SERVING_DTYPE = "bfloat16"
+        idx.fused._key = None
+        import jax.numpy as jnp
+        assert idx.fused._device_state()["x"].dtype == jnp.bfloat16
+        _, rows_bf16 = idx.search_rows(q, k, config=cfg, now=NOW)
+    finally:
+        fused_mod.SERVING_DTYPE = old
+        idx.fused._key = None
+
+    oracle = FlatIndex(idx.store)
+    _, want = oracle.search_rows(q, k)
+    # top-1 identical on well-separated data; full top-k near-identical
+    assert (rows_bf16[:, 0] == want[:, 0]).all()
+    overlap = np.mean([
+        len(set(rows_bf16[i]) & set(want[i])) / k for i in range(len(q))
+    ])
+    assert overlap >= 0.9
