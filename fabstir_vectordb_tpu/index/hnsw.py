@@ -85,6 +85,41 @@ def _flat_candidates_kernel(x, x_sq, mask, q, ef: int):
     return masked_approx_topk(d, mask, ef)
 
 
+# materializing a [B, N] distance matrix for candidates peaks at
+# B*N*4 bytes (4.3 GB at B=1024, N=1M); above this width the scan streams
+# corpus chunks with a running top-ef instead.
+_CAND_CHUNK = 131_072
+
+
+@partial(jax.jit, static_argnames=("ef",))
+def _flat_candidates_chunked(x, x_sq, mask, q, ef: int):
+    """Chunk-streamed candidate scan: fori_loop over corpus slices, per-slice
+    distance matmul + approx top-ef, running merge. Same result quality as
+    the monolithic kernel with a bounded [B, chunk] working set."""
+    n = x.shape[0]
+    b = q.shape[0]
+    n_chunks = (n + _CAND_CHUNK - 1) // _CAND_CHUNK  # n is a power-of-two bucket
+
+    def body(i, carry):
+        vals, idx = carry
+        start = i * _CAND_CHUNK
+        xs = jax.lax.dynamic_slice_in_dim(x, start, _CAND_CHUNK)
+        xsq = jax.lax.dynamic_slice_in_dim(x_sq, start, _CAND_CHUNK)
+        m = jax.lax.dynamic_slice_in_dim(mask, start, _CAND_CHUNK)
+        d = pairwise_distance(q, xs, x_sq=xsq)
+        cvals, cidx = masked_approx_topk(d, m, ef)
+        cidx = jnp.where(cidx >= 0, cidx + start, -1)
+        from ..ops.topk import merge_topk
+
+        return merge_topk(vals, idx, cvals, cidx, ef)
+
+    init = (
+        jnp.full((b, ef), jnp.inf, jnp.float32),
+        jnp.full((b, ef), -1, jnp.int32),
+    )
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
 def _gather_dists(x, x_sq, q, q_sq, ids):
     """Distances from each query to its own id list: q [B,D], ids [B,M] -> [B,M]."""
     safe = jnp.maximum(ids, 0)
@@ -487,7 +522,12 @@ class HNSWIndex:
         if cfg.link_mode == "auto" and self.store.capacity <= FLAT_THRESHOLD:
             # exact candidates: one MXU matmul over the whole store beats
             # beam traversal (gather-bound) by ~50x and links better
-            vals, ids = _flat_candidates_kernel(
+            kernel = (
+                _flat_candidates_chunked
+                if self.store.capacity > _CAND_CHUNK
+                else _flat_candidates_kernel
+            )
+            vals, ids = kernel(
                 mirror.x, mirror.x_sq, mask, q, cfg.ef_construction
             )
             vals, ids = jax.device_get((vals, ids))
