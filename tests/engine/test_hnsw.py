@@ -161,3 +161,18 @@ def test_defragment_reclaims_after_removal(rng):
     _, got = h.search_rows(q, 5)
     assert got[0, 0] == rows[1]
     assert h.check_integrity()["ok"]
+
+
+@pytest.mark.parametrize("mode", ["layer0", "per_layer"])
+def test_link_modes_build_searchable_graphs(rng, mode):
+    """Beam-based construction paths (used above FLAT_THRESHOLD) still
+    build graphs with solid recall."""
+    store = VectorStore(16)
+    x = rng.standard_normal((400, 16)).astype(np.float32)
+    rows = store.add_batch([f"v{i}" for i in range(400)], x)
+    h = HNSWIndex(store, HNSWConfig(link_mode=mode, seed=7))
+    h.insert_rows(rows)
+    q = x[:16] + 0.01
+    _, got = h.search_rows(q, 5, ef=64)
+    top1 = (got[:, 0] == rows[:16]).mean()
+    assert top1 >= 0.9, f"{mode}: top1={top1}"
