@@ -176,3 +176,23 @@ def test_link_modes_build_searchable_graphs(rng, mode):
     _, got = h.search_rows(q, 5, ef=64)
     top1 = (got[:, 0] == rows[:16]).mean()
     assert top1 >= 0.9, f"{mode}: top1={top1}"
+
+
+def test_device_mirror_delta_matches_full_upload(rng):
+    """Incremental adjacency mirror (dirty-row scatters) must equal a full
+    re-upload after multiple insert/delete rounds."""
+    import jax.numpy as jnp
+
+    store = VectorStore(8)
+    x = rng.standard_normal((600, 8)).astype(np.float32)
+    rows = store.add_batch([f"v{i}" for i in range(600)], x)
+    h = HNSWIndex(store)
+    for lo in range(0, 600, 150):  # several batches -> several delta updates
+        h.insert_rows(rows[lo:lo + 150])
+        dev = h._device_arrays()
+    store.mark_deleted("v10")
+    h.insert_rows(np.array([], np.int64))  # no-op
+    dev = h._device_arrays()
+    np.testing.assert_array_equal(np.asarray(dev["nbrs0"]), h.nbrs0)
+    np.testing.assert_array_equal(np.asarray(dev["nbrs_up"]), h.nbrs_up)
+    np.testing.assert_array_equal(np.asarray(dev["up_offset"]), h.up_offset)
