@@ -394,14 +394,24 @@ def create_app(config: ApiConfig | None = None,
     app.router.add_get(f"{prefix}/ws", websocket)
 
     # ----------------------------------------------------------------- CORS
+    allowed_origins = [o.strip() for o in config.cors_origins if o.strip()]
+    wildcard = allowed_origins == ["*"]
+
     @web.middleware
     async def cors_middleware(request, handler):
         if request.method == "OPTIONS":
             resp = web.Response(status=204)
         else:
             resp = await handler(request)
-        origins = ",".join(config.cors_origins)
-        resp.headers["Access-Control-Allow-Origin"] = origins
+        # the header only admits a single origin or '*': echo the request
+        # Origin when it's on the allowlist (with Vary: Origin so caches
+        # don't leak one origin's grant to another)
+        origin = request.headers.get("Origin")
+        if wildcard:
+            resp.headers["Access-Control-Allow-Origin"] = "*"
+        elif origin and origin in allowed_origins:
+            resp.headers["Access-Control-Allow-Origin"] = origin
+            resp.headers["Vary"] = "Origin"
         resp.headers["Access-Control-Allow-Methods"] = (
             "GET,POST,PUT,PATCH,DELETE,OPTIONS"
         )

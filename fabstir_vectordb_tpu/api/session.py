@@ -265,9 +265,12 @@ class VectorDBSession:
 
     @staticmethod
     def _internal_id(user_id: str) -> str:
-        # content-hash internal ids (parity with blake3 VectorId,
-        # core/types.rs:19-22); originals preserved via _originalId
-        return str(VectorId.from_string(user_id))
+        # content-hash internal ids keyed by the FULL 32-byte digest (parity
+        # with blake3 VectorId, core/types.rs:19-22 — there the truncated
+        # vec_<8hex> form is display-only); originals preserved via
+        # _originalId.  Truncating to 32 bits would make birthday collisions
+        # near-certain at the advertised 1M-vector scale.
+        return "vec_" + VectorId.from_string(user_id).to_hex()
 
     @staticmethod
     def _wrap_metadata(user_id: str, meta: Any) -> dict:

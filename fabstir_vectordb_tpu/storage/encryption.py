@@ -40,12 +40,14 @@ def derive_key(seed_phrase: str, salt: str = "fabstir-vectordb") -> bytes:
 class EncryptedObjectStore(_BaseStore):
     """AEAD encrypt/decrypt decorator around any ObjectStore."""
 
-    def __init__(self, inner: ObjectStore, key: bytes):
+    def __init__(self, inner: ObjectStore, key: bytes,
+                 allow_plaintext: bool = False):
         if not HAVE_AEAD:  # pragma: no cover
             raise StorageError("cryptography package unavailable; cannot encrypt")
         if len(key) != 32:
             raise ValueError("key must be 32 bytes")
         self.inner = inner
+        self.allow_plaintext = allow_plaintext
         self._aead = ChaCha20Poly1305(key)
 
     def put(self, key: str, data: bytes) -> None:
@@ -56,7 +58,16 @@ class EncryptedObjectStore(_BaseStore):
     def get(self, key: str) -> bytes:
         blob = self.inner.get(key)
         if blob[:4] != _MAGIC:
-            return blob  # plaintext legacy object
+            # An unauthenticated blob in an encrypted store is an integrity
+            # failure by default — silently accepting it would let anyone
+            # with write access to the underlying store bypass the AEAD.
+            # Legacy plaintext migration must be opted into explicitly.
+            if self.allow_plaintext:
+                return blob
+            raise StorageError(
+                f"object {key!r} is not FVE1-encrypted (pass "
+                f"allow_plaintext=True to read legacy plaintext objects)"
+            )
         nonce, ct = blob[4:16], blob[16:]
         try:
             return self._aead.decrypt(nonce, ct, key.encode("utf-8"))

@@ -137,14 +137,17 @@ class HybridPersister:
         n = order.size
 
         prev_hashes: dict = {}
-        if incremental:
-            try:
-                prev = Manifest.from_json(
-                    self.store.get(f"{session_id}/manifest.json").decode()
-                )
-                prev_hashes = dict(prev.extra.get("chunk_hashes") or {})
-            except (NotFoundError, Exception):
-                prev_hashes = {}
+        prev_chunk_ids: list = []
+        try:
+            prev = Manifest.from_json(
+                self.store.get(f"{session_id}/manifest.json").decode()
+            )
+            prev_hashes = dict(prev.extra.get("chunk_hashes") or {})
+            prev_chunk_ids = [c.chunk_id for c in prev.chunks]
+        except Exception:
+            pass
+        if not incremental:
+            prev_hashes = {}
 
         manifest = Manifest(chunk_size=chunk_size, total_vectors=int(n))
         chunk_hashes: dict = {}
@@ -237,6 +240,13 @@ class HybridPersister:
         self.store.put(
             f"{session_id}/manifest.json", manifest.to_json().encode("utf-8")
         )
+        # drop chunk files the new (possibly shrunken) manifest no longer
+        # references — vacuumed indexes must not leave phantom chunks behind
+        for stale in set(prev_chunk_ids) - set(chunk_hashes):
+            try:
+                self.store.delete(f"{session_id}/chunks/{stale}.cbor")
+            except Exception:
+                pass
         self.loader.cache.clear()  # stored chunks may differ from cached ones
         return manifest
 
@@ -435,7 +445,8 @@ class HNSWPersister:
     def __init__(self, store: ObjectStore):
         self.store = store
 
-    def save_index(self, index: HNSWIndex, path: str) -> None:
+    def save_index(self, index: HNSWIndex, path: str,
+                   incremental: bool = False) -> None:
         s = index.store
         order = index.member_rows()
         order = order[np.array([s.row_to_id[r] is not None for r in order], bool)] \
@@ -444,6 +455,34 @@ class HNSWPersister:
         graph = index.export_graph(order)
         n = order.size
         n_chunks = (n + self.NODES_PER_CHUNK - 1) // self.NODES_PER_CHUNK
+
+        prev_hashes: dict = {}
+        prev_n_chunks = 0
+        try:
+            prev = cbor.loads(self.store.get(f"{path}/metadata.cbor"))
+            prev_n_chunks = int(prev.get("n_chunks", 0))
+            if incremental:
+                prev_hashes = dict(prev.get("chunk_hashes") or {})
+        except Exception:
+            pass
+
+        chunk_hashes: dict = {}
+        for ci in range(n_chunks):
+            lo = ci * self.NODES_PER_CHUNK
+            hi = min(lo + self.NODES_PER_CHUNK, n)
+            payload = cbor.dumps({
+                "ids": ids[lo:hi],
+                "vectors": s.data[order[lo:hi]],
+                "timestamps": s.timestamps[order[lo:hi]],
+            })
+            name = f"chunk_{ci:04d}"
+            h = _sha(payload)
+            chunk_hashes[name] = h
+            key = f"{path}/nodes/{name}.cbor"
+            if prev_hashes.get(name) == h and self.store.exists(key):
+                continue  # dirty-node incremental: unchanged chunk kept as-is
+            self.store.put(key, payload)
+
         meta = {
             "format_version": FORMAT_VERSION,
             "dim": s.dim,
@@ -458,20 +497,57 @@ class HNSWPersister:
                 s.row_to_id[r]
                 for r in order[s.deleted[order]]
             ],
+            "chunk_hashes": chunk_hashes,
         }
         self.store.put(f"{path}/metadata.cbor", cbor.dumps(meta))
         self.store.put(f"{path}/graph.cbor", cbor.dumps(graph))
-        for ci in range(n_chunks):
-            lo = ci * self.NODES_PER_CHUNK
-            hi = min(lo + self.NODES_PER_CHUNK, n)
-            payload = {
-                "ids": ids[lo:hi],
-                "vectors": s.data[order[lo:hi]],
-                "timestamps": s.timestamps[order[lo:hi]],
-            }
-            self.store.put(
-                f"{path}/nodes/chunk_{ci:04d}.cbor", cbor.dumps(payload)
-            )
+        # shrinking saves (post-vacuum) must not leave phantom node chunks
+        for ci in range(n_chunks, prev_n_chunks):
+            try:
+                self.store.delete(f"{path}/nodes/chunk_{ci:04d}.cbor")
+            except Exception:
+                pass
+
+    def save_incremental(self, index: HNSWIndex, path: str) -> None:
+        """Rewrite only node chunks whose content changed since the last save
+        (reference dirty-node incremental save: hnsw/persistence.rs:187-240).
+        metadata.cbor and graph.cbor are always rewritten — the graph mutates
+        on any insert."""
+        self.save_index(index, path, incremental=True)
+
+    # ---------------------------------------------------------------- backup
+    def _keys(self, path: str) -> list:
+        meta = cbor.loads(self.store.get(f"{path}/metadata.cbor"))
+        keys = [f"{path}/metadata.cbor", f"{path}/graph.cbor"]
+        keys += [
+            f"{path}/nodes/chunk_{ci:04d}.cbor"
+            for ci in range(int(meta["n_chunks"]))
+        ]
+        return keys
+
+    def save_with_backup(self, index: HNSWIndex, path: str) -> None:
+        """Back up the current save (if any) under backup/, then save
+        (reference: hnsw/persistence.rs:242-305)."""
+        try:
+            for key in self._keys(path):
+                self.store.put(f"backup/{key}", self.store.get(key))
+        except (NotFoundError, PersistenceError):
+            pass  # nothing saved yet
+        self.save_index(index, path)
+
+    def restore_from_backup(self, path: str) -> None:
+        try:
+            meta_raw = self.store.get(f"backup/{path}/metadata.cbor")
+        except NotFoundError:
+            raise PersistenceError(f"no backup for {path!r}") from None
+        meta = cbor.loads(meta_raw)
+        keys = [f"{path}/metadata.cbor", f"{path}/graph.cbor"]
+        keys += [
+            f"{path}/nodes/chunk_{ci:04d}.cbor"
+            for ci in range(int(meta["n_chunks"]))
+        ]
+        for key in keys:
+            self.store.put(key, self.store.get(f"backup/{key}"))
 
     def load_index(self, path: str, config: HNSWConfig | None = None):
         """Returns (VectorStore, HNSWIndex)."""
@@ -575,9 +651,25 @@ class IVFPersister:
 
     def save_incremental(self, index: IVFIndex, path: str,
                          modified_clusters: list) -> None:
-        """Rewrite only the given clusters (reference: ivf/persistence.rs:267-297)."""
+        """Rewrite the given clusters AND metadata.cbor (the reference
+        re-serializes IVFMetadata first, ivf/persistence.rs:267-297) so the
+        on-store total_vectors / deleted_ids stay consistent with the lists
+        and a later load doesn't fail IncompleteSaveError."""
         s = index.store
         members = index.member_rows()
+        members = members[
+            np.array([s.row_to_id[r] is not None for r in members], bool)
+        ] if members.size else members
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "dim": s.dim,
+            "n_clusters": int(index.centroids.shape[0]),
+            "n_probe": index.config.n_probe,
+            "total_vectors": int(members.size),
+            "compressed": self.compress,
+            "deleted_ids": [s.row_to_id[r] for r in members[s.deleted[members]]],
+        }
+        self.store.put(f"{path}/metadata.cbor", cbor.dumps(meta))
         assign = index.assignments[members]
         for ci in modified_clusters:
             rows = members[assign == ci]

@@ -75,7 +75,8 @@ class S5ObjectStore(_BaseStore):
             h[ENCRYPTION_HEADER] = ENCRYPTION_ALGO
         return h
 
-    def _request(self, method: str, key: str, data: bytes | None = None):
+    def _request(self, method: str, key: str, data: bytes | None = None,
+                 params: dict | None = None):
         last: Exception | None = None
         for attempt in range(self.retries):
             try:
@@ -83,6 +84,7 @@ class S5ObjectStore(_BaseStore):
                     method,
                     self._url(key),
                     data=data,
+                    params=params,
                     headers=self._headers(),
                     timeout=self.timeout,
                 )
@@ -120,13 +122,11 @@ class S5ObjectStore(_BaseStore):
         self._cache.pop(key, None)
 
     def list_keys(self, prefix: str = "") -> list:
-        resp = self._session.get(
-            self._url(prefix.rstrip("/")),
-            params={"list": "1"},
-            timeout=self.timeout,
-        )
-        if resp.status_code >= 400:
-            raise StorageError(f"S5 list {prefix} -> {resp.status_code}")
+        # goes through the retry/encryption-header path like every other op
+        try:
+            resp = self._request("GET", prefix.rstrip("/"), params={"list": "1"})
+        except NotFoundError:
+            return []
         try:
             obj = resp.json()
         except Exception as e:

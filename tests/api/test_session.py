@@ -424,3 +424,30 @@ def test_delete_then_reinsert_same_id():
     out = s2.search([0.25] * 8, 1)
     assert out[0]["id"] == "doc3" and out[0]["metadata"] == {"v": 2}
     assert s2.get_stats().vector_count == 12
+
+
+class TestInternalIdKeying:
+    def test_internal_ids_use_full_digest(self):
+        # truncated 8-hex ids (32 bits) birthday-collide near 65K vectors;
+        # internal keys must carry the full 32-byte digest
+        from fabstir_vectordb_tpu.api.session import VectorDBSession
+        iid = VectorDBSession._internal_id("some-user-id")
+        assert iid.startswith("vec_") and len(iid) == 4 + 64
+        assert iid != VectorDBSession._internal_id("some-user-id2")
+
+    def test_distinct_ids_roundtrip_through_search(self):
+        import numpy as np
+        from fabstir_vectordb_tpu.api.session import VectorDBSession
+        from fabstir_vectordb_tpu.core import MemoryObjectStore
+        s = VectorDBSession.create(
+            {"sessionId": "ids", "storageMode": "mock"}, MemoryObjectStore()
+        )
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((64, 8)).astype(np.float32)
+        s.add_vectors([
+            {"id": f"user-{i}", "vector": vecs[i].tolist(), "metadata": {"i": i}}
+            for i in range(64)
+        ])
+        res = s.search(vecs[17].tolist(), 1)
+        assert res[0]["id"] == "user-17"
+        assert res[0]["metadata"]["i"] == 17

@@ -383,3 +383,127 @@ class TestLazyLoad:
         loaded, _ = HybridPersister(store).load_index_chunked("old", lazy=True)
         assert loaded.ready  # eager fallback
         assert loaded.stats(now=NOW).total_vectors == n
+
+
+class TestHybridStaleChunkCleanup:
+    def test_shrinking_save_deletes_phantom_chunks(self):
+        idx, _ = build_hybrid(n=200)
+        store = MemoryObjectStore()
+        p = HybridPersister(store)
+        p.save_index_chunked(idx, "s", chunk_size=50)  # 4 chunks
+        assert store.exists("s/chunks/chunk-3.cbor")
+        for i in range(100, 200):
+            idx.delete(f"v{i}")
+        idx.vacuum()
+        m = p.save_index_chunked(idx, "s", chunk_size=50)  # 2 chunks
+        assert m.num_chunks == 2
+        assert not store.exists("s/chunks/chunk-2.cbor")
+        assert not store.exists("s/chunks/chunk-3.cbor")
+        idx2, _ = p.load_index_chunked("s")
+        assert idx2.store.active_count == 100
+
+
+class TestHNSWEngineIncrementalAndBackup:
+    def _build(self, n=2500, dim=8, seed=0):
+        rng = np.random.default_rng(seed)
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        store = VectorStore(dim)
+        rows = store.add_batch([f"n{i}" for i in range(n)], vecs)
+        hnsw = HNSWIndex(store, HNSWConfig(seed=0))
+        hnsw.insert_rows(rows)
+        return store, hnsw, vecs
+
+    def test_save_incremental_skips_unchanged_node_chunks(self):
+        store, hnsw, vecs = self._build()
+        obj = MemoryObjectStore()
+        p = HNSWPersister(obj)
+        p.save_index(hnsw, "h")
+        before = dict(obj.put_calls)
+        p.save_incremental(hnsw, "h")
+        for ci in range(3):  # 2500 nodes -> 3 chunks of 1000
+            key = f"h/nodes/chunk_{ci:04d}.cbor"
+            assert obj.put_calls[key] == before[key]
+        # metadata + graph always rewritten
+        assert obj.put_calls["h/metadata.cbor"] == before["h/metadata.cbor"] + 1
+
+    def test_save_incremental_rewrites_dirty_tail(self):
+        store, hnsw, vecs = self._build(n=1500)
+        obj = MemoryObjectStore()
+        p = HNSWPersister(obj)
+        p.save_index(hnsw, "h")
+        before = dict(obj.put_calls)
+        rows = store.add_batch(["extra"], np.zeros((1, 8), np.float32))
+        hnsw.insert_rows(rows)
+        p.save_incremental(hnsw, "h")
+        assert obj.put_calls["h/nodes/chunk_0000.cbor"] == before["h/nodes/chunk_0000.cbor"]
+        assert obj.put_calls["h/nodes/chunk_0001.cbor"] == before["h/nodes/chunk_0001.cbor"] + 1
+        store2, hnsw2 = p.load_index("h")
+        assert hnsw2.num_nodes == 1501
+        assert store2.contains("extra")
+
+    def test_save_with_backup_and_restore(self):
+        store, hnsw, vecs = self._build(n=300)
+        obj = MemoryObjectStore()
+        p = HNSWPersister(obj)
+        p.save_with_backup(hnsw, "h")  # first save: nothing to back up
+        rows = store.add_batch(["late"], np.ones((1, 8), np.float32))
+        hnsw.insert_rows(rows)
+        p.save_with_backup(hnsw, "h")
+        assert obj.exists("backup/h/metadata.cbor")
+        obj.put("h/nodes/chunk_0000.cbor", b"garbage")
+        p.restore_from_backup("h")
+        store2, hnsw2 = p.load_index("h")
+        assert hnsw2.num_nodes == 300  # backup predates the "late" insert
+
+    def test_shrinking_save_deletes_phantom_node_chunks(self):
+        store, hnsw, vecs = self._build(n=2200)
+        obj = MemoryObjectStore()
+        p = HNSWPersister(obj)
+        p.save_index(hnsw, "h")  # 3 chunks
+        assert obj.exists("h/nodes/chunk_0002.cbor")
+        for i in range(1500, 2200):
+            store.mark_deleted(f"n{i}")
+        hnsw.vacuum()
+        p.save_index(hnsw, "h")  # 1500 nodes -> 2 chunks
+        assert not obj.exists("h/nodes/chunk_0002.cbor")
+        _, hnsw2 = p.load_index("h")
+        assert hnsw2.num_nodes == 1500
+
+
+class TestIVFIncrementalMetadata:
+    def test_save_incremental_rewrites_metadata(self):
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((200, 8)).astype(np.float32)
+        store = VectorStore(8)
+        rows = store.add_batch([f"i{i}" for i in range(200)], vecs)
+        ivf = IVFIndex(store, IVFConfig(n_clusters=4, n_probe=4, seed=0))
+        ivf.train(vecs)
+        ivf.insert_rows(rows)
+        obj = MemoryObjectStore()
+        p = IVFPersister(obj)
+        p.save_index(ivf, "x")
+        # mutate: delete one vector, then vacuum so counts change
+        store.mark_deleted("i7")
+        # rewrite every cluster to be safe about which one i7 lives in
+        p.save_incremental(ivf, "x", list(range(4)))
+        store2, ivf2 = p.load_index("x")  # count check must pass
+        assert ivf2.active_count == 199
+        assert store2.is_deleted("i7")
+
+    def test_save_incremental_skips_tombstoned_rows(self):
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((100, 8)).astype(np.float32)
+        store = VectorStore(8)
+        rows = store.add_batch([f"i{i}" for i in range(100)], vecs)
+        ivf = IVFIndex(store, IVFConfig(n_clusters=4, n_probe=4, seed=0))
+        ivf.train(vecs)
+        ivf.insert_rows(rows)
+        store.mark_deleted("i3")
+        ivf.vacuum()  # physically removes -> row_to_id[row]=None tombstone
+        obj = MemoryObjectStore()
+        p = IVFPersister(obj)
+        p.save_index(ivf, "x")
+        p.save_incremental(ivf, "x", list(range(4)))
+        store2, ivf2 = p.load_index("x")
+        assert ivf2.active_count == 99
+        assert not store2.contains("i3")

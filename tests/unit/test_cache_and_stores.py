@@ -224,3 +224,45 @@ def test_chunk_loader_honors_injected_empty_cache():
         loader.load_chunk(f"chunks/chunk-{i}.cbor")
     assert len(cache) == 6  # bounded by the injected capacity
     assert cache.metrics.evictions == 4
+
+
+class TestEncryptedObjectStore:
+    def _store(self, **kw):
+        from fabstir_vectordb_tpu.core import MemoryObjectStore
+        from fabstir_vectordb_tpu.storage.encryption import (
+            EncryptedObjectStore, derive_key,
+        )
+        inner = MemoryObjectStore()
+        return inner, EncryptedObjectStore(
+            inner, derive_key("test phrase"), **kw
+        )
+
+    def test_roundtrip_and_ciphertext_at_rest(self):
+        inner, enc = self._store()
+        enc.put("k", b"secret-data")
+        assert enc.get("k") == b"secret-data"
+        assert b"secret-data" not in inner.get("k")
+
+    def test_plaintext_rejected_by_default(self):
+        from fabstir_vectordb_tpu.core.object_store import StorageError
+        import pytest
+        inner, enc = self._store()
+        inner.put("k", b"attacker-chosen plaintext")
+        with pytest.raises(StorageError):
+            enc.get("k")
+
+    def test_plaintext_allowed_when_opted_in(self):
+        inner, enc = self._store(allow_plaintext=True)
+        inner.put("legacy", b"old plaintext blob")
+        assert enc.get("legacy") == b"old plaintext blob"
+
+    def test_tampered_ciphertext_rejected(self):
+        from fabstir_vectordb_tpu.core.object_store import StorageError
+        import pytest
+        inner, enc = self._store()
+        enc.put("k", b"payload")
+        blob = bytearray(inner.get("k"))
+        blob[-1] ^= 0xFF
+        inner.put("k", bytes(blob))
+        with pytest.raises(StorageError):
+            enc.get("k")
