@@ -32,6 +32,7 @@ from typing import Any
 import numpy as np
 
 from .. import cbor
+from ..core.columnar import ColumnarMetadata
 from ..core.metadata_filter import FilterError, MetadataFilter
 from ..core.object_store import ObjectStore
 from ..core.schema import MetadataSchema, SchemaError
@@ -167,6 +168,10 @@ class VectorDBSession:
         self.destroyed = False
         self.monitor = PerfMonitor()
         self._persister = HybridPersister(store)
+        # columnar projection of metadata for vectorized filter bitmasks
+        # (row-aligned with index.store), plus a per-(filter, epoch) cache
+        self.columnar = ColumnarMetadata()
+        self._mask_cache: dict[str, tuple] = {}  # filter key -> (epoch, mask)
 
     # --------------------------------------------------------------- create
     @classmethod
@@ -256,12 +261,14 @@ class VectorDBSession:
 
         internal = [self._internal_id(vid) for vid in ids]
         try:
-            self.index.insert_batch(internal, arr)
+            rows = self.index.insert_batch(internal, arr)
         except DuplicateIdError as e:
             raise VectorDBError(str(e), INVALID_INPUT) from e
 
-        for vid, iid, meta in zip(ids, internal, metas):
+        for vid, iid, meta, row in zip(ids, internal, metas, rows):
             self.metadata_map[iid] = self._wrap_metadata(vid, meta)
+            self.columnar.set_row(int(row), self._filterable_view(
+                self.metadata_map[iid]))
 
     @staticmethod
     def _internal_id(user_id: str) -> str:
@@ -335,8 +342,15 @@ class VectorDBSession:
                 flt = MetadataFilter.from_json(options.filter)
             except FilterError as e:
                 raise VectorDBError(f"invalid filter: {e}", INVALID_INPUT) from e
-            metadata_rows = self._metadata_by_row()
-            pairs = self.index.search_with_filter(q, k, flt, metadata_rows)
+            mask = self._filter_mask(options.filter, flt)
+            if mask is not None:
+                pairs = self.index.search_with_filter(q, k, flt, row_mask=mask)
+            else:
+                # non-lowerable predicate: the reference's oversample +
+                # post-filter — O(k) matches() calls, never O(N)
+                pairs = self.index.search_oversampled_post_filter(
+                    q, k, self._row_predicate(flt)
+                )
         else:
             pairs = self.index.search(q, k)
         out = []
@@ -355,6 +369,31 @@ class VectorDBSession:
         self.monitor.record((time.perf_counter() - t0) * 1000.0, len(out))
         return out
 
+    def _filter_mask(self, filter_json: Any, flt: MetadataFilter):
+        """Row bitmask for a filter via the columnar index, cached per
+        (filter, mutation epoch). None when the filter isn't lowerable."""
+        try:
+            key = json.dumps(filter_json, sort_keys=True, default=repr)
+        except Exception:  # noqa: BLE001 - unhashable filter: skip the cache
+            key = None
+        epoch = self.columnar.epoch
+        if key is not None:
+            hit = self._mask_cache.get(key)
+            if hit is not None and hit[0] == epoch:
+                return hit[1]
+        mask = self.columnar.mask(flt, self.index.store.count)
+        if key is not None and mask is not None:
+            if len(self._mask_cache) >= 128:
+                self._mask_cache.pop(next(iter(self._mask_cache)))
+            self._mask_cache[key] = (epoch, mask)
+        return mask
+
+    def _row_predicate(self, flt: MetadataFilter):
+        def pred(iid: str) -> bool:
+            meta = self._filterable_view(self.metadata_map.get(iid))
+            return flt.matches(meta if meta is not None else {})
+        return pred
+
     def _metadata_by_row(self) -> list:
         s = self.index.store
         rows = [None] * s.count
@@ -364,6 +403,18 @@ class VectorDBSession:
                 meta = self.metadata_map.get(iid)
                 rows[r] = self._filterable_view(meta)
         return rows
+
+    def _rebuild_columnar(self) -> None:
+        """Re-project every row's metadata (load / bulk-replace paths)."""
+        self.columnar = ColumnarMetadata(capacity=self.index.store.capacity)
+        self._mask_cache.clear()
+        s = self.index.store
+        for r in range(s.count):
+            iid = s.row_to_id[r]
+            if iid is not None:
+                self.columnar.set_row(
+                    r, self._filterable_view(self.metadata_map.get(iid))
+                )
 
     @staticmethod
     def _filterable_view(meta: Any):
@@ -391,6 +442,16 @@ class VectorDBSession:
         except FilterError as e:
             raise VectorDBError(f"invalid filter: {e}", INVALID_INPUT) from e
         deleted = []
+        s = self.index.store
+        mask = self._filter_mask(filter_obj, flt)
+        if mask is not None:
+            # vectorized candidate selection via the columnar index
+            live = ~s.deleted[: len(mask)]
+            for row in np.nonzero(mask & live[: len(mask)])[0]:
+                iid = s.row_to_id[row]
+                if iid is not None and self.index.delete(iid):
+                    deleted.append(self._original_id(iid))
+            return DeleteResult(len(deleted), deleted)
         for iid, meta in list(self.metadata_map.items()):
             if not self.index.contains(iid) or self.index.store.is_deleted(iid):
                 continue
@@ -409,6 +470,10 @@ class VectorDBSession:
             except SchemaError as e:
                 raise VectorDBError(str(e), INVALID_DATA) from e
         self.metadata_map[iid] = self._wrap_metadata(user_id, metadata)
+        self.columnar.set_row(
+            self.index.store.row_of(iid),
+            self._filterable_view(self.metadata_map[iid]),
+        )
 
     # ----------------------------------------------------------- persistence
     def save_to_s5(self) -> str:
@@ -466,6 +531,7 @@ class VectorDBSession:
                 )
             except Exception:
                 self.schema = None
+        self._rebuild_columnar()
 
     # ----------------------------------------------------------------- misc
     def get_stats(self) -> SessionStats:
@@ -500,9 +566,11 @@ class VectorDBSession:
         if self.index is None:
             return VacuumStats(0, 0, 0)
         removed_ids = self.index.get_deleted_vectors()
+        removed_rows = [self.index.store.row_of(iid) for iid in removed_ids]
         stats = self.index.vacuum()
-        for iid in removed_ids:
+        for iid, row in zip(removed_ids, removed_rows):
             self.metadata_map.pop(iid, None)
+            self.columnar.clear_row(row)
         return VacuumStats(
             hnsw_removed=stats["hnsw_removed"],
             ivf_removed=stats["ivf_removed"],
@@ -512,4 +580,6 @@ class VectorDBSession:
     def destroy(self) -> None:
         self.index = None
         self.metadata_map = {}
+        self.columnar = ColumnarMetadata()
+        self._mask_cache.clear()
         self.destroyed = True

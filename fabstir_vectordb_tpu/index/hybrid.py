@@ -249,20 +249,28 @@ class HybridIndex:
         query: np.ndarray,
         k: int,
         filter: MetadataFilter | dict | None,
-        metadata_rows: list,
+        metadata_rows: list | None = None,
         oversample: int = 3,
         now: float | None = None,
+        row_mask: np.ndarray | None = None,
     ):
         """Filtered search: bitmask pushdown into IVF + x3 oversampled HNSW
-        with post-filter (reference: src/hybrid/core.rs:513-549)."""
+        with post-filter (reference: src/hybrid/core.rs:513-549).
+
+        The bitmask comes from ``row_mask`` (precomputed — the columnar
+        metadata index path, microseconds at 1M rows) or is compiled from
+        ``metadata_rows`` (per-row Python evaluation — legacy path)."""
         if filter is None:
             d, rows = self.search_rows(np.atleast_2d(query), k, now=now)
             return self._rows_to_results(d[0], rows[0])
         if isinstance(filter, dict):
             filter = MetadataFilter.from_json(filter)
         mask = np.zeros(self.store.capacity, bool)
-        row_mask = filter.compile_mask(metadata_rows)  # indexed by row
-        mask[: len(row_mask)] = row_mask
+        if row_mask is None:
+            if metadata_rows is None:
+                raise ValueError("need row_mask or metadata_rows")
+            row_mask = filter.compile_mask(metadata_rows)  # indexed by row
+        mask[: len(row_mask)] = row_mask[: self.store.capacity]
         # oversample to k*oversample; masks are fused where engines allow
         d, rows = self.search_rows(
             np.atleast_2d(query), k * oversample, extra_mask=mask, now=now
@@ -275,6 +283,22 @@ class HybridIndex:
             if mask[self.store.row_of(vid)]
         ]
         return results[:k]
+
+    def search_oversampled_post_filter(
+        self,
+        query: np.ndarray,
+        k: int,
+        predicate,
+        oversample: int = 3,
+        now: float | None = None,
+    ):
+        """The reference's exact filtered-search strategy: search k*oversample
+        UNFILTERED, post-filter the results by ``predicate(id)``, truncate to
+        k (src/hybrid/core.rs:513-549). O(k) predicate evaluations — the
+        fallback when a filter can't be lowered to a columnar bitmask."""
+        d, rows = self.search_rows(np.atleast_2d(query), k * oversample, now=now)
+        results = self._rows_to_results(d[0], rows[0])
+        return [(vid, dist) for vid, dist in results if predicate(vid)][:k]
 
     def _rows_to_results(self, dists: np.ndarray, rows: np.ndarray):
         out = []
