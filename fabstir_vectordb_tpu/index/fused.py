@@ -37,10 +37,11 @@ from ..ops.topk import masked_topk, merge_topk
 from .hnsw import beam_search_kernel, greedy_descent_kernel
 from .ivf import ivf_search_kernel
 
-# Above this many (padded) rows the exact flat scan stops being the fastest
-# query plan on one chip (~6 GB of HBM traffic per scan at 384-dim) and the
-# pruned path takes over. Tunable for benchmarking both regimes.
-from ..utils.limits import FLAT_THRESHOLD  # noqa: E402
+# Above limits.FLAT_THRESHOLD (padded) rows the exact flat scan stops being
+# the fastest query plan on one chip (~6 GB of HBM traffic per scan at
+# 384-dim) and the pruned path takes over. Read dynamically so tests and
+# benchmarks can flip regimes at runtime.
+from ..utils import limits  # noqa: E402
 
 
 SERVING_DTYPE = os.environ.get("FVDB_SERVING_DTYPE", "float32")
@@ -173,7 +174,7 @@ class FusedSearcher:
         dev = self._device_state()
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
 
-        if dev["x"].shape[0] <= FLAT_THRESHOLD:
+        if dev["x"].shape[0] <= limits.FLAT_THRESHOLD:
             mask = dev["members"]
             if extra_mask is not None:
                 mask = mask & jnp.asarray(extra_mask)

@@ -34,7 +34,7 @@ import numpy as np
 
 from ..ops.distance import pairwise_distance
 from ..ops.topk import masked_approx_topk
-from ..utils.limits import FLAT_THRESHOLD
+from ..utils import limits
 from ..utils.padding import bucket, grow_rows
 from .store import VectorStore
 
@@ -132,6 +132,77 @@ def _flat_candidates_chunked(x, x_sq, mask, q, ef: int, n_pad: int):
     return jax.lax.fori_loop(0, n_chunks, body, init)
 
 
+# Heuristic neighbor selection (Malkov & Yashunin's select_neighbors_
+# heuristic; also hnswlib getNeighborsByHeuristic2): keep candidate c only if
+# dist(c, q) < dist(c, every kept neighbor). Closest-M pruning links each node
+# only into its local cluster and severs inter-cluster connectivity —
+# measured here: recall@10 0.06 (exact closest-M links) / 0.24 (beam
+# closest-M) vs >=0.95 with the heuristic on 16-cluster data. The reference
+# prunes closest-M (src/hnsw/core.rs:226-378) — deliberate deviation.
+_HEUR_POOL = 128  # heuristic runs on the closest slice of the candidate pool
+
+
+@partial(jax.jit, static_argnames=("m",))
+def heuristic_kept_kernel(x, cand_ids, cand_d, m: int):
+    """Device heuristic-selection mask. cand_* [B, C] sorted ascending by
+    distance-to-query (-1 / inf padded). Returns kept [B, C] bool with at
+    most m True per row. One candidate-pairwise MXU einsum + a C-step scan."""
+    safe = jnp.maximum(cand_ids, 0)
+    v = x[safe].astype(jnp.float32)  # [B, C, D]
+    sq = jnp.sum(v * v, -1)
+    g = jnp.einsum("bcd,bed->bce", v, v, preferred_element_type=jnp.float32)
+    pd = sq[:, :, None] - 2.0 * g + sq[:, None, :]  # [B, C, C]
+    valid = (cand_ids >= 0) & jnp.isfinite(cand_d)
+    b, c = cand_ids.shape
+
+    def step(carry, xs):
+        kept, cnt = carry
+        pdi, di, vi, i = xs  # pdi [B, C]: dist(cand_i, every candidate)
+        dmin = jnp.min(jnp.where(kept, pdi, jnp.inf), axis=1)
+        keep_i = vi & (di < dmin) & (cnt < m)
+        kept = kept | ((jnp.arange(c)[None, :] == i) & keep_i[:, None])
+        return (kept, cnt + keep_i.astype(jnp.int32)), None
+
+    (kept, _), _ = jax.lax.scan(
+        step,
+        (jnp.zeros((b, c), bool), jnp.zeros((b,), jnp.int32)),
+        (jnp.moveaxis(pd, 1, 0), cand_d.T, valid.T, jnp.arange(c)),
+    )
+    return kept
+
+
+def _heuristic_kept_host(vecs, cand_d, valid, m: int) -> np.ndarray:
+    """Host twin of heuristic_kept_kernel. vecs [B, C, D] candidate vectors
+    (rows must be pre-gathered), cand_d [B, C] ascending."""
+    b, c = cand_d.shape
+    sq = np.einsum("bcd,bcd->bc", vecs, vecs)
+    g = np.einsum("bcd,bed->bce", vecs, vecs)
+    pd = sq[:, :, None] - 2.0 * g + sq[:, None, :]
+    kept = np.zeros((b, c), bool)
+    cnt = np.zeros(b, np.int32)
+    for i in range(c):
+        dmin = np.where(kept, pd[:, i, :], np.inf).min(axis=1)
+        keep_i = valid[:, i] & (cand_d[:, i] < dmin) & (cnt < m)
+        kept[:, i] = keep_i
+        cnt += keep_i
+    return kept
+
+
+def _heuristic_prune_one(data, target_vec, ids: np.ndarray, width: int) -> np.ndarray:
+    """Reverse-link pruning for one overfull neighbor list: heuristic-select
+    up to width, then fill remaining slots closest-first (keep-pruned fill —
+    spread links survive, nearby links still saturate the list)."""
+    vecs = data[ids]
+    d = ((vecs - target_vec) ** 2).sum(-1)
+    order = np.argsort(d, kind="stable")
+    ids, vecs, d = ids[order], vecs[order], d[order]
+    kept = _heuristic_kept_host(
+        vecs[None], d[None], np.ones((1, len(ids)), bool), width
+    )[0]
+    sel = np.concatenate([ids[kept], ids[~kept]])[:width]
+    return sel
+
+
 def _gather_dists(x, x_sq, q, q_sq, ids):
     """Distances from each query to its own id list: q [B,D], ids [B,M] -> [B,M]."""
     safe = jnp.maximum(ids, 0)
@@ -215,8 +286,19 @@ def _beam_search_jit(
     q [B, D]; start_ids [B, S] (-1 padded); active [B] bool (inactive queries
     pass through untouched). Returns (pool_d [B, ef], pool_id [B, ef]) sorted
     ascending, -1/inf padded. Classic candidate/nearest dual-heap beam
-    rebuilt as: fixed [B, ef] pool + expansion flags + [B, cap] visited
-    bitmap; each step expands the best unexpanded candidate of every query.
+    rebuilt as: fixed [B, ef] pool + expansion flags; each step expands the
+    best unexpanded candidate of every query.
+
+    No visited bitmap: total beam state is O(B x ef), independent of corpus
+    size (a [B, capacity] bitmap costs 1 GB HBM at 8M rows x B=128 — the
+    round-1 design would OOM exactly when the pruned-graph regime activates).
+    Dedup doesn't need one: the pool's worst distance is monotone
+    non-increasing, so an evicted node can never re-enter; the only duplicate
+    sources are neighbors already in the CURRENT pool (caught by a [B, M, ef]
+    broadcast compare) and repeats within one step's neighbor list (caught by
+    a [B, M, M] triangular compare). A final O(ef^2) dedup guards the
+    filtered-results path, where a rejected-then-revisited node could
+    otherwise appear twice.
 
     ``layer`` is a TRACED argument (python int or int32 scalar); the static
     ``use_nbrs0`` flag (defaulting to ``layer == 0`` when a python int is
@@ -229,11 +311,18 @@ def _beam_search_jit(
     into graph search without disconnecting the graph.
     """
     b, s = start_ids.shape
-    cap = x.shape[0]
     q_sq = jnp.sum(q * q, axis=-1)
 
     safe_start = jnp.maximum(start_ids, 0)
     start_valid = (start_ids >= 0) & mask[safe_start]
+    # drop duplicate start ids (keep first occurrence)
+    if s > 1:
+        tri_s = jnp.tril(jnp.ones((s, s), bool), k=-1)
+        dup0 = (
+            (start_ids[:, :, None] == start_ids[:, None, :])
+            & (start_ids[:, None, :] >= 0) & tri_s[None]
+        ).any(-1)
+        start_valid &= ~dup0
     d0 = _gather_dists(x, x_sq, q, q_sq, start_ids)
     d0 = jnp.where(start_valid, d0, jnp.inf)
 
@@ -266,12 +355,6 @@ def _beam_search_jit(
         res_d = pool_d
         res_id = pool_id
 
-    visited = jnp.zeros((b, cap), bool)
-    # mark starts visited (even invalid->slot 0; harmless since masked)
-    visited = visited.at[
-        jnp.arange(b)[:, None], safe_start
-    ].max(start_ids >= 0)
-
     done = ~active
 
     def cond(state):
@@ -279,7 +362,7 @@ def _beam_search_jit(
         return jnp.any(~done) & (it < max_iters)
 
     def body(state):
-        pool_d, pool_id, pool_exp, res_d, res_id, visited, done, it = state
+        pool_d, pool_id, pool_exp, res_d, res_id, done, it = state
         und = jnp.where(pool_exp | (pool_id < 0), jnp.inf, pool_d)
         bsel = jnp.argmin(und, axis=1)  # [B]
         bd = jnp.take_along_axis(und, bsel[:, None], axis=1)[:, 0]
@@ -299,11 +382,17 @@ def _beam_search_jit(
             row = jnp.maximum(up_offset[nid_safe] + layer - 1, 0)
             nbr = nbrs_up[row]  # [B, M]
         nbr_safe = jnp.maximum(nbr, 0)
-        seen = visited[jnp.arange(b)[:, None], nbr_safe]
-        valid = (nbr >= 0) & ~seen & mask[nbr_safe] & run[:, None]
+        m_w = nbr.shape[1]
+        # dedup without a visited bitmap (see docstring): already-in-pool
+        # check + within-step repeat check
+        in_pool = (nbr[:, :, None] == pool_id[:, None, :]).any(-1)
+        tri = jnp.tril(jnp.ones((m_w, m_w), bool), k=-1)
+        step_dup = (
+            (nbr[:, :, None] == nbr[:, None, :]) & tri[None]
+        ).any(-1)
+        valid = (nbr >= 0) & ~in_pool & ~step_dup & mask[nbr_safe] & run[:, None]
         nd = _gather_dists(x, x_sq, q, q_sq, nbr)
         nd = jnp.where(valid, nd, jnp.inf)
-        visited2 = visited.at[jnp.arange(b)[:, None], nbr_safe].max(valid)
 
         all_d = jnp.concatenate([pool_d, nd], axis=1)
         all_id = jnp.concatenate([pool_id, jnp.where(valid, nbr, -1)], axis=1)
@@ -333,13 +422,31 @@ def _beam_search_jit(
         else:
             res_d, res_id = pool_d, pool_id
 
-        return pool_d, pool_id, pool_exp, res_d, res_id, visited2, done2, it + 1
+        return pool_d, pool_id, pool_exp, res_d, res_id, done2, it + 1
 
     out = jax.lax.while_loop(
         cond, body,
-        (pool_d, pool_id, pool_exp, res_d, res_id, visited, done, 0),
+        (pool_d, pool_id, pool_exp, res_d, res_id, done, 0),
     )
-    return out[3], out[4]
+    return _dedup_sorted(out[3], out[4])
+
+
+def _dedup_sorted(d, ids):
+    """Drop repeated ids from a distance-sorted pool (keep first), re-sort.
+    Repeats reach the filtered-results list when a node is rejected from the
+    pool, revisited later, and passes the result mask both times."""
+    ef = ids.shape[1]
+    tri = jnp.tril(jnp.ones((ef, ef), bool), k=-1)
+    dup = (
+        (ids[:, :, None] == ids[:, None, :]) & (ids[:, None, :] >= 0) & tri[None]
+    ).any(-1)
+    d = jnp.where(dup, jnp.inf, d)
+    ids = jnp.where(dup, -1, ids)
+    order = jnp.argsort(d, axis=1)
+    return (
+        jnp.take_along_axis(d, order, axis=1),
+        jnp.take_along_axis(ids, order, axis=1),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -582,7 +689,21 @@ class HNSWIndex:
         order = np.argsort(d, axis=1)[:, : self.config.ef_construction]
         ids = members[order]
         dists = np.take_along_axis(d, order, axis=1)
-        return {"mode": "exact", "ids": ids, "dists": dists}
+        return {
+            "mode": "exact", "ids": ids, "dists": dists,
+            "kept": self._kept_host(ids, dists, self.config.m0),
+        }
+
+    def _kept_host(self, ids: np.ndarray, dists: np.ndarray, m: int) -> np.ndarray:
+        """Heuristic-selection flags over the closest _HEUR_POOL slice."""
+        c_sel = min(ids.shape[1], _HEUR_POOL)
+        sl_ids = ids[:, :c_sel]
+        vecs = self.store.data[np.maximum(sl_ids, 0)]
+        kept = np.zeros(ids.shape, bool)
+        kept[:, :c_sel] = _heuristic_kept_host(
+            vecs, dists[:, :c_sel], sl_ids >= 0, m
+        )
+        return kept
 
     def _device_candidates(self, batch: np.ndarray, levels_new: np.ndarray) -> dict:
         cfg = self.config
@@ -599,7 +720,7 @@ class HNSWIndex:
             )
         q = jnp.asarray(self.store.data[batch])
 
-        if cfg.link_mode == "auto" and self.store.capacity <= FLAT_THRESHOLD:
+        if cfg.link_mode == "auto" and self.store.capacity <= limits.FLAT_THRESHOLD:
             # near-exact candidates: one MXU matmul over the member-occupied
             # prefix beats beam traversal (gather-bound) by ~50x and links
             # better; the static prefix bound keeps the mask dense for
@@ -616,8 +737,14 @@ class HNSWIndex:
             vals, ids = kernel(
                 mirror.x, mirror.x_sq, mask, q, cfg.ef_construction, n_pad
             )
-            vals, ids = jax.device_get((vals, ids))
-            return {"mode": "exact", "ids": ids, "dists": vals}
+            c_sel = min(cfg.ef_construction, _HEUR_POOL)
+            keptj = heuristic_kept_kernel(
+                mirror.x, ids[:, :c_sel], vals[:, :c_sel], cfg.m0
+            )
+            vals, ids, kept_sl = jax.device_get((vals, ids, keptj))
+            kept = np.zeros(ids.shape, bool)
+            kept[:, :c_sel] = kept_sl
+            return {"mode": "exact", "ids": ids, "dists": vals, "kept": kept}
 
         if cfg.link_mode in ("layer0", "auto"):
             # greedy all the way down, one ef_construction beam at layer 0;
@@ -634,8 +761,15 @@ class HNSWIndex:
                 layer=0, ef=cfg.ef_construction,
                 max_iters=cfg.ef_construction + 32,
             )
-            pool_d, pool_id = jax.device_get((pool_d, pool_id))
-            return {"mode": "exact", "ids": pool_id, "dists": pool_d}
+            c_sel = min(cfg.ef_construction, _HEUR_POOL)
+            keptj = heuristic_kept_kernel(
+                mirror.x, pool_id[:, :c_sel], pool_d[:, :c_sel], cfg.m0
+            )
+            pool_d, pool_id, kept_sl = jax.device_get((pool_d, pool_id, keptj))
+            kept = np.zeros(pool_id.shape, bool)
+            kept[:, :c_sel] = kept_sl
+            return {"mode": "exact", "ids": pool_id, "dists": pool_d,
+                    "kept": kept}
 
         stop = np.minimum(levels_new, self.max_level).astype(np.int32)
         cur, _ = greedy_descent_kernel(
@@ -648,16 +782,24 @@ class HNSWIndex:
         top_beam = int(min(self.max_level, int(stop.max())))
         for layer in range(top_beam, -1, -1):
             active = stop >= layer
-            pool_d, pool_id = beam_search_kernel(
+            pool_dj, pool_idj = beam_search_kernel(
                 mirror.x, mirror.x_sq, mask,
                 dev["nbrs0"], dev["nbrs_up"], dev["up_offset"],
                 q, jnp.asarray(entries, np.int32), jnp.asarray(active),
                 layer=layer, ef=cfg.ef_construction,
                 max_iters=cfg.ef_construction + 32,
             )
-            pool_d = np.asarray(pool_d)
-            pool_id = np.asarray(pool_id)
-            per_layer[layer] = (pool_id, pool_d)
+            c_sel = min(cfg.ef_construction, _HEUR_POOL)
+            keptj = heuristic_kept_kernel(
+                mirror.x, pool_idj[:, :c_sel], pool_dj[:, :c_sel],
+                cfg.m0 if layer == 0 else cfg.m,
+            )
+            pool_d, pool_id, kept_sl = jax.device_get(
+                (pool_dj, pool_idj, keptj)
+            )
+            kept = np.zeros(pool_id.shape, bool)
+            kept[:, :c_sel] = kept_sl
+            per_layer[layer] = (pool_id, pool_d, kept)
             nxt = pool_id.copy()
             # queries not active at this layer keep their current entries
             if not active.all():
@@ -687,13 +829,18 @@ class HNSWIndex:
                 if cands["mode"] == "exact":
                     ids = cands["ids"][qi]
                     dd = cands["dists"][qi]
+                    kept = cands["kept"][qi]
                     keep = (ids >= 0) & (self.levels[ids] >= layer) & (ids != row)
                 else:
-                    ids, dd = (arr[qi] for arr in cands["per_layer"][layer])
+                    ids, dd, kept = (
+                        arr[qi] for arr in cands["per_layer"][layer]
+                    )
                     keep = (ids >= 0) & (ids != row)
-                sel = ids[keep]
                 m_l = cfg.m0 if layer == 0 else cfg.m
-                chosen = sel[:m_l]
+                # heuristic-kept candidates first, closest unkept fill after
+                chosen = np.concatenate(
+                    [ids[keep & kept], ids[keep & ~kept]]
+                )[:m_l]
                 self._set_links(row, layer, chosen)
                 for c in chosen:
                     self._add_reverse_link(int(c), layer, row)
@@ -725,6 +872,7 @@ class HNSWIndex:
                 self.max_level = int(levels_new[qi])
 
         ids_all = np.asarray(cands["ids"])
+        kept_all = np.asarray(cands["kept"])
         top_cap = self.max_level if self.max_level >= 0 else 0
         max_l = int(min(levels_new.max(initial=0), top_cap))
         for layer in range(0, max_l + 1):
@@ -733,6 +881,7 @@ class HNSWIndex:
                 continue
             rows = batch[at]
             ids = ids_all[at]
+            kept = kept_all[at]
             keep = (
                 (ids >= 0)
                 & (self.levels[np.maximum(ids, 0)] >= layer)
@@ -740,7 +889,10 @@ class HNSWIndex:
             )
             m_l = cfg.m0 if layer == 0 else cfg.m
             w = min(m_l, ids.shape[1])  # candidate pool may be narrower
-            order = np.argsort(~keep, axis=1, kind="stable")[:, :w]
+            # rank: eligible heuristic-kept < eligible fill < ineligible,
+            # distance order preserved within each class (stable sort)
+            rank = (~keep).astype(np.int8) * 2 + (~kept).astype(np.int8)
+            order = np.argsort(rank, axis=1, kind="stable")[:, :w]
             chosen = np.where(
                 np.take_along_axis(keep, order, axis=1),
                 np.take_along_axis(ids, order, axis=1),
@@ -795,10 +947,9 @@ class HNSWIndex:
         for i in over:
             extras = news[start[i] + n_fit[i]: start[i] + counts[i]]
             cand = np.concatenate([lists[i][lists[i] >= 0], extras])
-            vecs = self.store.data[cand]
-            tv = self.store.data[uniq[i]]
-            d = ((vecs - tv) ** 2).sum(-1)
-            best = cand[np.argsort(d, kind="stable")[:width]]
+            best = _heuristic_prune_one(
+                self.store.data, self.store.data[uniq[i]], cand, width
+            )
             lists[i] = -1
             lists[i, : len(best)] = best
 
@@ -833,12 +984,13 @@ class HNSWIndex:
         if free.size:
             lst[free[0]] = new_row
             return
-        # full: prune to closest M by distance from target
+        # full: heuristic prune (keep spread links, fill closest)
         ids = np.concatenate([lst, [new_row]])
-        vecs = self.store.data[ids]
-        d = ((vecs - self.store.data[target]) ** 2).sum(-1)
-        keep = np.argsort(d)[: lst.shape[0]]
-        lst[:] = ids[keep]
+        best = _heuristic_prune_one(
+            self.store.data, self.store.data[target], ids, lst.shape[0]
+        )
+        lst[:] = -1
+        lst[: len(best)] = best
 
     # ---------------------------------------------------------------- search
     def search_rows(

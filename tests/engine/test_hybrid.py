@@ -235,17 +235,18 @@ def test_fused_flat_and_pruned_regimes_agree(rng):
     q = vecs[:8] + 0.01
     cfg = SearchConfig(auto_migrate=False)
 
-    old = fused_mod.FLAT_THRESHOLD
+    from fabstir_vectordb_tpu.utils import limits
+    old = limits.FLAT_THRESHOLD
     try:
-        fused_mod.FLAT_THRESHOLD = 10**9
+        limits.FLAT_THRESHOLD = 10**9
         idx.fused._key = None  # drop cached state between regime switches
         d_flat, r_flat = idx.search_rows(q, k, config=cfg, now=NOW)
 
-        fused_mod.FLAT_THRESHOLD = 0
+        limits.FLAT_THRESHOLD = 0
         idx.fused._key = None
         d_pruned, r_pruned = idx.search_rows(q, k, config=cfg, now=NOW)
     finally:
-        fused_mod.FLAT_THRESHOLD = old
+        limits.FLAT_THRESHOLD = old
         idx.fused._key = None
 
     # flat regime == exact oracle
@@ -296,3 +297,109 @@ def test_bfloat16_serving_mirror(rng):
         len(set(rows_bf16[i]) & set(want[i])) / k for i in range(len(q))
     ])
     assert overlap >= 0.9
+
+
+class TestPrunedRegime:
+    """Exercises the beyond-flat-threshold path: fused serving dispatches
+    hybrid_search_kernel (HNSW beam + IVF nprobe on device) instead of the
+    exact flat matmul. Round-1 verdict: this regime had never been run."""
+
+    def _build(self, n=6144, dim=32, seed=0):
+        import numpy as np
+        from fabstir_vectordb_tpu.index import (
+            HybridConfig, HybridIndex, HNSWConfig, IVFConfig,
+        )
+
+        rng = np.random.default_rng(seed)
+        # clustered data (16 centers): realistic recall for graph search
+        centers = rng.standard_normal((16, dim)).astype(np.float32) * 4.0
+        assign = rng.integers(0, 16, n)
+        vecs = centers[assign] + rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HybridIndex(dim, HybridConfig(
+            hnsw=HNSWConfig(ef_construction=96, seed=0),
+            ivf=IVFConfig(n_clusters=16, n_probe=8, seed=0),
+        ))
+        idx.initialize(vecs[:4096])
+        NOW = 1_700_000_000.0
+        DAY = 86_400.0
+        ids = [f"v{i}" for i in range(n)]
+        # half recent (HNSW), half old (IVF)
+        ts = np.where(np.arange(n) % 2 == 0, NOW - DAY, NOW - 30 * DAY)
+        idx.insert_batch(ids, vecs, ts, now=NOW)
+        return idx, vecs, NOW
+
+    def test_pruned_path_recall_and_filter(self, monkeypatch):
+        import numpy as np
+        from fabstir_vectordb_tpu.index import SearchConfig
+        from fabstir_vectordb_tpu.utils import limits
+
+        monkeypatch.setattr(limits, "FLAT_THRESHOLD", 2048)
+        idx, vecs, NOW = self._build()
+        dev = idx.fused._device_state()
+        assert dev["x"].shape[0] > limits.FLAT_THRESHOLD  # pruned regime on
+        assert dev["has_hnsw"] and dev["has_ivf"]
+
+        rng = np.random.default_rng(1)
+        qi = rng.integers(0, vecs.shape[0], 64)
+        queries = vecs[qi] + 0.01 * rng.standard_normal(
+            (64, vecs.shape[1])).astype(np.float32)
+        cfg = SearchConfig(auto_migrate=False, hnsw_ef=128)
+        d, rows = idx.search_rows(queries, 10, config=cfg, now=NOW)
+
+        # exact ground truth on host
+        x = idx.store.data[: idx.store.count]
+        d2 = ((queries ** 2).sum(1)[:, None] - 2.0 * queries @ x.T
+              + (x ** 2).sum(1)[None, :])
+        truth = np.argsort(d2, axis=1)[:, :10]
+        hits = sum(
+            len(set(rows[i][rows[i] >= 0]) & set(truth[i])) for i in range(64)
+        )
+        recall = hits / (64 * 10)
+        assert recall >= 0.9, f"pruned-regime recall@10 {recall:.3f}"
+
+        # filtered search through the pruned kernel: mask fuses into results
+        mask = np.zeros(idx.store.capacity, bool)
+        mask[: idx.store.count: 3] = True  # every 3rd row
+        fd, frows = idx.search_rows(queries[:8], 5, config=cfg,
+                                    extra_mask=mask, now=NOW)
+        got = frows[frows >= 0]
+        assert got.size > 0 and (got % 3 == 0).all()
+
+    def test_pruned_path_beats_oom_memory_bound(self, monkeypatch):
+        """Beam state must be O(B*ef), not O(B*capacity): live-array bytes
+        during a pruned search stay far below what a [B, cap] visited bitmap
+        would cost."""
+        import numpy as np
+        from fabstir_vectordb_tpu.index import SearchConfig
+        from fabstir_vectordb_tpu.utils import limits
+
+        monkeypatch.setattr(limits, "FLAT_THRESHOLD", 2048)
+        idx, vecs, NOW = self._build(n=4096)
+        cfg = SearchConfig(auto_migrate=False, hnsw_ef=64)
+        b = 256
+        d, rows = idx.search_rows(
+            np.repeat(vecs[:1], b, axis=0), 10, config=cfg, now=NOW
+        )
+        assert rows.shape == (b, 10)
+        # the old bitmap would be b * capacity bools = 256 * 4096 = 1 MB here
+        # but 1 GB at 8M rows/B=128; nothing in the jaxpr should scale with
+        # capacity x batch. We can't measure HBM on CPU tests, so assert the
+        # kernel's compiled live memory indirectly via its jaxpr shapes.
+        import jax
+        from fabstir_vectordb_tpu.index.hnsw import _beam_search_jit
+        import jax.numpy as jnp
+
+        cap, dim = idx.store.capacity, idx.store.dim
+        args = (
+            jnp.zeros((cap, dim)), jnp.zeros((cap,)), jnp.ones((cap,), bool),
+            jnp.full((cap, 32), -1, jnp.int32), jnp.full((64, 16), -1, jnp.int32),
+            jnp.full((cap,), -1, jnp.int32), jnp.zeros((4, dim)),
+            jnp.zeros((4, 1), jnp.int32), jnp.ones((4,), bool), jnp.int32(0),
+        )
+        jaxpr = jax.make_jaxpr(
+            lambda *a: _beam_search_jit(*a, ef=64, max_iters=96, use_nbrs0=True)
+        )(*args)
+        for eqn_var in jaxpr.jaxpr.outvars:
+            pass
+        text = str(jaxpr)
+        assert f"bool[4,{cap}]" not in text, "visited bitmap is back"
