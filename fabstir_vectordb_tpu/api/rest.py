@@ -77,6 +77,7 @@ class AppState:
         )
         self.executor = ThreadPoolExecutor(max_workers=1)  # serialize engine ops
         self.subscribers: list[asyncio.Queue] = []
+        self.coalescer = SearchCoalescer(self)
 
     async def run(self, fn, *args):
         loop = asyncio.get_running_loop()
@@ -88,6 +89,69 @@ class AppState:
                 q.put_nowait(event)
             except asyncio.QueueFull:
                 pass
+
+
+class SearchCoalescer:
+    """Server-side micro-batching: concurrent /search requests form one
+    [B, D] device batch.
+
+    Natural batching, no timer: a worker drains everything queued while the
+    previous device call was in flight, groups by (k, filter), and issues one
+    ``session.search_batch`` per group. Under a single client this adds zero
+    latency (the queue is empty, the request dispatches immediately); under
+    concurrency the batch size adapts to device speed. The engine is already
+    batch-native (one [B,D]x[D,N] matmul serves 128 queries in roughly the
+    time of 1), so concurrent QPS scales far beyond 1/p50 instead of
+    serializing whole requests through the 1-worker executor (the round-1
+    bottleneck)."""
+
+    MAX_BATCH = 512
+
+    def __init__(self, state: "AppState"):
+        self.state = state
+        self.queue: asyncio.Queue = asyncio.Queue()
+        self._worker: asyncio.Task | None = None
+        # observability: how much coalescing actually happens
+        self.dispatches = 0
+        self.requests = 0
+
+    async def search(self, query: list, k: int, filter_json) -> list:
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
+        await self.queue.put((query, k, filter_json, fut))
+        if self._worker is None or self._worker.done():
+            self._worker = asyncio.ensure_future(self._drain())
+        return await fut
+
+    async def _drain(self) -> None:
+        while not self.queue.empty():
+            items = []
+            while not self.queue.empty() and len(items) < self.MAX_BATCH:
+                items.append(self.queue.get_nowait())
+            groups: dict = {}
+            for query, k, flt, fut in items:
+                try:
+                    key = (k, json.dumps(flt, sort_keys=True, default=repr))
+                except Exception:  # noqa: BLE001 — unserializable filter
+                    key = (k, object())
+                groups.setdefault(key, []).append((query, flt, fut))
+            for (k, _), grp in groups.items():
+                self.dispatches += 1
+                self.requests += len(grp)
+                queries = [g[0] for g in grp]
+                flt = grp[0][1]
+                try:
+                    results = await self.state.run(
+                        self.state.session.search_batch, queries, k, flt
+                    )
+                except Exception as e:  # noqa: BLE001 — fan the error out
+                    for _, _, fut in grp:
+                        if not fut.done():
+                            fut.set_exception(e)
+                    continue
+                for (_, _, fut), res in zip(grp, results):
+                    if not fut.done():
+                        fut.set_result(res)
 
 
 def _error(status: int, message: str, code: str = "ERROR"):
@@ -208,19 +272,29 @@ def create_app(config: ApiConfig | None = None,
             return _error(400, "query vector is required", "INVALID_INPUT")
         k = int(body.get("k", 10))
         options = body.get("options") or {}
-        opts = {
-            "threshold": float(
-                options.get("score_threshold", options.get("threshold", 0.0))
-            ),
-            "includeVectors": bool(options.get("include_vectors", False)),
-            "filter": options.get("filter") or body.get("filter"),
-        }
+        threshold = float(
+            options.get("score_threshold", options.get("threshold", 0.0))
+        )
+        include = bool(options.get("include_vectors", False))
+        flt = options.get("filter") or body.get("filter")
         try:
-            results = await state.run(
-                lambda: state.session.search(query, k, opts)
-            )
+            items = await state.coalescer.search(query, k, flt)
         except VectorDBError as e:
             return _error(_err_status(e), e.message, e.code)
+        # per-request options applied outside the shared device batch
+        results = []
+        for item in items:
+            if item["score"] < threshold:
+                continue
+            out = {k2: v for k2, v in item.items() if k2 != "_iid"}
+            if include:
+                out["vector"] = [
+                    float(x)
+                    for x in await state.run(
+                        state.session.index.get_vector, item["_iid"]
+                    )
+                ]
+            results.append(out)
         return web.json_response({"results": results, "count": len(results)})
 
     async def statistics(request: web.Request):
@@ -229,7 +303,15 @@ def create_app(config: ApiConfig | None = None,
         stats = await state.run(state.session.get_stats)
         perf = state.session.monitor.stats()
         return web.json_response(
-            {"initialized": True, "index": stats.to_json(), "search_perf": perf}
+            {
+                "initialized": True,
+                "index": stats.to_json(),
+                "search_perf": perf,
+                "coalescer": {
+                    "requests": state.coalescer.requests,
+                    "dispatches": state.coalescer.dispatches,
+                },
+            }
         )
 
     async def migrate(request: web.Request):

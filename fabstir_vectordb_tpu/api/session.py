@@ -369,6 +369,83 @@ class VectorDBSession:
         self.monitor.record((time.perf_counter() - t0) * 1000.0, len(out))
         return out
 
+    def search_batch(self, queries, k: int, filter_json: Any = None) -> list:
+        """Batched search: ONE device dispatch for B queries (the micro-
+        batching entry the REST coalescer uses). Returns a list of per-query
+        result lists shaped like :meth:`search` items, WITHOUT threshold /
+        include_vectors applied (the caller post-applies per-request options).
+        """
+        self._check_alive()
+        if self.index is None:
+            return [[] for _ in range(len(queries))]
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        if q.shape[1] != self.dim:
+            raise VectorDBError(
+                f"query dimension {q.shape[1]} does not match index "
+                f"dimension {self.dim}", INVALID_INPUT,
+            )
+        n_real = q.shape[0]
+        # pad the batch to a power-of-two bucket: every distinct B otherwise
+        # compiles a fresh kernel variant (compiles cost 20-60s over a
+        # remote-compile tunnel and dominate coalesced serving)
+        from ..utils.padding import bucket as _bucket
+
+        b_pad = _bucket(n_real, minimum=1)
+        if b_pad > n_real:
+            q = np.concatenate([q, np.repeat(q[:1], b_pad - n_real, axis=0)])
+        t0 = time.perf_counter()
+        flt = None
+        if filter_json is not None:
+            try:
+                flt = MetadataFilter.from_json(filter_json)
+            except FilterError as e:
+                raise VectorDBError(f"invalid filter: {e}", INVALID_INPUT) from e
+        if flt is None:
+            d, rows = self.index.search_rows(q, k)
+            per_query = [
+                self.index._rows_to_results(d[i], rows[i])
+                for i in range(q.shape[0])
+            ]
+        else:
+            mask = self._filter_mask(filter_json, flt)
+            if mask is not None:
+                full = np.zeros(self.index.store.capacity, bool)
+                full[: len(mask)] = mask[: self.index.store.capacity]
+                d, rows = self.index.search_rows(q, k * 3, extra_mask=full)
+                per_query = []
+                for i in range(q.shape[0]):
+                    res = self.index._rows_to_results(d[i], rows[i])
+                    res = [
+                        (vid, dist) for vid, dist in res
+                        if full[self.index.store.row_of(vid)]
+                    ]
+                    per_query.append(res[:k])
+            else:
+                pred = self._row_predicate(flt)
+                d, rows = self.index.search_rows(q, k * 3)
+                per_query = [
+                    [(vid, dist)
+                     for vid, dist in self.index._rows_to_results(d[i], rows[i])
+                     if pred(vid)][:k]
+                    for i in range(q.shape[0])
+                ]
+        per_query = per_query[:n_real]
+        elapsed = (time.perf_counter() - t0) * 1000.0
+        out = []
+        for pairs in per_query:
+            items = [
+                {
+                    "id": self._original_id(iid),
+                    "score": distance_to_score(dist),
+                    "metadata": self._user_metadata(iid),
+                    "_iid": iid,
+                }
+                for iid, dist in pairs
+            ]
+            out.append(items)
+            self.monitor.record(elapsed, len(items))
+        return out
+
     def _filter_mask(self, filter_json: Any, flt: MetadataFilter):
         """Row bitmask for a filter via the columnar index, cached per
         (filter, mutation epoch). None when the filter isn't lowerable."""
