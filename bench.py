@@ -1,16 +1,21 @@
-"""Headline benchmark: warm-cache search latency at 100K x 384-dim, k=10.
+"""Headline benchmark: warm-cache search latency + scale story.
 
-Reference baseline: 58 ms warm-cache search at 100K x 384, k=10
-(BASELINE.md; reference README.md:26, docs/PERFORMANCE_TUNING.md:146,594).
+Reference baselines (BASELINE.md; reference README.md:26,
+docs/PERFORMANCE_TUNING.md:146,243-248,594):
+  - 58 ms warm-cache single search at 100K x 384, k=10;
+  - filtered search: base + <5 ms (selective) ... 30-50 ms;
+  - no published 1M latency (north star: sub-5 ms p50 at 1M x 384).
 
-Builds the production-shaped hybrid index (10% recent -> HNSW graph, 90%
-historical -> IVF with 256 clusters / n_probe 16), then measures single-query
-end-to-end latency through the engine's host+device path (the same path the
-session SDK serves), reporting p50 over repeated queries.
+Phases (all in one process so the persistent compile cache amortizes):
+  1. 100K x 384: build production-shaped hybrid (10% recent -> HNSW, 90%
+     historical -> IVF 256/16), measure warm p50/p99, filtered p50 (columnar
+     bitmask pushdown, ~10% selectivity), batched QPS;
+  2. 1M x 384 (skip with FVDB_BENCH_SKIP_1M=1): same shape with 2% recent,
+     warm p50 + batched QPS.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": p50_ms, "unit": "ms", "vs_baseline": 58/p50}
-vs_baseline > 1 means faster than the reference. Extra metrics go to stderr.
+Emits one JSON line per metric; the FINAL line is the headline
+warm_search_p50_100k (same key as round 1 for comparability).
+vs_baseline > 1 means faster than the reference.
 """
 from __future__ import annotations
 
@@ -22,6 +27,8 @@ import time
 import numpy as np
 
 BASELINE_MS = 58.0
+BASELINE_FILTERED_MS = 63.0  # 58 warm + ~5 selective-filter overhead
+BASELINE_QPS = 1000.0 / BASELINE_MS  # reference serializes: 1/p50
 NOW = 1_700_000_000.0
 DAY = 86_400.0
 
@@ -30,38 +37,25 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    n = int(os.environ.get("FVDB_BENCH_N", 100_000))
-    dim = int(os.environ.get("FVDB_BENCH_DIM", 384))
-    k = int(os.environ.get("FVDB_BENCH_K", 10))
-    n_queries = int(os.environ.get("FVDB_BENCH_QUERIES", 200))
-
-    import jax
-
-    from fabstir_vectordb_tpu.utils.compile_cache import enable_persistent_cache
-
-    enable_persistent_cache()
-
-    from fabstir_vectordb_tpu.index import (
-        FlatIndex,
-        HybridConfig,
-        HybridIndex,
-        IVFConfig,
-        SearchConfig,
+def emit(metric: str, value: float, unit: str, vs: float) -> None:
+    print(
+        json.dumps(
+            {"metric": metric, "value": round(value, 3), "unit": unit,
+             "vs_baseline": round(vs, 2)}
+        ),
+        flush=True,
     )
-    from fabstir_vectordb_tpu.index.flat import recall_at_k
 
-    log(f"devices: {jax.devices()}")
-    rng = np.random.default_rng(0)
+
+def build_index(n, dim, rng, recent_frac=0.10, n_centers=1024):
+    from fabstir_vectordb_tpu.index import HybridConfig, HybridIndex, IVFConfig
 
     t0 = time.perf_counter()
-    # clustered data (mixture of gaussians) ~ realistic embedding geometry;
-    # pure uniform noise has no cluster structure for IVF to exploit
-    n_centers = 1024
     centers = rng.standard_normal((n_centers, dim)).astype(np.float32)
     assign = rng.integers(0, n_centers, n)
     vecs = centers[assign] + 0.35 * rng.standard_normal((n, dim)).astype(np.float32)
-    log(f"data generated: {n}x{dim} ({n_centers} clusters) in {time.perf_counter()-t0:.1f}s")
+    log(f"data generated: {n}x{dim} ({n_centers} clusters) "
+        f"in {time.perf_counter()-t0:.1f}s")
 
     idx = HybridIndex(
         dim,
@@ -74,68 +68,142 @@ def main() -> None:
     idx.initialize(vecs[:10_000])
     log(f"IVF trained (256 clusters) in {time.perf_counter()-t0:.1f}s")
 
-    n_recent = n // 10
+    n_recent = int(n * recent_frac)
     ids = [f"v{i}" for i in range(n)]
     ts = np.full(n, NOW - 30 * DAY)
     ts[:n_recent] = NOW - DAY
     t0 = time.perf_counter()
     idx.insert_batch(ids, vecs, ts, now=NOW)
-    build_s = time.perf_counter() - t0
-    log(f"insert+build ({n_recent} HNSW / {n - n_recent} IVF) in {build_s:.1f}s")
+    log(f"insert+build ({n_recent} HNSW / {n - n_recent} IVF) "
+        f"in {time.perf_counter()-t0:.1f}s")
+    return idx, vecs
 
-    cfg = SearchConfig(auto_migrate=False)
-    # realistic queries: near the data manifold (the reference benches MiniLM
-    # embeddings, where queries resemble stored vectors)
-    seeds = rng.integers(0, n, n_queries)
-    queries = vecs[seeds] + 0.1 * rng.standard_normal(
-        (n_queries, dim)
-    ).astype(np.float32)
 
-    # warm-up: compile + device caches
-    t0 = time.perf_counter()
-    idx.search_rows(queries[0], k, config=cfg, now=NOW)
-    cold_ms = (time.perf_counter() - t0) * 1000.0
-    log(f"cold first search (incl. compile): {cold_ms:.1f} ms")
-    for i in range(3):
-        idx.search_rows(queries[i], k, config=cfg, now=NOW)
-
+def measure_p50(idx, queries, k, cfg, label):
     lats = []
-    for i in range(n_queries):
+    for i in range(queries.shape[0]):
         t0 = time.perf_counter()
         idx.search_rows(queries[i], k, config=cfg, now=NOW)
         lats.append((time.perf_counter() - t0) * 1000.0)
     lats.sort()
     p50 = lats[len(lats) // 2]
     p99 = lats[int(len(lats) * 0.99)]
-    log(f"warm search: p50={p50:.3f} ms p99={p99:.3f} ms avg={np.mean(lats):.3f} ms")
+    log(f"{label}: p50={p50:.3f} ms p99={p99:.3f} ms avg={np.mean(lats):.3f} ms")
+    return p50
 
-    # recall sanity vs exact oracle (reported to stderr)
-    sample = queries[:32]
-    _, rows = idx.search_rows(sample, k, config=cfg, now=NOW)
-    oracle = FlatIndex(idx.store)
-    rec = recall_at_k(oracle, rows, sample, k)
-    log(f"recall@{k} vs exact: {rec:.3f}")
 
-    # batched throughput (QPS) at batch=128 (stderr, informational)
-    bq = rng.standard_normal((128, dim)).astype(np.float32)
+def measure_qps(idx, rng, dim, k, cfg, batch=128, reps=10):
+    bq = rng.standard_normal((batch, dim)).astype(np.float32)
     idx.search_rows(bq, k, config=cfg, now=NOW)  # compile
     t0 = time.perf_counter()
-    reps = 10
     for _ in range(reps):
         idx.search_rows(bq, k, config=cfg, now=NOW)
-    qps = 128 * reps / (time.perf_counter() - t0)
-    log(f"batched throughput: {qps:,.0f} QPS (batch=128)")
+    qps = batch * reps / (time.perf_counter() - t0)
+    log(f"batched throughput: {qps:,.0f} QPS (batch={batch})")
+    return qps
 
-    print(
-        json.dumps(
-            {
-                "metric": f"warm_search_p50_{n//1000}k_{dim}d_k{k}",
-                "value": round(p50, 3),
-                "unit": "ms",
-                "vs_baseline": round(BASELINE_MS / p50, 2),
-            }
-        )
+
+def bench_scale(n, dim, k, n_queries, rng, recent_frac, tag):
+    from fabstir_vectordb_tpu.index import FlatIndex, SearchConfig
+    from fabstir_vectordb_tpu.index.flat import recall_at_k
+
+    idx, vecs = build_index(n, dim, rng, recent_frac=recent_frac)
+    cfg = SearchConfig(auto_migrate=False)
+    seeds = rng.integers(0, n, n_queries)
+    queries = vecs[seeds] + 0.1 * rng.standard_normal(
+        (n_queries, dim)
+    ).astype(np.float32)
+
+    t0 = time.perf_counter()
+    idx.search_rows(queries[0], k, config=cfg, now=NOW)
+    log(f"cold first search (incl. compile): {(time.perf_counter()-t0)*1e3:.1f} ms")
+    for i in range(3):
+        idx.search_rows(queries[i], k, config=cfg, now=NOW)
+
+    p50 = measure_p50(idx, queries, k, cfg, f"warm search {tag}")
+
+    sample = queries[:32]
+    _, rows = idx.search_rows(sample, k, config=cfg, now=NOW)
+    rec = recall_at_k(FlatIndex(idx.store), rows, sample, k)
+    log(f"recall@{k} vs exact: {rec:.3f}")
+
+    qps = measure_qps(idx, rng, dim, k, cfg)
+    return idx, vecs, queries, cfg, p50, qps
+
+
+def bench_filtered(idx, vecs, queries, cfg, k, tag):
+    """Filtered p50 via the columnar bitmask path (10% selectivity)."""
+    from fabstir_vectordb_tpu.core.columnar import ColumnarMetadata
+    from fabstir_vectordb_tpu.core.metadata_filter import MetadataFilter
+
+    n = vecs.shape[0]
+    t0 = time.perf_counter()
+    table = ColumnarMetadata(capacity=idx.store.capacity)
+    cats = np.arange(n) % 10
+    for r in range(n):
+        table.set_row(r, {"cat": int(cats[r])})
+    log(f"columnar ingest {n} rows in {time.perf_counter()-t0:.1f}s")
+    flt = MetadataFilter.from_json({"cat": 3})
+    t0 = time.perf_counter()
+    mask_rows = table.mask(flt, idx.store.count)
+    log(f"mask compile: {(time.perf_counter()-t0)*1e3:.2f} ms "
+        f"({int(mask_rows.sum())} rows pass)")
+    mask = np.zeros(idx.store.capacity, bool)
+    mask[: len(mask_rows)] = mask_rows
+
+    idx.search_rows(queries[0], k * 2, config=cfg, extra_mask=mask, now=NOW)
+    lats = []
+    for i in range(min(100, queries.shape[0])):
+        t0 = time.perf_counter()
+        idx.search_rows(queries[i], k * 2, config=cfg, extra_mask=mask, now=NOW)
+        lats.append((time.perf_counter() - t0) * 1000.0)
+    lats.sort()
+    p50 = lats[len(lats) // 2]
+    log(f"filtered search {tag}: p50={p50:.3f} ms (10% selectivity)")
+    return p50
+
+
+def main() -> None:
+    dim = int(os.environ.get("FVDB_BENCH_DIM", 384))
+    k = int(os.environ.get("FVDB_BENCH_K", 10))
+    n_queries = int(os.environ.get("FVDB_BENCH_QUERIES", 200))
+
+    import jax
+
+    from fabstir_vectordb_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+
+    # ---- phase 1: 100K ----
+    n1 = int(os.environ.get("FVDB_BENCH_N", 100_000))
+    idx, vecs, queries, cfg, p50_100k, qps_100k = bench_scale(
+        n1, dim, k, n_queries, rng, recent_frac=0.10, tag="100k"
     )
+    p50_filt = bench_filtered(idx, vecs, queries, cfg, k, "100k")
+    del idx, vecs, queries
+
+    emit(f"batched_qps_{n1//1000}k_{dim}d_k{k}", qps_100k, "qps",
+         qps_100k / BASELINE_QPS)
+    emit(f"filtered_search_p50_{n1//1000}k_{dim}d_k{k}", p50_filt, "ms",
+         BASELINE_FILTERED_MS / p50_filt)
+
+    # ---- phase 2: 1M ----
+    if os.environ.get("FVDB_BENCH_SKIP_1M", "0") != "1" and n1 <= 500_000:
+        n2 = 1_000_000
+        idx, vecs, queries, cfg, p50_1m, qps_1m = bench_scale(
+            n2, dim, k, min(n_queries, 100), rng, recent_frac=0.02, tag="1m"
+        )
+        del idx, vecs, queries
+        emit(f"warm_search_p50_1000k_{dim}d_k{k}", p50_1m, "ms",
+             BASELINE_MS / p50_1m)
+        emit(f"batched_qps_1000k_{dim}d_k{k}", qps_1m, "qps",
+             qps_1m / BASELINE_QPS)
+
+    # headline LAST (driver parses the final JSON line; key matches round 1)
+    emit(f"warm_search_p50_{n1//1000}k_{dim}d_k{k}", p50_100k, "ms",
+         BASELINE_MS / p50_100k)
 
 
 if __name__ == "__main__":
