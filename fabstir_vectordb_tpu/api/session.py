@@ -563,9 +563,7 @@ class VectorDBSession:
                 self.index, sid, chunk_size=self.config.chunk_size,
                 schema=self.schema,
             )
-            self.object_store.put(
-                f"{sid}/metadata_map.cbor", cbor.dumps(self.metadata_map)
-            )
+            self._save_metadata_map(sid)
             if self.schema is not None:
                 self.object_store.put(
                     f"{sid}/schema.json",
@@ -594,12 +592,7 @@ class VectorDBSession:
             raise VectorDBError(f"load failed: {e}", STORAGE_ERROR) from e
         self.index = index
         self.dim = index.store.dim
-        try:
-            self.metadata_map = cbor.loads(
-                self.object_store.get(f"{cid}/metadata_map.cbor")
-            )
-        except Exception:
-            self.metadata_map = {}
+        self.metadata_map = self._load_metadata_map(cid)
         self.schema = manifest.schema
         if self.schema is None:
             try:
@@ -609,6 +602,56 @@ class VectorDBSession:
             except Exception:
                 self.schema = None
         self._rebuild_columnar()
+
+    # ------------------------------------------------------- metadata shards
+    def _save_metadata_map(self, sid: str) -> None:
+        """metadata_map sharded into chunk_size-entry CBOR files. A 10M-row
+        session would otherwise PUT one multi-hundred-MB blob (round-1
+        finding); shards ride the same chunk-size knob as vector chunks."""
+        items = list(self.metadata_map.items())
+        shard_size = max(self.config.chunk_size, 1)
+        n_shards = (len(items) + shard_size - 1) // shard_size
+        prev = 0
+        try:
+            prev = int(json.loads(
+                self.object_store.get(f"{sid}/metadata/meta-manifest.json")
+            ).get("n_shards", 0))
+        except Exception:
+            pass
+        for si in range(n_shards):
+            shard = dict(items[si * shard_size: (si + 1) * shard_size])
+            self.object_store.put(
+                f"{sid}/metadata/meta-{si}.cbor", cbor.dumps(shard)
+            )
+        self.object_store.put(
+            f"{sid}/metadata/meta-manifest.json",
+            json.dumps({"n_shards": n_shards, "total": len(items)}).encode(),
+        )
+        for si in range(n_shards, prev):  # shrunken saves drop stale shards
+            try:
+                self.object_store.delete(f"{sid}/metadata/meta-{si}.cbor")
+            except Exception:
+                pass
+
+    def _load_metadata_map(self, cid: str) -> dict:
+        try:
+            manifest = json.loads(
+                self.object_store.get(f"{cid}/metadata/meta-manifest.json")
+            )
+            out: dict = {}
+            for si in range(int(manifest.get("n_shards", 0))):
+                out.update(cbor.loads(
+                    self.object_store.get(f"{cid}/metadata/meta-{si}.cbor")
+                ))
+            return out
+        except Exception:
+            pass
+        try:  # legacy monolithic blob
+            return cbor.loads(
+                self.object_store.get(f"{cid}/metadata_map.cbor")
+            )
+        except Exception:
+            return {}
 
     # ----------------------------------------------------------------- misc
     def get_stats(self) -> SessionStats:

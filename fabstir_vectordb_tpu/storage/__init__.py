@@ -1,6 +1,6 @@
 from .chunk_loader import ChunkLoader
 from .encryption import EncryptedObjectStore, derive_key
-from .s5 import S5ObjectStore
+from .s5 import S5ObjectStore, S5Client, CidMapObjectStore
 from .factory import StorageFactory, StorageConfig
 from .persistence import HybridPersister, HNSWPersister, IVFPersister, PersistenceError
 
@@ -9,6 +9,8 @@ __all__ = [
     "EncryptedObjectStore",
     "derive_key",
     "S5ObjectStore",
+    "S5Client",
+    "CidMapObjectStore",
     "StorageFactory",
     "StorageConfig",
     "HybridPersister",

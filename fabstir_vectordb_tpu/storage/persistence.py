@@ -257,6 +257,79 @@ class HybridPersister:
             index, session_id, chunk_size, schema, incremental=True
         )
 
+    # ------------------------------------------- non-chunked composite format
+    def save_index(self, index: HybridIndex, path: str) -> None:
+        """Non-chunked composite save: metadata + per-engine persisters under
+        recent/ and historical/ (reference: src/hybrid/persistence.rs:142-175
+        — metadata.cbor + timestamps.cbor + delegated HNSW/IVF saves).
+        Timestamps live inside each engine's node payloads here."""
+        index.wait_ready()
+        has_hnsw = index.hnsw.num_nodes > 0
+        has_ivf = index.ivf.trained
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "dim": index.store.dim,
+            "hybrid_config": _hybrid_config_json(index.config),
+            "has_hnsw": has_hnsw,
+            "has_ivf": has_ivf,
+        }
+        self.store.put(f"{path}/metadata.cbor", cbor.dumps(meta))
+        if has_hnsw:
+            HNSWPersister(self.store).save_index(index.hnsw, f"{path}/recent")
+        if has_ivf:
+            IVFPersister(self.store).save_index(
+                index.ivf, f"{path}/historical"
+            )
+
+    def load_index(self, path: str, config: HybridConfig | None = None):
+        """Inverse of :meth:`save_index`. Returns a HybridIndex over one
+        shared store (engines loaded standalone, then installed)."""
+        try:
+            meta = cbor.loads(self.store.get(f"{path}/metadata.cbor"))
+        except NotFoundError:
+            raise PersistenceError(f"no composite index at {path!r}") from None
+        if config is None:
+            config = _hybrid_config_from_json(meta.get("hybrid_config") or {})
+        idx = HybridIndex(int(meta["dim"]), config)
+
+        if meta.get("has_hnsw"):
+            hstore, hidx = HNSWPersister(self.store).load_index(
+                f"{path}/recent", config.hnsw
+            )
+            n = hstore.count
+            if n:
+                ids = [hstore.row_to_id[r] for r in range(n)]
+                rows = idx.store.add_batch(
+                    ids, hstore.data[:n], hstore.timestamps[:n]
+                )
+                idx.hnsw.install_graph(
+                    rows, hidx.export_graph(np.arange(n, dtype=np.int64))
+                )
+                for r in np.nonzero(hstore.deleted[:n])[0]:
+                    vid = hstore.row_to_id[r]
+                    if vid is not None:
+                        idx.store.mark_deleted(vid)
+        if meta.get("has_ivf"):
+            istore, iivf = IVFPersister(self.store).load_index(
+                f"{path}/historical", config.ivf
+            )
+            idx.ivf.set_trained(iivf.centroids)
+            n = istore.count
+            if n:
+                ids = [istore.row_to_id[r] for r in range(n)]
+                rows = idx.store.add_batch(
+                    ids, istore.data[:n], istore.timestamps[:n]
+                )
+                idx.ivf._ensure_capacity()
+                idx.ivf.assignments[rows] = iivf.assignments[:n]
+                idx.ivf._version += 1
+                for r in np.nonzero(istore.deleted[:n])[0]:
+                    vid = istore.row_to_id[r]
+                    if vid is not None:
+                        idx.store.mark_deleted(vid)
+        idx.initialized = True
+        return idx, meta
+
     # ------------------------------------------------------------------ load
     def load_manifest(self, session_id: str) -> Manifest:
         try:

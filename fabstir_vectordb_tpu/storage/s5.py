@@ -188,3 +188,114 @@ class S5Client:
 
     def batch_upload(self, blobs: list) -> list:
         return [self.upload(b) for b in blobs]
+
+    def health(self) -> bool:
+        try:
+            resp = self._session.get(f"{self.base_url}/health",
+                                     timeout=self.timeout)
+            return resp.status_code == 200
+        except Exception:
+            return False
+
+
+class CidMapObjectStore(_BaseStore):
+    """Content-addressed backend: a local key->CID map over an immutable
+    CID blob store (reference: src/storage/s5_storage.rs — cid_map +
+    metadata_map, zstd-compressed puts when enabled, "delete" only forgets
+    the mapping because S5 content is immutable :211-221, list serves from
+    the local map since S5 has no key listing).
+
+    Beyond parity: the map can persist to a local file (``map_path``) so the
+    key->CID index survives restarts — the reference loses it with the
+    process.
+    """
+
+    def __init__(self, client: S5Client, enable_compression: bool = False,
+                 map_path: str | None = None):
+        self.client = client
+        self.enable_compression = enable_compression
+        self.map_path = map_path
+        self.cid_map: dict[str, str] = {}
+        self.metadata_map: dict[str, dict] = {}
+        if map_path:
+            self._load_map()
+
+    # ------------------------------------------------------------ map file
+    def _load_map(self) -> None:
+        import json as _json
+
+        try:
+            with open(self.map_path, "r", encoding="utf-8") as f:
+                obj = _json.load(f)
+            self.cid_map = dict(obj.get("cid_map") or {})
+            self.metadata_map = dict(obj.get("metadata_map") or {})
+        except FileNotFoundError:
+            pass
+
+    def _save_map(self) -> None:
+        if not self.map_path:
+            return
+        import json as _json
+
+        with open(self.map_path, "w", encoding="utf-8") as f:
+            _json.dump(
+                {"cid_map": self.cid_map, "metadata_map": self.metadata_map}, f
+            )
+
+    # --------------------------------------------------------------- store
+    def put(self, key: str, data: bytes) -> None:
+        payload = bytes(data)
+        compressed = False
+        if self.enable_compression:
+            from ..cbor import compress_zstd
+
+            payload = compress_zstd(payload)
+            compressed = True
+        cid = self.client.upload(payload)
+        self.cid_map[key] = cid
+        self.metadata_map[key] = {
+            "key": key,
+            "cid": cid,
+            "size": len(data),
+            "created_at": int(time.time()),
+            "compressed": compressed,
+        }
+        self._save_map()
+
+    def get(self, key: str) -> bytes:
+        cid = self.cid_map.get(key)
+        if cid is None:
+            raise NotFoundError(key)
+        data = self.client.download(cid)
+        meta = self.metadata_map.get(key) or {}
+        if meta.get("compressed"):
+            from ..cbor import decompress_zstd
+
+            data = decompress_zstd(data)
+        return data
+
+    def delete(self, key: str) -> None:
+        # S5 content is immutable: deleting only forgets the mapping
+        self.cid_map.pop(key, None)
+        self.metadata_map.pop(key, None)
+        self._save_map()
+
+    def list_keys(self, prefix: str = "") -> list:
+        return sorted(k for k in self.cid_map if k.startswith(prefix))
+
+    def exists(self, key: str) -> bool:
+        return key in self.cid_map
+
+    def get_cid(self, key: str) -> str:
+        cid = self.cid_map.get(key)
+        if cid is None:
+            raise NotFoundError(f"CID not found for key: {key}")
+        return cid
+
+    def get_by_cid(self, cid: str) -> bytes:
+        if not cid.startswith("s5://"):
+            raise StorageError(f"Invalid CID format: {cid}")
+        return self.client.download(cid)
+
+    def is_connected(self) -> bool:
+        return self.client.health()

@@ -559,3 +559,78 @@ class TestColumnarFilteredSearch:
         res = s2.search(vecs[42].tolist(), 3, {"filter": {"cat": "even"}})
         assert res[0]["id"] == "u42"
         assert s2.columnar.epoch > 0
+
+
+class TestShardedMetadataMap:
+    def test_metadata_map_sharded_and_loaded(self):
+        import numpy as np
+        from fabstir_vectordb_tpu.api.session import VectorDBSession
+        from fabstir_vectordb_tpu.core import MemoryObjectStore
+        store = MemoryObjectStore()
+        s = VectorDBSession.create(
+            {"sessionId": "shard", "storageMode": "mock", "chunkSize": 100},
+            store,
+        )
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((250, 8)).astype(np.float32)
+        s.add_vectors([
+            {"id": f"m{i}", "vector": vecs[i].tolist(), "metadata": {"i": i}}
+            for i in range(250)
+        ])
+        cid = s.save_to_s5()
+        assert store.exists(f"{cid}/metadata/meta-manifest.json")
+        assert store.exists(f"{cid}/metadata/meta-2.cbor")  # 250/100 -> 3
+        assert not store.exists(f"{cid}/metadata_map.cbor")  # no monolith
+
+        s2 = VectorDBSession.create(
+            {"sessionId": "shard", "storageMode": "mock", "chunkSize": 100},
+            store,
+        )
+        s2.load_user_vectors(cid, {"lazyLoad": False})
+        res = s2.search(vecs[42].tolist(), 1)
+        assert res[0]["id"] == "m42" and res[0]["metadata"]["i"] == 42
+
+    def test_shrinking_session_drops_stale_shards(self):
+        import numpy as np
+        from fabstir_vectordb_tpu.api.session import VectorDBSession
+        from fabstir_vectordb_tpu.core import MemoryObjectStore
+        store = MemoryObjectStore()
+        s = VectorDBSession.create(
+            {"sessionId": "shr", "storageMode": "mock", "chunkSize": 50}, store
+        )
+        rng = np.random.default_rng(1)
+        vecs = rng.standard_normal((150, 8)).astype(np.float32)
+        s.add_vectors([
+            {"id": f"m{i}", "vector": vecs[i].tolist(), "metadata": {"i": i}}
+            for i in range(150)
+        ])
+        s.save_to_s5()
+        assert store.exists("shr/metadata/meta-2.cbor")
+        for i in range(100, 150):
+            s.delete_vector(f"m{i}")
+        s.vacuum()
+        s.save_to_s5()
+        assert not store.exists("shr/metadata/meta-2.cbor")
+
+    def test_legacy_monolithic_blob_still_loads(self):
+        import numpy as np
+        from fabstir_vectordb_tpu import cbor
+        from fabstir_vectordb_tpu.api.session import VectorDBSession
+        from fabstir_vectordb_tpu.core import MemoryObjectStore
+        store = MemoryObjectStore()
+        s = VectorDBSession.create(
+            {"sessionId": "leg", "storageMode": "mock"}, store
+        )
+        rng = np.random.default_rng(2)
+        vecs = rng.standard_normal((20, 8)).astype(np.float32)
+        s.add_vectors([
+            {"id": f"m{i}", "vector": vecs[i].tolist(), "metadata": {"i": i}}
+            for i in range(20)
+        ])
+        s._persister.save_index_chunked(s.index, "leg")
+        store.put("leg/metadata_map.cbor", cbor.dumps(s.metadata_map))
+        s2 = VectorDBSession.create(
+            {"sessionId": "leg", "storageMode": "mock"}, store
+        )
+        s2.load_user_vectors("leg", {"lazyLoad": False})
+        assert s2.search(vecs[5].tolist(), 1)[0]["id"] == "m5"

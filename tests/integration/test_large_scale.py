@@ -77,6 +77,20 @@ def _roundtrip(n: int):
     oracle = FlatIndex(loaded.store)
     _, want = oracle.search_rows(q, 5)
     assert (rows[:, 0] == want[:, 0]).all()
+
+    # recall@10 vs exact oracle (reference: large_dataset_tests.rs verifies
+    # search quality at scale)
+    from fabstir_vectordb_tpu.index.flat import recall_at_k
+
+    rng = np.random.default_rng(3)
+    queries = idx.store.data[rng.integers(0, n, 32)] + 0.01 * rng.standard_normal(
+        (32, idx.store.dim)
+    ).astype(np.float32)
+    _, rows10 = loaded.search_rows(
+        queries, 10, config=SearchConfig(auto_migrate=False), now=NOW
+    )
+    rec = recall_at_k(oracle, rows10, queries, 10)
+    assert rec >= 0.99, f"recall@10 at {n}: {rec:.3f}"
     return manifest
 
 

@@ -507,3 +507,113 @@ class TestIVFIncrementalMetadata:
         store2, ivf2 = p.load_index("x")
         assert ivf2.active_count == 99
         assert not store2.contains("i3")
+
+
+class TestNonChunkedComposite:
+    def test_composite_roundtrip(self):
+        idx, vecs = build_hybrid(n=220)
+        idx.delete("v9")
+        store = MemoryObjectStore()
+        p = HybridPersister(store)
+        p.save_index(idx, "comp")
+        assert store.exists("comp/metadata.cbor")
+        assert store.exists("comp/recent/metadata.cbor")
+        assert store.exists("comp/historical/centroids.cbor")
+
+        idx2, meta = p.load_index("comp")
+        s1, s2 = idx.stats(now=NOW), idx2.stats(now=NOW)
+        assert s1.recent_vectors == s2.recent_vectors
+        assert s1.historical_vectors == s2.historical_vectors
+        assert idx2.store.is_deleted("v9")
+        cfg = SearchConfig(auto_migrate=False)
+        for i in (3, 101, 219):
+            r1 = idx.search(vecs[i], 5, config=cfg, now=NOW)
+            r2 = idx2.search(vecs[i], 5, config=cfg, now=NOW)
+            assert r1[0][0] == r2[0][0] == f"v{i}"
+
+    def test_composite_hnsw_only(self):
+        import numpy as np
+        from fabstir_vectordb_tpu.index import HybridIndex
+        idx = HybridIndex(8)
+        idx.initialize(None)
+        rng = np.random.default_rng(2)
+        vecs = rng.standard_normal((6, 8)).astype(np.float32)
+        idx.insert_batch([f"s{i}" for i in range(6)], vecs, now=NOW)
+        p = HybridPersister(MemoryObjectStore())
+        p.save_index(idx, "tiny")
+        idx2, meta = p.load_index("tiny")
+        assert not idx2.ivf_trained
+        assert idx2.search(vecs[2], 1, now=NOW)[0][0] == "s2"
+
+
+class TestCidMapStore:
+    class FakeS5Client:
+        """CID blob service fake: content-addressed, immutable."""
+        def __init__(self):
+            self.blobs = {}
+        def upload(self, data: bytes) -> str:
+            import hashlib
+            cid = "s5://" + hashlib.sha256(data).hexdigest()[:24]
+            self.blobs[cid] = bytes(data)
+            return cid
+        def download(self, cid: str) -> bytes:
+            cid = cid if cid.startswith("s5://") else f"s5://{cid}"
+            return self.blobs[cid]
+        def health(self) -> bool:
+            return True
+
+    def test_put_get_roundtrip_and_cid(self):
+        from fabstir_vectordb_tpu.storage import CidMapObjectStore
+        st = CidMapObjectStore(self.FakeS5Client())
+        st.put("a/b", b"hello world")
+        assert st.get("a/b") == b"hello world"
+        assert st.get_cid("a/b").startswith("s5://")
+        assert st.get_by_cid(st.get_cid("a/b")) == b"hello world"
+
+    def test_compression(self):
+        from fabstir_vectordb_tpu.storage import CidMapObjectStore
+        client = self.FakeS5Client()
+        st = CidMapObjectStore(client, enable_compression=True)
+        data = b"A" * 10_000
+        st.put("big", data)
+        stored = client.blobs[st.get_cid("big")]
+        assert len(stored) < len(data)  # zstd-compressed at rest
+        assert st.get("big") == data
+        assert st.metadata_map["big"]["compressed"]
+
+    def test_delete_forgets_mapping_only(self):
+        from fabstir_vectordb_tpu.storage import CidMapObjectStore
+        from fabstir_vectordb_tpu.core.object_store import NotFoundError
+        client = self.FakeS5Client()
+        st = CidMapObjectStore(client)
+        st.put("x", b"immutable")
+        cid = st.get_cid("x")
+        st.delete("x")
+        assert not st.exists("x")
+        with pytest.raises(NotFoundError):
+            st.get("x")
+        assert client.blobs[cid] == b"immutable"  # blob survives (immutable)
+
+    def test_list_from_local_map(self):
+        from fabstir_vectordb_tpu.storage import CidMapObjectStore
+        st = CidMapObjectStore(self.FakeS5Client())
+        st.put("p/1", b"1"); st.put("p/2", b"2"); st.put("q/3", b"3")
+        assert st.list_keys("p/") == ["p/1", "p/2"]
+
+    def test_map_persists_across_restarts(self, tmp_path):
+        from fabstir_vectordb_tpu.storage import CidMapObjectStore
+        client = self.FakeS5Client()
+        mp = str(tmp_path / "cidmap.json")
+        st = CidMapObjectStore(client, map_path=mp)
+        st.put("k", b"v")
+        st2 = CidMapObjectStore(client, map_path=mp)
+        assert st2.get("k") == b"v"
+
+    def test_full_persistence_over_cid_store(self):
+        from fabstir_vectordb_tpu.storage import CidMapObjectStore
+        st = CidMapObjectStore(self.FakeS5Client(), enable_compression=True)
+        idx, vecs = build_hybrid(n=120)
+        p = HybridPersister(st)
+        p.save_index_chunked(idx, "s", chunk_size=50)
+        idx2, _ = p.load_index_chunked("s")
+        assert idx2.store.active_count == 120
