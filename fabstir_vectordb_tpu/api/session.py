@@ -312,9 +312,12 @@ class VectorDBSession:
         return internal_id
 
     def _resolve(self, user_id: str) -> str:
-        """user id -> internal id; raises if unknown."""
+        """user id -> internal id; raises if unknown or soft-deleted (the
+        reference's delete removes the id from its vector map, so a deleted
+        vector reads as gone, rest.rs:572-597)."""
         iid = self._internal_id(user_id)
-        if self.index is not None and self.index.contains(iid):
+        if (self.index is not None and self.index.contains(iid)
+                and not self.index.store.is_deleted(iid)):
             return iid
         raise VectorDBError(f"vector {user_id!r} not found", INVALID_INPUT)
 
