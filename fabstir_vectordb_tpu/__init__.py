@@ -2,7 +2,7 @@
 
 Top-level convenience exports; subpackages hold the full surfaces:
   index/      engines (flat, IVF, HNSW, hybrid, fused, tiered) + VectorStore
-  ops/        distance matmuls, top-k, k-means, quantization, pallas kernels
+  ops/        distance matmuls, top-k, k-means, quantization
   core/       types, metadata filters, schema, chunks, caches, object stores
   storage/    chunked persistence, chunk loader, S5 drivers, encryption
   api/        VectorDBSession SDK, REST server, REST client

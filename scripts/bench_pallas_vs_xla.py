@@ -7,7 +7,11 @@ TPU while this runs.
 """
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np
@@ -20,7 +24,13 @@ import jax
 import jax.numpy as jnp
 
 from fabstir_vectordb_tpu.index.fused import flat_search_kernel
-from fabstir_vectordb_tpu.ops.pallas.flat_scan import pallas_l2_topk
+
+try:
+    # round-1 kernel; deleted after losing to XLA (docs/PERFORMANCE.md).
+    # Restore from git history (tag: pre-pallas-removal) to re-measure.
+    from fabstir_vectordb_tpu.ops.pallas.flat_scan import pallas_l2_topk
+except ImportError:
+    pallas_l2_topk = None
 
 
 def log(m):
@@ -56,7 +66,7 @@ def main():
         log(f"B={b:4d} XLA flat:    {xla_ms:8.3f} ms/call "
             f"(setup {time.perf_counter()-t0:.1f}s)")
 
-        for tile in (1024, 4096):
+        for tile in (1024, 4096) if pallas_l2_topk else ():
             try:
                 t0 = time.perf_counter()
                 pal_ms = timeit(
@@ -73,6 +83,8 @@ def main():
         # agreement check at this batch
         vx, rx = jax.device_get(flat_search_kernel(x, x_sq, mask, q, k))
         try:
+            if pallas_l2_topk is None:
+                raise ImportError
             vp, rp = jax.device_get(pallas_l2_topk(x, x_sq, mask, q, k))
             agree = (rx[:, :8] == rp[:, :8]).mean()
             log(f"B={b:4d} top-8 row agreement XLA vs pallas: {agree:.3f}")
