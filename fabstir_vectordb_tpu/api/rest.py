@@ -195,6 +195,21 @@ def create_app(config: ApiConfig | None = None,
             }
         )
 
+    def _vector_key(vid: str) -> str:
+        return f"{config.session_id}/vectors/{vid}.cbor"
+
+    def _persist_vector(vid: str, vector: list, metadata) -> None:
+        # per-vector durability independent of /session/save (reference
+        # insert handler persists to storage, rest.rs:392-447)
+        from .. import cbor as _cbor
+
+        try:
+            store.put(_vector_key(vid), _cbor.dumps(
+                {"id": vid, "vector": vector, "metadata": metadata}
+            ))
+        except Exception:  # noqa: BLE001 — persist is best-effort
+            log.warning("vector persist failed for %s", vid, exc_info=True)
+
     async def insert_vector(request: web.Request):
         body = await request.json()
         vid = body.get("id")
@@ -209,6 +224,7 @@ def create_app(config: ApiConfig | None = None,
             )
         except VectorDBError as e:
             return _error(_err_status(e), e.message, e.code)
+        await state.run(_persist_vector, vid, vector, metadata)
         state.publish({"type": "insert", "id": vid})
         return web.json_response({"id": vid, "status": "inserted"}, status=201)
 
@@ -231,7 +247,12 @@ def create_app(config: ApiConfig | None = None,
                     inserted.append(item.get("id"))
                 except Exception as e:  # noqa: BLE001
                     errors.append({"id": item.get("id"), "error": str(e)})
+        by_id = {item.get("id"): item for item in vectors}
         for vid in inserted:
+            item = by_id.get(vid) or {}
+            await state.run(
+                _persist_vector, vid, item.get("vector"), item.get("metadata")
+            )
             state.publish({"type": "insert", "id": vid})
         return web.json_response(
             {"inserted": len(inserted), "failed": len(errors), "errors": errors},
@@ -241,12 +262,23 @@ def create_app(config: ApiConfig | None = None,
     async def get_vector(request: web.Request):
         vid = request.match_info["id"]
         sess = state.session
-        if sess.index is None:
-            return _error(404, f"vector {vid!r} not found", "NOT_FOUND")
         try:
+            if sess.index is None:
+                raise VectorDBError("no index", "SESSION_ERROR")
             iid = await state.run(sess._resolve, vid)
         except VectorDBError:
-            return _error(404, f"vector {vid!r} not found", "NOT_FOUND")
+            # memory -> storage fallback (reference rest.rs:533-570)
+            from .. import cbor as _cbor
+
+            try:
+                blob = await state.run(store.get, _vector_key(vid))
+                obj = _cbor.loads(blob)
+                return web.json_response(
+                    {"id": vid, "vector": obj.get("vector"),
+                     "metadata": obj.get("metadata"), "source": "storage"}
+                )
+            except Exception:  # noqa: BLE001
+                return _error(404, f"vector {vid!r} not found", "NOT_FOUND")
         vec = await state.run(sess.index.get_vector, iid)
         return web.json_response(
             {
@@ -262,6 +294,10 @@ def create_app(config: ApiConfig | None = None,
             await state.run(state.session.delete_vector, vid)
         except VectorDBError as e:
             return _error(404, e.message, e.code)
+        try:
+            await state.run(store.delete, _vector_key(vid))
+        except Exception:  # noqa: BLE001
+            pass
         state.publish({"type": "delete", "id": vid})
         return web.json_response({"id": vid, "status": "deleted"})
 

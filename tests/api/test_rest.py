@@ -322,3 +322,44 @@ async def test_include_vectors_via_coalescer(client):
     body = await resp.json()
     assert body["results"][0]["id"] == "v2"
     assert np.allclose(body["results"][0]["vector"], data[2], atol=1e-5)
+
+
+async def test_insert_persists_vector_to_storage(client):
+    """Reference insert handler persists each vector to storage and GET
+    falls back there when not in memory (rest.rs:392-447, :533-570)."""
+    from fabstir_vectordb_tpu import cbor
+
+    store = client.server.app["state"].store
+    resp = await client.post(
+        "/api/v1/vectors",
+        json={"id": "dur", "vector": [1.0] * 8, "metadata": {"x": 1}},
+    )
+    assert resp.status == 201
+    key = "rest-test/vectors/dur.cbor"
+    assert store.exists(key)
+    obj = cbor.loads(store.get(key))
+    assert obj["id"] == "dur" and obj["metadata"] == {"x": 1}
+
+    # delete removes the storage copy too
+    await client.delete("/api/v1/vectors/dur")
+    assert not store.exists(key)
+
+
+async def test_get_falls_back_to_storage(client):
+    from fabstir_vectordb_tpu import cbor
+
+    store = client.server.app["state"].store
+    store.put("rest-test/vectors/ghost.cbor", cbor.dumps(
+        {"id": "ghost", "vector": [0.5] * 8, "metadata": {"m": 2}}
+    ))
+    resp = await client.get("/api/v1/vectors/ghost")
+    assert resp.status == 200
+    body = await resp.json()
+    assert body["source"] == "storage" and body["metadata"] == {"m": 2}
+
+
+async def test_batch_insert_persists_all(client):
+    store = client.server.app["state"].store
+    await seed_data(client, n=12)
+    for i in range(12):
+        assert store.exists(f"rest-test/vectors/v{i}.cbor")

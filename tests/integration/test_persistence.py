@@ -617,3 +617,64 @@ class TestCidMapStore:
         p.save_index_chunked(idx, "s", chunk_size=50)
         idx2, _ = p.load_index_chunked("s")
         assert idx2.store.active_count == 120
+
+
+class TestEncryptedFsAtScale:
+    def test_encrypted_roundtrip_20k_over_fs(self, tmp_path):
+        """Encryption round-trip over the filesystem store at mid scale:
+        chunked save through EncryptedObjectStore -> ciphertext at rest ->
+        load -> search parity (reference encrypts everything but the
+        manifest at rest; round-1 verdict flagged this untested at scale)."""
+        from fabstir_vectordb_tpu.core.object_store import FileSystemObjectStore
+        from fabstir_vectordb_tpu.storage.encryption import (
+            EncryptedObjectStore, derive_key,
+        )
+
+        n, dim = 20_000, 64
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HybridIndex(dim, HybridConfig(
+            ivf=IVFConfig(n_clusters=16, n_probe=8, seed=0)))
+        idx.initialize(vecs[:4096])
+        ts = np.full(n, NOW - 30 * DAY)
+        ts[:1000] = NOW - DAY
+        idx.insert_batch([f"v{i}" for i in range(n)], vecs, ts, now=NOW)
+
+        inner = FileSystemObjectStore(str(tmp_path))
+        store = EncryptedObjectStore(inner, derive_key("seed phrase words"))
+        p = HybridPersister(store)
+        p.save_index_chunked(idx, "enc", chunk_size=10_000)
+
+        # at rest: every chunk is FVE1 ciphertext, raw floats unrecoverable
+        raw = inner.get("enc/chunks/chunk-0.cbor")
+        assert raw[:4] == b"FVE1"
+        assert vecs[:4].tobytes()[:64] not in raw
+
+        idx2, m = p.load_index_chunked("enc")
+        assert m.total_vectors == n
+        q = vecs[123][None] + 0.001
+        d1, r1 = idx.search_rows(q, 5, config=SearchConfig(auto_migrate=False),
+                                 now=NOW)
+        d2, r2 = idx2.search_rows(q, 5, config=SearchConfig(auto_migrate=False),
+                                  now=NOW)
+        assert idx2.store.id_of(int(r2[0, 0])) == "v123"
+        np.testing.assert_allclose(d1, d2, rtol=1e-5)
+
+    def test_wrong_key_fails_closed(self, tmp_path):
+        from fabstir_vectordb_tpu.core.object_store import (
+            FileSystemObjectStore, StorageError,
+        )
+        from fabstir_vectordb_tpu.storage.encryption import (
+            EncryptedObjectStore, derive_key,
+        )
+
+        idx, _ = build_hybrid(n=60)
+        inner = FileSystemObjectStore(str(tmp_path))
+        HybridPersister(
+            EncryptedObjectStore(inner, derive_key("right key"))
+        ).save_index_chunked(idx, "s")
+        wrong = HybridPersister(
+            EncryptedObjectStore(inner, derive_key("wrong key"))
+        )
+        with pytest.raises(Exception):
+            wrong.load_index_chunked("s")
