@@ -121,6 +121,22 @@ class FusedSearcher:
         self.hybrid = hybrid
         self._key = None
         self._dev: dict | None = None
+        # device-resident filter bitmask, keyed by content digest: repeated
+        # filtered queries (the columnar path caches masks per epoch) would
+        # otherwise re-upload a capacity-sized bool array every call — one
+        # extra host->device RTT (~10 ms through a tunnel, measured)
+        self._mask_digest: bytes | None = None
+        self._mask_dev = None
+
+    def _device_mask(self, extra_mask: np.ndarray):
+        import hashlib
+
+        m = np.ascontiguousarray(extra_mask)
+        digest = hashlib.blake2b(m.tobytes(), digest_size=16).digest()
+        if digest != self._mask_digest:
+            self._mask_dev = jnp.asarray(m)
+            self._mask_digest = digest
+        return self._mask_dev
 
     def _state_key(self):
         h = self.hybrid
@@ -177,11 +193,12 @@ class FusedSearcher:
         if dev["x"].shape[0] <= limits.FLAT_THRESHOLD:
             mask = dev["members"]
             if extra_mask is not None:
-                mask = mask & jnp.asarray(extra_mask)
+                mask = mask & self._device_mask(extra_mask)
             vals, rows = flat_search_kernel(dev["x"], dev["x_sq"], mask, q, k)
             return jax.device_get((vals, rows))
 
-        extra = dev["ones"] if extra_mask is None else jnp.asarray(extra_mask)
+        extra = (dev["ones"] if extra_mask is None
+                 else self._device_mask(extra_mask))
         n_probe_eff = min(n_probe, int(dev["centroids"].shape[0]))
         vals, rows = hybrid_search_kernel(
             dev["x"], dev["x_sq"], dev["hnsw_mask"], dev["ivf_mask"], extra,
