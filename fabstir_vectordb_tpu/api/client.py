@@ -109,8 +109,17 @@ class VectorDbClient:
     def rebalance(self) -> dict:
         return self._request("POST", "/admin/rebalance")
 
-    def backup(self) -> dict:
-        return self._request("POST", "/admin/backup")
+    def backup(self, backup_path: str | None = None,
+               compress: bool = False) -> dict:
+        body = None
+        if backup_path is not None or compress:
+            body = {"backup_path": backup_path or "backup",
+                    "compress": compress}
+        return self._request("POST", "/admin/backup", body)
+
+    def create_backup(self, path: str = "backup") -> "BackupBuilder":
+        """Fluent backup builder (parity: rust.rs:224-264,558-564)."""
+        return BackupBuilder(self, path)
 
     # ------------------------------------------------ session-level routes
     def delete_by_metadata(self, flt: Any) -> dict:
@@ -181,3 +190,19 @@ class SearchBuilder:
 
     def execute(self) -> list:
         return self._client.search(self._vector, self._k, **self._options)
+
+
+class BackupBuilder:
+    """Fluent backup builder (parity: rust.rs:224-264)."""
+
+    def __init__(self, client: VectorDbClient, path: str = "backup"):
+        self._client = client
+        self._path = path
+        self._compressed = False
+
+    def compressed(self, yes: bool = True) -> "BackupBuilder":
+        self._compressed = yes
+        return self
+
+    def execute(self) -> dict:
+        return self._client.backup(self._path, self._compressed)

@@ -366,9 +366,21 @@ def create_app(config: ApiConfig | None = None,
     async def backup(request: web.Request):
         if state.session.index is None:
             return _error(409, "index not initialized", "SESSION_ERROR")
+        prefix, compress = "backup", False
+        if request.can_read_body:
+            try:
+                body = await request.json()
+                prefix = body.get("backup_path") or "backup"
+                compress = bool(body.get("compress", False))
+            except Exception:  # noqa: BLE001 — empty/invalid body: defaults
+                pass
         cid = await state.run(state.session.save_to_s5)
-        await state.run(state.session._persister.backup, cid)
-        return web.json_response({"backup": cid})
+        await state.run(
+            lambda: state.session._persister.backup(cid, prefix, compress)
+        )
+        return web.json_response(
+            {"backup": cid, "backup_path": prefix, "compressed": compress}
+        )
 
     # ------------------------------------------------ session-level routes
     # Beyond the reference REST surface: the reference exposes these only

@@ -482,16 +482,44 @@ class HybridPersister:
             pass  # nothing to back up yet
         return self.save_index_chunked(index, session_id, chunk_size)
 
-    def backup(self, session_id: str) -> list:
+    def backup(self, session_id: str, prefix: str = "backup",
+               compress: bool = False) -> list:
+        """Copy the session's save under ``prefix/`` (optionally zstd-
+        compressed — the reference's BackupBuilder carries backup_path +
+        compress flags, client/rust.rs:224-264)."""
+        import json as _json
+
         keys = self._session_keys(session_id)
         for key in keys:
             data = self.store.get(key)
-            self.store.put(f"backup/{key}", data)
+            if compress:
+                data = cbor.compress_zstd(data)
+            self.store.put(f"{prefix}/{key}", data)
+        self.store.put(
+            f"{prefix}/{session_id}/backup_meta.json",
+            _json.dumps({"compress": compress}).encode(),
+        )
         return keys
 
-    def restore_from_backup(self, session_id: str) -> None:
+    def restore_from_backup(self, session_id: str,
+                            prefix: str = "backup") -> None:
+        import json as _json
+
+        compress = False
         try:
-            raw = self.store.get(f"backup/{session_id}/manifest.json")
+            meta = _json.loads(
+                self.store.get(f"{prefix}/{session_id}/backup_meta.json")
+            )
+            compress = bool(meta.get("compress"))
+        except Exception:
+            pass
+
+        def fetch(key: str) -> bytes:
+            data = self.store.get(f"{prefix}/{key}")
+            return cbor.decompress_zstd(data) if compress else data
+
+        try:
+            raw = fetch(f"{session_id}/manifest.json")
         except NotFoundError:
             raise PersistenceError(f"no backup for session {session_id!r}") from None
         manifest = Manifest.from_json(raw.decode("utf-8"))
@@ -500,7 +528,7 @@ class HybridPersister:
             keys.append(f"{session_id}/hnsw_graph.cbor")
         keys += [f"{session_id}/chunks/{c.chunk_id}.cbor" for c in manifest.chunks]
         for key in keys:
-            self.store.put(key, self.store.get(f"backup/{key}"))
+            self.store.put(key, fetch(key))
         self.loader.cache.clear()
 
 

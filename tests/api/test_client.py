@@ -114,3 +114,20 @@ def test_5xx_retries_then_fails():
                        max_retries=2, backoff=0.01)
     with pytest.raises(ClientError, match="after retries"):
         c.health()
+
+
+def test_backup_builder_shapes():
+    from fabstir_vectordb_tpu.api.client import BackupBuilder, VectorDbClient
+
+    calls = {}
+
+    class FakeClient(VectorDbClient):
+        def __init__(self):
+            pass
+        def backup(self, backup_path=None, compress=False):
+            calls["path"], calls["compress"] = backup_path, compress
+            return {"backup": "s"}
+
+    out = BackupBuilder(FakeClient(), "snaps").compressed().execute()
+    assert out["backup"] == "s"
+    assert calls == {"path": "snaps", "compress": True}

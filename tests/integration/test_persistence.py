@@ -678,3 +678,22 @@ class TestEncryptedFsAtScale:
         )
         with pytest.raises(Exception):
             wrong.load_index_chunked("s")
+
+
+class TestCompressedBackup:
+    def test_compressed_backup_roundtrip(self):
+        idx, vecs = build_hybrid(n=80)
+        store = MemoryObjectStore()
+        p = HybridPersister(store)
+        p.save_index_chunked(idx, "s", chunk_size=40)
+        p.backup("s", prefix="snapshots/daily", compress=True)
+        assert store.exists("snapshots/daily/s/manifest.json")
+        # backup blobs are smaller than the originals (zstd)
+        raw = store.get("s/chunks/chunk-0.cbor")
+        comp = store.get("snapshots/daily/s/chunks/chunk-0.cbor")
+        assert comp != raw
+        # corrupt live copy, restore from the compressed backup
+        store.put("s/chunks/chunk-0.cbor", b"garbage")
+        p.restore_from_backup("s", prefix="snapshots/daily")
+        idx2, _ = p.load_index_chunked("s")
+        assert idx2.store.active_count == 80
