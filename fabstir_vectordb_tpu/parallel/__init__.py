@@ -5,6 +5,7 @@ from .sharded import (
     sharded_lloyd_step,
     sharded_kmeans_train,
     sharded_hnsw_search,
+    sharded_hybrid_search,
     ShardedIVFState,
     shard_ivf_state,
     ShardedHNSWState,
@@ -19,6 +20,7 @@ __all__ = [
     "sharded_lloyd_step",
     "sharded_kmeans_train",
     "sharded_hnsw_search",
+    "sharded_hybrid_search",
     "ShardedIVFState",
     "shard_ivf_state",
     "ShardedHNSWState",

@@ -396,3 +396,38 @@ def sharded_hnsw_search(mesh: Mesh, axis: str = "data"):
                  state.up_offset, q)
 
     return run
+
+
+# --------------------------------------------------------------------------
+# Sharded hybrid search (both engines over the mesh)
+# --------------------------------------------------------------------------
+
+
+def sharded_hybrid_search(mesh: Mesh, axis: str = "data"):
+    """Composes the multi-chip hybrid query path: a query-sharded HNSW beam
+    over the replicated recent-tier graph AND a list-sharded IVF scan over
+    the historical tier, merged into one global top-k. Both engines issue
+    back-to-back device programs on the same mesh; rows are in the shared
+    VectorStore's row space so the merge is a plain top-k.
+
+    Returns fn(hstate: ShardedHNSWState, istate: ShardedIVFState, q [B, D]
+    (B divisible by the mesh axis), k, ef, n_probe) -> (dists, rows) numpy,
+    distances squared-L2 like the single-chip fused path.
+    """
+    hs = sharded_hnsw_search(mesh, axis)
+    ivs = sharded_ivf_search(mesh, axis)
+
+    def run(hstate, istate, q, k: int, ef: int, n_probe: int):
+        hd, hr = hs(hstate, q, k, ef)
+        ivd, ivr = ivs(istate, q, k, n_probe)
+        hd, hr, ivd, ivr = (np.asarray(a) for a in (hd, hr, ivd, ivr))
+        d = np.concatenate([hd, ivd], axis=1)
+        r = np.concatenate([hr, ivr], axis=1)
+        d = np.where(r >= 0, d, np.inf)
+        order = np.argsort(d, axis=1)[:, :k]
+        out_d = np.take_along_axis(d, order, axis=1)
+        out_r = np.take_along_axis(r, order, axis=1)
+        out_r = np.where(np.isfinite(out_d), out_r, -1)
+        return out_d, out_r
+
+    return run

@@ -125,3 +125,53 @@ def test_sharded_hnsw_matches_single_device(mesh, rng):
     _, host_rows = hnsw.search_rows(q, k, ef=ef)
     np.testing.assert_array_equal(out_rows, host_rows)
     assert 7 not in out_rows
+
+
+def test_sharded_hybrid_search_merges_both_engines():
+    """Multi-chip hybrid: query-sharded HNSW + list-sharded IVF + global
+    merge must find the true nearest whether it lives in the recent graph
+    or the historical lists."""
+    import numpy as np
+
+    from fabstir_vectordb_tpu.index import (
+        HNSWIndex, IVFConfig, IVFIndex, VectorStore,
+    )
+    from fabstir_vectordb_tpu.parallel import (
+        cpu_mesh, shard_hnsw_state, shard_ivf_state, sharded_hybrid_search,
+    )
+
+    mesh = cpu_mesh(8)
+    rng = np.random.default_rng(0)
+    dim, n = 32, 1024
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    store = VectorStore(dim)
+    rows = store.add_batch([f"v{i}" for i in range(n)], vecs)
+
+    recent = rows[: n // 4]           # graph tier
+    historical = rows[n // 4:]        # list tier
+    hnsw = HNSWIndex(store)
+    hnsw.insert_rows(recent)
+    ivf = IVFIndex(store, IVFConfig(n_clusters=16, n_probe=16, seed=0))
+    ivf.train(vecs[n // 4:])
+    ivf.insert_rows(historical)
+
+    hmask = np.zeros(store.capacity, bool)
+    hmask[recent] = True
+    imask = np.zeros(store.capacity, bool)
+    imask[historical] = True
+
+    hstate = shard_hnsw_state(mesh, hnsw)
+    istate = shard_ivf_state(
+        mesh, ivf.export_centroids(), ivf.tiles(), store.data,
+        store.active_mask() & imask,
+    )
+    search = sharded_hybrid_search(mesh)
+
+    # 8 queries aimed at recent rows + 8 at historical rows
+    targets = np.concatenate([rows[:8], rows[n // 4: n // 4 + 8]])
+    q = store.data[targets] + 0.01
+    d, r = search(hstate, istate, q, k=4, ef=32, n_probe=16)
+    assert r.shape == (16, 4)
+    assert (r[:, 0] == targets).all(), r[:, 0]
+    # distances ascending and merged across engines
+    assert (np.diff(np.where(np.isfinite(d), d, 1e30), axis=1) >= 0).all()
