@@ -100,6 +100,14 @@ def measure_qps(idx, rng, dim, k, cfg, batch=128, reps=10):
         idx.search_rows(bq, k, config=cfg, now=NOW)
     qps = batch * reps / (time.perf_counter() - t0)
     log(f"batched throughput: {qps:,.0f} QPS (batch={batch})")
+    # larger batches amortize the dispatch/tunnel RTT further (informational)
+    bq512 = rng.standard_normal((512, dim)).astype(np.float32)
+    idx.search_rows(bq512, k, config=cfg, now=NOW)  # compile
+    t0 = time.perf_counter()
+    for _ in range(max(reps // 2, 3)):
+        idx.search_rows(bq512, k, config=cfg, now=NOW)
+    qps512 = 512 * max(reps // 2, 3) / (time.perf_counter() - t0)
+    log(f"batched throughput: {qps512:,.0f} QPS (batch=512)")
     return qps
 
 
