@@ -175,8 +175,9 @@ def _heuristic_kept_host(vecs, cand_d, valid, m: int) -> np.ndarray:
     """Host twin of heuristic_kept_kernel. vecs [B, C, D] candidate vectors
     (rows must be pre-gathered), cand_d [B, C] ascending."""
     b, c = cand_d.shape
+    vecs = np.ascontiguousarray(vecs, np.float32)
     sq = np.einsum("bcd,bcd->bc", vecs, vecs)
-    g = np.einsum("bcd,bed->bce", vecs, vecs)
+    g = vecs @ vecs.transpose(0, 2, 1)  # batched BLAS, not einsum's C loop
     pd = sq[:, :, None] - 2.0 * g + sq[:, None, :]
     kept = np.zeros((b, c), bool)
     cnt = np.zeros(b, np.int32)
@@ -944,14 +945,38 @@ class HNSWIndex:
         lists[rows_idx, cols] = vals
 
         over = np.nonzero(counts > free_count)[0]
-        for i in over:
-            extras = news[start[i] + n_fit[i]: start[i] + counts[i]]
-            cand = np.concatenate([lists[i][lists[i] >= 0], extras])
-            best = _heuristic_prune_one(
-                self.store.data, self.store.data[uniq[i]], cand, width
+        if over.size:
+            # batched heuristic prune across ALL overfull targets: one padded
+            # [T_over, C] candidate table instead of a python loop per target
+            # (the loop was ~1 ms/target; thousands of targets per insert
+            # batch dominated build time)
+            extra_max = int((counts[over] - n_fit[over]).max())
+            c_width = width + extra_max
+            t_over = over.size
+            cand = np.full((t_over, c_width), -1, np.int64)
+            for j, i in enumerate(over):  # cheap: slicing only
+                cur = lists[i][lists[i] >= 0]
+                extras = news[start[i] + n_fit[i]: start[i] + counts[i]]
+                row = np.concatenate([cur, extras])
+                cand[j, : len(row)] = row
+            tv = self.store.data[uniq[over]]  # [T, D]
+            cv = self.store.data[np.maximum(cand, 0)]  # [T, C, D]
+            diff = cv - tv[:, None, :]
+            d = np.einsum("tcd,tcd->tc", diff, diff)
+            d[cand < 0] = np.inf
+            order = np.argsort(d, axis=1, kind="stable")
+            cand = np.take_along_axis(cand, order, axis=1)
+            d = np.take_along_axis(d, order, axis=1)
+            kept = _heuristic_kept_host(
+                self.store.data[np.maximum(cand, 0)],  # re-gather, now sorted
+                d, cand >= 0, width,
             )
-            lists[i] = -1
-            lists[i, : len(best)] = best
+            # kept-first then closest-unkept fill, take `width`
+            rank = (~kept).astype(np.int8) + (cand < 0).astype(np.int8) * 2
+            sel_order = np.argsort(rank, axis=1, kind="stable")[:, :width]
+            sel = np.take_along_axis(cand, sel_order, axis=1)
+            sel_ok = np.take_along_axis(rank, sel_order, axis=1) < 2
+            lists[over] = np.where(sel_ok, sel, -1).astype(lists.dtype)
 
         if layer == 0:
             self.nbrs0[uniq] = lists

@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--clustered", action="store_true", default=True)
     ap.add_argument("--threshold", type=int, default=2048,
                     help="FVDB_FLAT_THRESHOLD override (forces pruned path)")
+    ap.add_argument("--recent", type=float, default=0.10,
+                    help="fraction of rows in the HNSW recent tier")
     ap.add_argument("--efs", type=int, nargs="+", default=[16, 32, 64, 128])
     ap.add_argument("--probes", type=int, nargs="+", default=[4, 8, 16, 32])
     args = ap.parse_args()
@@ -66,7 +68,7 @@ def main() -> None:
     idx.initialize(vecs[:10_000])
     NOW = 1_700_000_000.0
     ts = np.full(n, NOW - 30 * 86400.0)
-    ts[: n // 10] = NOW - 86400.0
+    ts[: int(n * args.recent)] = NOW - 86400.0
     t0 = time.perf_counter()
     idx.insert_batch([f"v{i}" for i in range(n)], vecs, ts, now=NOW)
     print(f"built {n}x{dim} in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
