@@ -21,14 +21,20 @@ import numpy as np
 
 from ..ops.distance import pairwise_distance
 from ..ops.topk import masked_topk
+from ..utils import limits
 from ..utils.padding import bucket
 from .store import VectorStore
 
 
 @partial(jax.jit, static_argnames=("k", "metric"))
 def flat_search_kernel(x, x_sq, mask, q, k: int, metric: str = "euclidean"):
-    """(x [N,D], x_sq [N], mask [N] or [B,N], q [B,D]) -> (dists [B,k], rows [B,k])."""
-    d = pairwise_distance(q, x, metric=metric, x_sq=x_sq)
+    """(x [N,D], x_sq [N], mask [N] or [B,N], q [B,D]) -> (dists [B,k], rows [B,k]).
+
+    bf16-resident corpora run the matmul in bf16 with f32 accumulation
+    (x_sq stays f32 from the host), matching the fused serving kernel.
+    """
+    compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    d = pairwise_distance(q, x, metric=metric, x_sq=x_sq, compute_dtype=compute)
     return masked_topk(d, mask, k)
 
 
@@ -50,7 +56,7 @@ class FlatIndex:
         Euclidean distances are returned as true (non-squared) distances.
         """
         queries = np.atleast_2d(np.asarray(queries, np.float32))
-        mirror = self.store.device()
+        mirror = self.store.device(dtype=limits.serving_dtype())
         mask = self.store.active_mask()
         if extra_mask is not None:
             mask = mask & extra_mask

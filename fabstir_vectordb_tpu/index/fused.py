@@ -25,7 +25,6 @@ Distances returned are squared euclidean (callers sqrt at the boundary).
 from __future__ import annotations
 
 
-import os
 from functools import partial
 
 import jax
@@ -44,7 +43,7 @@ from .ivf import ivf_search_kernel
 from ..utils import limits  # noqa: E402
 
 
-SERVING_DTYPE = os.environ.get("FVDB_SERVING_DTYPE", "float32")
+# FVDB_SERVING_DTYPE ("float32" | "bfloat16") — see utils.limits.serving_dtype.
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -140,7 +139,8 @@ class FusedSearcher:
 
     def _state_key(self):
         h = self.hybrid
-        return (h.store._version, h.hnsw._version, h.ivf._version)
+        return (h.store._version, h.hnsw._version, h.ivf._version,
+                limits.serving_dtype())
 
     def _device_state(self) -> dict:
         key = self._state_key()
@@ -148,7 +148,10 @@ class FusedSearcher:
             h = self.hybrid
             h.hnsw._fix_entry_point()  # entry may have been deleted
             key = self._state_key()
-            mirror = h.store.device(dtype=SERVING_DTYPE)
+            # release the stale cached state before re-uploading: holding the
+            # old corpus mirror while building the new one doubles HBM use
+            self._dev = None
+            mirror = h.store.device(dtype=limits.serving_dtype())
             graph = h.hnsw._device_arrays()
             active = h.store.active_mask()
             hnsw_mask = active & h.hnsw.member_mask()[: h.store.capacity]

@@ -708,7 +708,7 @@ class HNSWIndex:
 
     def _device_candidates(self, batch: np.ndarray, levels_new: np.ndarray) -> dict:
         cfg = self.config
-        mirror = self.store.device()
+        mirror = self.store.device(dtype=limits.serving_dtype())
         dev = self._device_arrays()
         mask = jnp.asarray(self._search_mask())
         n_real = batch.size
@@ -1033,7 +1033,7 @@ class HNSWIndex:
         if self.entry_point < 0:
             b = queries.shape[0]
             return (np.full((b, k), np.inf, np.float32), np.full((b, k), -1, np.int32))
-        mirror = self.store.device()
+        mirror = self.store.device(dtype=limits.serving_dtype())
         dev = self._device_arrays()
         mask = self._search_mask()
         maskj = jnp.asarray(mask)

@@ -30,6 +30,7 @@ import numpy as np
 from ..ops.distance import pairwise_distance
 from ..ops.kmeans import assign_clusters, kmeans_train
 from ..ops.topk import masked_topk, merge_topk
+from ..utils import limits
 from ..utils.padding import bucket, round_up, grow_rows
 from .store import VectorStore
 
@@ -283,7 +284,7 @@ class IVFIndex:
             raise NotTrainedError("IVF index is not trained")
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         n_probe = n_probe or self.config.n_probe
-        mirror = self.store.device()
+        mirror = self.store.device(dtype=limits.serving_dtype())
         mask = self.store.active_mask() & self.member_mask()[: self.store.capacity]
         if extra_mask is not None:
             mask = mask & extra_mask

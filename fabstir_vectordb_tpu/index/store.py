@@ -276,6 +276,10 @@ class VectorStore:
         with self._lock:
             m = self._mirror
             if m is None or m.version != self._version or m.dtype != dtype:
+                # free the stale mirror BEFORE allocating the new one: at
+                # multi-GB corpus sizes holding both transiently (e.g. a
+                # f32->bf16 switch at 8M rows: 12.9 + 6.4 GB) would OOM HBM
+                self._mirror = m = None
                 if dtype == "bfloat16":
                     x = jnp.asarray(self.data, jnp.bfloat16)
                     x_sq = jnp.asarray((

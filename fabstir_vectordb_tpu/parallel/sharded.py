@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.distance import pairwise_distance
 from ..ops.kmeans import kmeans_pp_init
 from ..ops.topk import masked_topk, merge_topk
+from ..utils import limits
 from ..utils.padding import round_up
 
 # --------------------------------------------------------------------------
@@ -345,7 +346,7 @@ def shard_hnsw_state(mesh: Mesh, hnsw) -> ShardedHNSWState:
     """Replicate an HNSWIndex's device arrays over the mesh."""
     repl = NamedSharding(mesh, P())
     dev = hnsw._device_arrays()
-    mirror = hnsw.store.device()
+    mirror = hnsw.store.device(dtype=limits.serving_dtype())
     put = lambda a: jax.device_put(a, repl)  # noqa: E731
     return ShardedHNSWState(
         x=put(mirror.x),

@@ -13,3 +13,15 @@ from __future__ import annotations
 import os
 
 FLAT_THRESHOLD = int(os.environ.get("FVDB_FLAT_THRESHOLD", 4_194_304))
+
+
+def serving_dtype() -> str:
+    """Device-resident corpus dtype ("float32" | "bfloat16").
+
+    Single source of truth for every ``VectorStore.device()`` consumer —
+    serving, HNSW linking, IVF scan and the sharded paths share ONE mirror;
+    mixing dtypes across call sites would thrash multi-GB re-uploads through
+    the host↔device link (and transiently double HBM residency at scale).
+    Read per call so tests/benchmarks can flip regimes at runtime.
+    """
+    return os.environ.get("FVDB_SERVING_DTYPE", "float32")

@@ -278,19 +278,17 @@ def test_bfloat16_serving_mirror(rng):
 
     q = vecs[:8] + 0.01
     cfg = SearchConfig(auto_migrate=False)
-    old = fused_mod.SERVING_DTYPE
+    oracle = FlatIndex(idx.store)
+    _, want = oracle.search_rows(q, k)  # exact f32, computed BEFORE the flip
+
+    import os
+    os.environ["FVDB_SERVING_DTYPE"] = "bfloat16"
     try:
-        fused_mod.SERVING_DTYPE = "bfloat16"
-        idx.fused._key = None
         import jax.numpy as jnp
         assert idx.fused._device_state()["x"].dtype == jnp.bfloat16
         _, rows_bf16 = idx.search_rows(q, k, config=cfg, now=NOW)
     finally:
-        fused_mod.SERVING_DTYPE = old
-        idx.fused._key = None
-
-    oracle = FlatIndex(idx.store)
-    _, want = oracle.search_rows(q, k)
+        del os.environ["FVDB_SERVING_DTYPE"]
     # top-1 identical on well-separated data; full top-k near-identical
     assert (rows_bf16[:, 0] == want[:, 0]).all()
     overlap = np.mean([
@@ -364,6 +362,39 @@ class TestPrunedRegime:
                                     extra_mask=mask, now=NOW)
         got = frows[frows >= 0]
         assert got.size > 0 and (got % 3 == 0).all()
+
+    def test_pruned_path_bfloat16_end_to_end(self, monkeypatch):
+        """bf16-resident corpus through the PRUNED kernels (greedy descent,
+        beam, IVF nprobe): the capacity regime bf16 exists for. Build and
+        serve both run with the bf16 mirror (one shared upload)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from fabstir_vectordb_tpu.index import SearchConfig
+        from fabstir_vectordb_tpu.utils import limits
+
+        monkeypatch.setenv("FVDB_SERVING_DTYPE", "bfloat16")
+        monkeypatch.setattr(limits, "FLAT_THRESHOLD", 2048)
+        idx, vecs, NOW = self._build()
+        dev = idx.fused._device_state()
+        assert dev["x"].dtype == jnp.bfloat16
+        assert dev["x"].shape[0] > limits.FLAT_THRESHOLD
+
+        rng = np.random.default_rng(2)
+        qi = rng.integers(0, vecs.shape[0], 32)
+        queries = vecs[qi] + 0.01 * rng.standard_normal(
+            (32, vecs.shape[1])).astype(np.float32)
+        cfg = SearchConfig(auto_migrate=False, hnsw_ef=128)
+        _, rows = idx.search_rows(queries, 10, config=cfg, now=NOW)
+
+        x = idx.store.data[: idx.store.count]
+        d2 = ((queries ** 2).sum(1)[:, None] - 2.0 * queries @ x.T
+              + (x ** 2).sum(1)[None, :])
+        truth = np.argsort(d2, axis=1)[:, :10]
+        hits = sum(
+            len(set(rows[i][rows[i] >= 0]) & set(truth[i])) for i in range(32)
+        )
+        recall = hits / (32 * 10)
+        assert recall >= 0.85, f"bf16 pruned recall@10 {recall:.3f}"
 
     def test_pruned_path_beats_oom_memory_bound(self, monkeypatch):
         """Beam state must be O(B*ef), not O(B*capacity): live-array bytes
