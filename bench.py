@@ -100,6 +100,17 @@ def measure_qps(idx, rng, dim, k, cfg, batch=128, reps=10):
         idx.search_rows(bq, k, config=cfg, now=NOW)
     qps = batch * reps / (time.perf_counter() - t0)
     log(f"batched throughput: {qps:,.0f} QPS (batch={batch})")
+    # pipelined: dispatch depth-4 before first readback — overlaps the
+    # host<->device RTT that bounds the sequential number above (this is
+    # what the REST coalescer does under sustained concurrent load)
+    batches = [
+        rng.standard_normal((batch, dim)).astype(np.float32)
+        for _ in range(2 * reps)
+    ]
+    t0 = time.perf_counter()
+    idx.search_rows_pipelined(batches, k, config=cfg, now=NOW, depth=4)
+    qps_pipe = batch * len(batches) / (time.perf_counter() - t0)
+    log(f"pipelined throughput: {qps_pipe:,.0f} QPS (batch={batch}, depth=4)")
     # larger batches amortize the dispatch/tunnel RTT further (informational)
     bq512 = rng.standard_normal((512, dim)).astype(np.float32)
     idx.search_rows(bq512, k, config=cfg, now=NOW)  # compile
@@ -108,7 +119,7 @@ def measure_qps(idx, rng, dim, k, cfg, batch=128, reps=10):
         idx.search_rows(bq512, k, config=cfg, now=NOW)
     qps512 = 512 * max(reps // 2, 3) / (time.perf_counter() - t0)
     log(f"batched throughput: {qps512:,.0f} QPS (batch=512)")
-    return qps
+    return qps, qps_pipe
 
 
 def bench_scale(n, dim, k, n_queries, rng, recent_frac, tag):
@@ -135,8 +146,8 @@ def bench_scale(n, dim, k, n_queries, rng, recent_frac, tag):
     rec = recall_at_k(FlatIndex(idx.store), rows, sample, k)
     log(f"recall@{k} vs exact: {rec:.3f}")
 
-    qps = measure_qps(idx, rng, dim, k, cfg)
-    return idx, vecs, queries, cfg, p50, qps
+    qps, qps_pipe = measure_qps(idx, rng, dim, k, cfg)
+    return idx, vecs, queries, cfg, p50, qps, qps_pipe
 
 
 def bench_filtered(idx, vecs, queries, cfg, k, tag):
@@ -186,7 +197,7 @@ def main() -> None:
 
     # ---- phase 1: 100K ----
     n1 = int(os.environ.get("FVDB_BENCH_N", 100_000))
-    idx, vecs, queries, cfg, p50_100k, qps_100k = bench_scale(
+    idx, vecs, queries, cfg, p50_100k, qps_100k, qpipe_100k = bench_scale(
         n1, dim, k, n_queries, rng, recent_frac=0.10, tag="100k"
     )
     p50_filt = bench_filtered(idx, vecs, queries, cfg, k, "100k")
@@ -194,13 +205,15 @@ def main() -> None:
 
     emit(f"batched_qps_{n1//1000}k_{dim}d_k{k}", qps_100k, "qps",
          qps_100k / BASELINE_QPS)
+    emit(f"pipelined_qps_{n1//1000}k_{dim}d_k{k}", qpipe_100k, "qps",
+         qpipe_100k / BASELINE_QPS)
     emit(f"filtered_search_p50_{n1//1000}k_{dim}d_k{k}", p50_filt, "ms",
          BASELINE_FILTERED_MS / p50_filt)
 
     # ---- phase 2: 1M ----
     if os.environ.get("FVDB_BENCH_SKIP_1M", "0") != "1" and n1 <= 500_000:
         n2 = 1_000_000
-        idx, vecs, queries, cfg, p50_1m, qps_1m = bench_scale(
+        idx, vecs, queries, cfg, p50_1m, qps_1m, qpipe_1m = bench_scale(
             n2, dim, k, min(n_queries, 100), rng, recent_frac=0.02, tag="1m"
         )
         del idx, vecs, queries
@@ -208,6 +221,8 @@ def main() -> None:
              BASELINE_MS / p50_1m)
         emit(f"batched_qps_1000k_{dim}d_k{k}", qps_1m, "qps",
              qps_1m / BASELINE_QPS)
+        emit(f"pipelined_qps_1000k_{dim}d_k{k}", qpipe_1m, "qps",
+             qpipe_1m / BASELINE_QPS)
 
     # headline LAST (driver parses the final JSON line; key matches round 1)
     emit(f"warm_search_p50_{n1//1000}k_{dim}d_k{k}", p50_100k, "ms",

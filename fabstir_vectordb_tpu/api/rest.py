@@ -106,6 +106,11 @@ class SearchCoalescer:
     bottleneck)."""
 
     MAX_BATCH = 512
+    # device programs in flight before the oldest is finalized: JAX dispatch
+    # is async, so keeping a few batches enqueued overlaps the host<->device
+    # round-trip (which, not device time, bounds serial QPS on tunneled
+    # devices) without unbounded memory growth
+    PIPELINE_DEPTH = 4
 
     def __init__(self, state: "AppState"):
         self.state = state
@@ -123,35 +128,54 @@ class SearchCoalescer:
             self._worker = asyncio.ensure_future(self._drain())
         return await fut
 
-    async def _drain(self) -> None:
-        while not self.queue.empty():
-            items = []
-            while not self.queue.empty() and len(items) < self.MAX_BATCH:
-                items.append(self.queue.get_nowait())
-            groups: dict = {}
-            for query, k, flt, fut in items:
-                try:
-                    key = (k, json.dumps(flt, sort_keys=True, default=repr))
-                except Exception:  # noqa: BLE001 — unserializable filter
-                    key = (k, object())
-                groups.setdefault(key, []).append((query, flt, fut))
-            for (k, _), grp in groups.items():
-                self.dispatches += 1
-                self.requests += len(grp)
-                queries = [g[0] for g in grp]
-                flt = grp[0][1]
-                try:
-                    results = await self.state.run(
-                        self.state.session.search_batch, queries, k, flt
-                    )
-                except Exception as e:  # noqa: BLE001 — fan the error out
-                    for _, _, fut in grp:
-                        if not fut.done():
-                            fut.set_exception(e)
-                    continue
-                for (_, _, fut), res in zip(grp, results):
+    async def _dispatch_round(self, pending: list) -> None:
+        """Drain the queue once: group by (k, filter), dispatch each group's
+        device program (no readback yet), append (group, finalize) handles."""
+        items = []
+        while not self.queue.empty() and len(items) < self.MAX_BATCH:
+            items.append(self.queue.get_nowait())
+        groups: dict = {}
+        for query, k, flt, fut in items:
+            try:
+                key = (k, json.dumps(flt, sort_keys=True, default=repr))
+            except Exception:  # noqa: BLE001 — unserializable filter
+                key = (k, object())
+            groups.setdefault(key, []).append((query, flt, fut))
+        for (k, _), grp in groups.items():
+            self.dispatches += 1
+            self.requests += len(grp)
+            queries = [g[0] for g in grp]
+            flt = grp[0][1]
+            try:
+                finalize = await self.state.run(
+                    self.state.session.search_batch_dispatch, queries, k, flt
+                )
+            except Exception as e:  # noqa: BLE001 — fan the error out
+                for _, _, fut in grp:
                     if not fut.done():
-                        fut.set_result(res)
+                        fut.set_exception(e)
+                continue
+            pending.append((grp, finalize))
+
+    async def _drain(self) -> None:
+        pending: list = []  # [(group, finalize)]
+        while not self.queue.empty() or pending:
+            # fill the pipeline: dispatch new batches while under depth
+            while not self.queue.empty() and len(pending) < self.PIPELINE_DEPTH:
+                await self._dispatch_round(pending)
+            if not pending:
+                continue
+            grp, finalize = pending.pop(0)
+            try:
+                results = await self.state.run(finalize)
+            except Exception as e:  # noqa: BLE001 — fan the error out
+                for _, _, fut in grp:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            for (_, _, fut), res in zip(grp, results):
+                if not fut.done():
+                    fut.set_result(res)
 
 
 def _error(status: int, message: str, code: str = "ERROR"):

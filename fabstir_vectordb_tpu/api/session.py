@@ -378,9 +378,18 @@ class VectorDBSession:
         result lists shaped like :meth:`search` items, WITHOUT threshold /
         include_vectors applied (the caller post-applies per-request options).
         """
+        return self.search_batch_dispatch(queries, k, filter_json)()
+
+    def search_batch_dispatch(self, queries, k: int, filter_json: Any = None):
+        """Dispatch half of :meth:`search_batch`: enqueue the device program
+        and return a zero-arg ``finalize() -> list``. The coalescer dispatches
+        the next coalesced batch before finalizing the previous one, so
+        consecutive batches overlap the device round-trip instead of paying
+        it serially (pipelined serving).
+        """
         self._check_alive()
         if self.index is None:
-            return [[] for _ in range(len(queries))]
+            return lambda: [[] for _ in range(len(queries))]
         q = np.atleast_2d(np.asarray(queries, np.float32))
         if q.shape[1] != self.dim:
             raise VectorDBError(
@@ -404,50 +413,65 @@ class VectorDBSession:
             except FilterError as e:
                 raise VectorDBError(f"invalid filter: {e}", INVALID_INPUT) from e
         if flt is None:
-            d, rows = self.index.search_rows(q, k)
-            per_query = [
-                self.index._rows_to_results(d[i], rows[i])
-                for i in range(q.shape[0])
-            ]
+            fin = self.index.search_rows_dispatch(q, k)
+
+            def per_query_fn():
+                d, rows = fin()
+                return [
+                    self.index._rows_to_results(d[i], rows[i])
+                    for i in range(q.shape[0])
+                ]
         else:
             mask = self._filter_mask(filter_json, flt)
             if mask is not None:
                 full = np.zeros(self.index.store.capacity, bool)
                 full[: len(mask)] = mask[: self.index.store.capacity]
-                d, rows = self.index.search_rows(q, k * 3, extra_mask=full)
-                per_query = []
-                for i in range(q.shape[0]):
-                    res = self.index._rows_to_results(d[i], rows[i])
-                    res = [
-                        (vid, dist) for vid, dist in res
-                        if full[self.index.store.row_of(vid)]
-                    ]
-                    per_query.append(res[:k])
+                fin = self.index.search_rows_dispatch(q, k * 3, extra_mask=full)
+
+                def per_query_fn():
+                    d, rows = fin()
+                    per_query = []
+                    for i in range(q.shape[0]):
+                        res = self.index._rows_to_results(d[i], rows[i])
+                        res = [
+                            (vid, dist) for vid, dist in res
+                            if full[self.index.store.row_of(vid)]
+                        ]
+                        per_query.append(res[:k])
+                    return per_query
             else:
                 pred = self._row_predicate(flt)
-                d, rows = self.index.search_rows(q, k * 3)
-                per_query = [
-                    [(vid, dist)
-                     for vid, dist in self.index._rows_to_results(d[i], rows[i])
-                     if pred(vid)][:k]
-                    for i in range(q.shape[0])
+                fin = self.index.search_rows_dispatch(q, k * 3)
+
+                def per_query_fn():
+                    d, rows = fin()
+                    return [
+                        [(vid, dist)
+                         for vid, dist in
+                         self.index._rows_to_results(d[i], rows[i])
+                         if pred(vid)][:k]
+                        for i in range(q.shape[0])
+                    ]
+
+        def finalize() -> list:
+            per_query = per_query_fn()[:n_real]
+            elapsed = (time.perf_counter() - t0) * 1000.0
+            out = []
+            for pairs in per_query:
+                items = [
+                    {
+                        "id": self._original_id(iid),
+                        "score": distance_to_score(dist),
+                        "metadata": self._user_metadata(iid),
+                        "_iid": iid,
+                    }
+                    for iid, dist in pairs
                 ]
-        per_query = per_query[:n_real]
-        elapsed = (time.perf_counter() - t0) * 1000.0
-        out = []
-        for pairs in per_query:
-            items = [
-                {
-                    "id": self._original_id(iid),
-                    "score": distance_to_score(dist),
-                    "metadata": self._user_metadata(iid),
-                    "_iid": iid,
-                }
-                for iid, dist in pairs
-            ]
-            out.append(items)
-            self.monitor.record(elapsed, len(items))
-        return out
+                out.append(items)
+                self.monitor.record(elapsed, len(items))
+            return out
+
+        return finalize
 
     def _filter_mask(self, filter_json: Any, flt: MetadataFilter):
         """Row bitmask for a filter via the columnar index, cached per

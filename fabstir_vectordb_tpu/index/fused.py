@@ -181,6 +181,42 @@ class FusedSearcher:
             self._key = key
         return self._dev
 
+    def search_dispatch(
+        self,
+        queries: np.ndarray,
+        k: int,
+        ef: int,
+        n_probe: int,
+        extra_mask: np.ndarray | None = None,
+    ):
+        """Dispatch one fused search WITHOUT the result readback.
+
+        Returns device arrays (sq-dists [B, k], rows [B, k]). JAX dispatch is
+        asynchronous: this call returns as soon as the program is enqueued,
+        so callers can pipeline several batches (dispatch i+1 before reading
+        i) and overlap the host<->device round-trips that otherwise dominate
+        tunneled serving. ``jax.device_get`` the pair to materialize.
+        """
+        dev = self._device_state()
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+
+        if dev["x"].shape[0] <= limits.FLAT_THRESHOLD:
+            mask = dev["members"]
+            if extra_mask is not None:
+                mask = mask & self._device_mask(extra_mask)
+            return flat_search_kernel(dev["x"], dev["x_sq"], mask, q, k)
+
+        extra = (dev["ones"] if extra_mask is None
+                 else self._device_mask(extra_mask))
+        n_probe_eff = min(n_probe, int(dev["centroids"].shape[0]))
+        return hybrid_search_kernel(
+            dev["x"], dev["x_sq"], dev["hnsw_mask"], dev["ivf_mask"], extra,
+            dev["nbrs0"], dev["nbrs_up"], dev["up_offset"],
+            dev["entry"], dev["entry_level"], dev["centroids"], dev["tiles"],
+            q, k, ef, n_probe_eff, dev["has_hnsw"], dev["has_ivf"],
+            has_filter=extra_mask is not None,
+        )
+
     def search(
         self,
         queries: np.ndarray,
@@ -190,27 +226,7 @@ class FusedSearcher:
         extra_mask: np.ndarray | None = None,
     ):
         """Returns (sq-dists [B, k], rows [B, k]) as numpy."""
-        dev = self._device_state()
-        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
-
-        if dev["x"].shape[0] <= limits.FLAT_THRESHOLD:
-            mask = dev["members"]
-            if extra_mask is not None:
-                mask = mask & self._device_mask(extra_mask)
-            vals, rows = flat_search_kernel(dev["x"], dev["x_sq"], mask, q, k)
-            return jax.device_get((vals, rows))
-
-        extra = (dev["ones"] if extra_mask is None
-                 else self._device_mask(extra_mask))
-        n_probe_eff = min(n_probe, int(dev["centroids"].shape[0]))
-        vals, rows = hybrid_search_kernel(
-            dev["x"], dev["x_sq"], dev["hnsw_mask"], dev["ivf_mask"], extra,
-            dev["nbrs0"], dev["nbrs_up"], dev["up_offset"],
-            dev["entry"], dev["entry_level"], dev["centroids"], dev["tiles"],
-            q, k, ef, n_probe_eff, dev["has_hnsw"], dev["has_ivf"],
-            has_filter=extra_mask is not None,
-        )
+        vals, rows = self.search_dispatch(queries, k, ef, n_probe, extra_mask)
         # one combined readback (separate np.asarray calls pay two RTTs on
         # tunneled devices)
-        vals, rows = jax.device_get((vals, rows))
-        return vals, rows
+        return jax.device_get((vals, rows))

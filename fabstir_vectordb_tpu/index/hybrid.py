@@ -204,14 +204,7 @@ class HybridIndex:
                 n_probe=cfg.ivf_n_probe or self.config.ivf.n_probe,
                 extra_mask=extra_mask,
             )
-            vals, rows = vals[:, :k], rows[:, :k]
-            vals = np.sqrt(np.maximum(vals, 0.0))
-            vals = np.where(rows >= 0, vals, np.inf)
-            if vals.shape[1] < k:
-                pad = k - vals.shape[1]
-                vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=np.inf)
-                rows = np.pad(rows, ((0, 0), (0, pad)), constant_values=-1)
-            return vals, rows
+            return self._finalize_fast(vals, rows, k)
 
         parts_d, parts_r = [], []
         if self.hnsw.num_nodes > 0:
@@ -243,6 +236,92 @@ class HybridIndex:
             out_d = np.pad(out_d, ((0, 0), (0, pad)), constant_values=np.inf)
             out_r = np.pad(out_r, ((0, 0), (0, pad)), constant_values=-1)
         return out_d, out_r
+
+    @staticmethod
+    def _finalize_fast(vals, rows, k: int):
+        """Post-process one fused-kernel result: sqrt, trim/pad to k."""
+        vals, rows = np.asarray(vals)[:, :k], np.asarray(rows)[:, :k]
+        vals = np.sqrt(np.maximum(vals, 0.0))
+        vals = np.where(rows >= 0, vals, np.inf)
+        if vals.shape[1] < k:
+            pad = k - vals.shape[1]
+            vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=np.inf)
+            rows = np.pad(rows, ((0, 0), (0, pad)), constant_values=-1)
+        return vals, rows
+
+    def search_rows_dispatch(
+        self,
+        queries: np.ndarray,
+        k: int,
+        config: SearchConfig | None = None,
+        extra_mask: np.ndarray | None = None,
+        now: float | None = None,
+    ):
+        """Dispatch half of :meth:`search_rows`: enqueue the fused device
+        program and return a zero-arg ``finalize() -> (dists, rows)``.
+
+        JAX dispatch is asynchronous, so callers can enqueue several batches
+        before finalizing the first — overlapping host<->device round-trips
+        that bound sequential QPS on tunneled devices. Configs that need
+        per-engine k (recent_k/historical_k) fall back to an eager search.
+        """
+        cfg = config or SearchConfig()
+        recent_k = cfg.recent_k or k
+        historical_k = cfg.historical_k or k
+        if recent_k != k or historical_k != k:
+            d, r = self.search_rows(queries, k, config, extra_mask, now=now)
+            return lambda: (d, r)
+
+        self.wait_ready()
+        auto = (self.config.auto_migrate if cfg.auto_migrate is None
+                else cfg.auto_migrate)
+        if auto:
+            self.migrate_old_vectors(now=now)
+        from ..utils.padding import bucket
+
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        k_eff = bucket(k)
+        handle = self.fused.search_dispatch(
+            queries, k_eff, bucket(max(cfg.hnsw_ef, k)),
+            cfg.ivf_n_probe or self.config.ivf.n_probe, extra_mask,
+        )
+
+        def finalize():
+            import jax
+
+            vals, rows = jax.device_get(handle)
+            return self._finalize_fast(vals, rows, k)
+
+        return finalize
+
+    def search_rows_pipelined(
+        self,
+        query_batches,
+        k: int,
+        config: SearchConfig | None = None,
+        extra_mask: np.ndarray | None = None,
+        now: float | None = None,
+        depth: int = 4,
+    ) -> list:
+        """Pipelined batched search: dispatch up to ``depth`` fused device
+        programs before the first readback, so consecutive batches overlap
+        the host<->device round-trip instead of paying it serially.
+
+        Takes a list of [B_i, D] query batches; returns a list of
+        (dists [B_i, k], rows [B_i, k]) in order. Results are identical to
+        calling :meth:`search_rows` per batch with the same config.
+        """
+        fins: list = []
+        out: list = []
+        for qb in query_batches:
+            fins.append(
+                self.search_rows_dispatch(qb, k, config, extra_mask, now=now)
+            )
+            if len(fins) >= depth:
+                out.append(fins.pop(0)())
+        while fins:
+            out.append(fins.pop(0)())
+        return out
 
     def search_with_filter(
         self,

@@ -434,3 +434,76 @@ class TestPrunedRegime:
             pass
         text = str(jaxpr)
         assert f"bool[4,{cap}]" not in text, "visited bitmap is back"
+
+
+class TestPipelinedServing:
+    """search_rows_dispatch / search_rows_pipelined: async-dispatch halves
+    must return bit-identical results to the eager path (pipelining may only
+    overlap round-trips, never change semantics)."""
+
+    def _build(self, rng, n=400, dim=16):
+        from fabstir_vectordb_tpu.index import (
+            HybridConfig, HybridIndex, IVFConfig,
+        )
+
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HybridIndex(dim, HybridConfig(
+            ivf=IVFConfig(n_clusters=8, n_probe=8, seed=0),
+            auto_migrate=False))
+        idx.initialize(vecs[:100])
+        ts = np.where(np.arange(n) % 3 == 0, NOW - DAY, NOW - 30 * DAY)
+        idx.insert_batch([f"v{i}" for i in range(n)], vecs, ts, now=NOW)
+        return idx, vecs
+
+    def test_dispatch_finalize_matches_eager(self, rng):
+        from fabstir_vectordb_tpu.index import SearchConfig
+
+        idx, vecs = self._build(rng)
+        q = vecs[:8] + 0.01
+        cfg = SearchConfig(auto_migrate=False)
+        want_d, want_r = idx.search_rows(q, 5, config=cfg, now=NOW)
+        fin = idx.search_rows_dispatch(q, 5, config=cfg, now=NOW)
+        got_d, got_r = fin()
+        np.testing.assert_array_equal(want_r, got_r)
+        np.testing.assert_allclose(want_d, got_d, rtol=1e-6)
+
+    def test_pipelined_matches_sequential(self, rng):
+        from fabstir_vectordb_tpu.index import SearchConfig
+
+        idx, vecs = self._build(rng)
+        cfg = SearchConfig(auto_migrate=False)
+        batches = [vecs[i * 8:(i + 1) * 8] + 0.01 for i in range(6)]
+        got = idx.search_rows_pipelined(batches, 5, config=cfg, now=NOW,
+                                        depth=3)
+        assert len(got) == 6
+        for qb, (gd, gr) in zip(batches, got):
+            wd, wr = idx.search_rows(qb, 5, config=cfg, now=NOW)
+            np.testing.assert_array_equal(wr, gr)
+            np.testing.assert_allclose(wd, gd, rtol=1e-6)
+
+    def test_dispatch_with_filter_mask(self, rng):
+        from fabstir_vectordb_tpu.index import SearchConfig
+
+        idx, vecs = self._build(rng)
+        cfg = SearchConfig(auto_migrate=False)
+        mask = np.zeros(idx.store.capacity, bool)
+        mask[:400:2] = True
+        q = vecs[:4] + 0.01
+        want = idx.search_rows(q, 5, config=cfg, extra_mask=mask, now=NOW)
+        got = idx.search_rows_dispatch(
+            q, 5, config=cfg, extra_mask=mask, now=NOW)()
+        np.testing.assert_array_equal(want[1], got[1])
+        rows = got[1][got[1] >= 0]
+        assert (rows % 2 == 0).all()
+
+    def test_dispatch_per_engine_k_fallback(self, rng):
+        """recent_k/historical_k configs can't use the fused fast path; the
+        dispatch API must fall back to eager and still match."""
+        from fabstir_vectordb_tpu.index import SearchConfig
+
+        idx, vecs = self._build(rng)
+        cfg = SearchConfig(auto_migrate=False, recent_k=3, historical_k=7)
+        q = vecs[:4] + 0.01
+        want = idx.search_rows(q, 5, config=cfg, now=NOW)
+        got = idx.search_rows_dispatch(q, 5, config=cfg, now=NOW)()
+        np.testing.assert_array_equal(want[1], got[1])
