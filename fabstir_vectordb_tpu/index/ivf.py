@@ -196,6 +196,11 @@ class IVFIndex:
                 self.assignments, self.store.capacity, fill=-1
             )
 
+    # rows per assignment chunk: bounds the transient host->device transfer
+    # (1M x 384 f32 = 1.5 GB) so multi-million-row bulk inserts never hold
+    # the whole batch in HBM next to the resident corpus mirror
+    _ASSIGN_CHUNK = 1_048_576
+
     def insert_rows(self, rows: np.ndarray) -> None:
         """Assign store rows to their nearest centroid and add to lists."""
         if not self.trained:
@@ -204,9 +209,19 @@ class IVFIndex:
         if rows.size == 0:
             return
         self._ensure_capacity()
-        vecs = jnp.asarray(self.store.data[rows])
-        assign, _ = assign_clusters(vecs, jnp.asarray(self.centroids))
-        self.assignments[rows] = np.asarray(assign, np.int32)
+        cj = jnp.asarray(self.centroids)
+        for lo in range(0, rows.size, self._ASSIGN_CHUNK):
+            sub = rows[lo: lo + self._ASSIGN_CHUNK]
+            vecs = self.store.data[sub]
+            # pad the tail chunk to a power-of-two bucket so bulk inserts
+            # compile O(log N) assignment variants, not one per batch size
+            n_pad = bucket(len(sub), minimum=1)
+            if n_pad > len(sub):
+                vecs = np.concatenate(
+                    [vecs, np.repeat(vecs[:1], n_pad - len(sub), axis=0)]
+                )
+            assign, _ = assign_clusters(jnp.asarray(vecs), cj)
+            self.assignments[sub] = np.asarray(assign, np.int32)[: len(sub)]
         self._version += 1
 
     def remove_rows(self, rows: np.ndarray) -> None:
