@@ -200,7 +200,8 @@ class FusedSearcher:
         dev = self._device_state()
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
 
-        if dev["x"].shape[0] <= limits.FLAT_THRESHOLD:
+        if dev["x"].shape[0] <= limits.effective_flat_threshold(
+                "bfloat16" if dev["x"].dtype == jnp.bfloat16 else "float32"):
             mask = dev["members"]
             if extra_mask is not None:
                 mask = mask & self._device_mask(extra_mask)

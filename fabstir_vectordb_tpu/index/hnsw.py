@@ -721,13 +721,23 @@ class HNSWIndex:
             )
         q = jnp.asarray(self.store.data[batch])
 
-        if cfg.link_mode == "auto" and self.store.capacity <= limits.FLAT_THRESHOLD:
+        # candidate-plan gate: what matters is the MEMBER-occupied prefix the
+        # scan must cover, not the store's total capacity — a 100K-node graph
+        # living in the first rows of an 8M-row store still links via the
+        # exact matmul (measured: capacity-gating this sent a 10K-node build
+        # at a 262K store down the beam path, 961 s vs ~60 s)
+        members = np.nonzero(self.member_mask())[0]
+        member_hi = int(members.max()) + 1 if members.size else 1
+        flat_link_ok = (
+            min(bucket(member_hi, minimum=1024), self.store.capacity)
+            <= limits.effective_flat_threshold()
+        )
+        if cfg.link_mode == "auto" and flat_link_ok:
             # near-exact candidates: one MXU matmul over the member-occupied
             # prefix beats beam traversal (gather-bound) by ~50x and links
             # better; the static prefix bound keeps the mask dense for
             # approx_min_k (see _flat_candidates_kernel)
-            members = np.nonzero(self.member_mask())[0]
-            hi = int(members.max()) + 1 if members.size else 1
+            hi = member_hi
             n_pad = min(bucket(hi, minimum=1024), self.store.capacity)
             if n_pad > _CAND_CHUNK:
                 n_pad = ((n_pad + _CAND_CHUNK - 1) // _CAND_CHUNK) * _CAND_CHUNK

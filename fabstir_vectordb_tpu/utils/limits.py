@@ -15,6 +15,22 @@ import os
 FLAT_THRESHOLD = int(os.environ.get("FVDB_FLAT_THRESHOLD", 4_194_304))
 
 
+def effective_flat_threshold(dtype: str | None = None) -> int:
+    """FLAT_THRESHOLD adjusted for the resident dtype.
+
+    The threshold is an HBM-capacity bound, not a compute bound (the exact
+    masked matmul streams at memory bandwidth; gather-based graph/IVF
+    traversal is slower per row whenever the corpus is resident). bf16
+    halves bytes/row, so the flat plan stays the fastest up to twice as
+    many rows. An explicit FVDB_FLAT_THRESHOLD env override is taken as
+    already dtype-adjusted and returned as-is.
+    """
+    if "FVDB_FLAT_THRESHOLD" in os.environ:
+        return FLAT_THRESHOLD
+    dtype = dtype or serving_dtype()
+    return FLAT_THRESHOLD * (2 if dtype == "bfloat16" else 1)
+
+
 def serving_dtype() -> str:
     """Device-resident corpus dtype ("float32" | "bfloat16").
 

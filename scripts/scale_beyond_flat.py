@@ -117,9 +117,6 @@ def main() -> None:
     idx.insert_batch([f"v{i}" for i in range(n)], vecs, ts, now=NOW)
     build_s = time.perf_counter() - t0
     log(f"insert+build ({n_recent} HNSW / {n - n_recent} IVF): {build_s:.1f}s")
-    assert idx.store.capacity > limits.FLAT_THRESHOLD, (
-        f"capacity {idx.store.capacity} does not exceed FLAT_THRESHOLD "
-        f"{limits.FLAT_THRESHOLD} — this run would serve flat")
 
     qi = rng.integers(0, n, args.queries)
     queries = vecs[qi] + 0.1 * rng.standard_normal(
@@ -131,53 +128,69 @@ def main() -> None:
     del vecs  # free 7.7 GB; serving reads the store's own copy
 
     dev = idx.fused._device_state()
-    assert dev["x"].shape[0] > limits.FLAT_THRESHOLD
     hbm_vec_gb = dev["x"].nbytes / 1e9
     log(f"device mirror: {dev['x'].dtype} {dev['x'].shape} = {hbm_vec_gb:.1f} GB")
 
-    rows_hdr = "| path | ef | n_probe | recall@10 | p50 ms | p99 ms |"
-    print(f"## {n//1_000_000}M x {dim} pruned-regime serving "
-          f"(bf16 mirror, build {build_s:.0f}s)\n")
-    print(rows_hdr)
-    print("|---|---|---|---|---|---|")
+    scale_tag = (f"{n//1_000_000}M" if n >= 1_000_000
+                 else f"{n//1000}K")
+    print(f"## {scale_tag} x {dim} serving, {limits.serving_dtype()} mirror "
+          f"(build {build_s:.0f}s, {hbm_vec_gb:.1f} GB resident)\n")
+    print("| path | ef | n_probe | recall@10 | p50 ms | p99 ms | QPS b=128 |")
+    print("|---|---|---|---|---|---|---|")
 
-    for ef in args.efs:
-        for n_probe in args.probes:
-            cfg = SearchConfig(auto_migrate=False, hnsw_ef=ef,
-                               ivf_n_probe=n_probe)
-            idx.search_rows(queries[0], k, config=cfg, now=NOW)  # compile
-            lats, all_rows = [], []
-            for i in range(args.queries):
-                t0 = time.perf_counter()
-                _, r = idx.search_rows(queries[i], k, config=cfg, now=NOW)
-                lats.append((time.perf_counter() - t0) * 1000.0)
-                all_rows.append(r[0])
-            lats.sort()
-            p50 = lats[len(lats) // 2]
-            p99 = lats[int(len(lats) * 0.99)]
-            rec = np.mean([
-                len(set(r[r >= 0]) & set(truth[i])) / k
-                for i, r in enumerate(all_rows)
-            ])
-            print(f"| pruned | {ef} | {n_probe} | {rec:.3f} "
-                  f"| {p50:.1f} | {p99:.1f} |")
-            log(json.dumps({"ef": ef, "n_probe": n_probe,
-                            "recall": round(float(rec), 4),
-                            "p50_ms": round(p50, 2), "p99_ms": round(p99, 2)}))
+    def measure(tag, ef, n_probe):
+        cfg = SearchConfig(auto_migrate=False, hnsw_ef=ef, ivf_n_probe=n_probe)
+        idx.search_rows(queries[0], k, config=cfg, now=NOW)  # compile
+        lats, all_rows = [], []
+        for i in range(args.queries):
+            t0 = time.perf_counter()
+            _, r = idx.search_rows(queries[i], k, config=cfg, now=NOW)
+            lats.append((time.perf_counter() - t0) * 1000.0)
+            all_rows.append(r[0])
+        lats.sort()
+        p50 = lats[len(lats) // 2]
+        p99 = lats[int(len(lats) * 0.99)]
+        rec = np.mean([
+            len(set(r[r >= 0]) & set(truth[i])) / k
+            for i, r in enumerate(all_rows)
+        ])
+        bq = np.repeat(queries, max(1, 128 // args.queries + 1), axis=0)[:128]
+        idx.search_rows(bq, k, config=cfg, now=NOW)  # compile
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            idx.search_rows(bq, k, config=cfg, now=NOW)
+        qps = 128 * reps / (time.perf_counter() - t0)
+        print(f"| {tag} | {ef} | {n_probe} | {rec:.3f} "
+              f"| {p50:.1f} | {p99:.1f} | {qps:,.0f} |", flush=True)
+        log(json.dumps({"path": tag, "ef": ef, "n_probe": n_probe,
+                        "recall": round(float(rec), 4),
+                        "p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
+                        "qps": round(qps, 1)}))
 
-    # batched throughput at the widest operating point
-    cfg = SearchConfig(auto_migrate=False, hnsw_ef=args.efs[0],
-                       ivf_n_probe=args.probes[0])
-    bq = np.repeat(queries, max(1, 128 // args.queries + 1), axis=0)[:128]
-    idx.search_rows(bq, k, config=cfg, now=NOW)  # compile
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        idx.search_rows(bq, k, config=cfg, now=NOW)
-    qps = 128 * reps / (time.perf_counter() - t0)
-    print(f"\nbatched throughput (batch=128, ef={args.efs[0]}, "
-          f"n_probe={args.probes[0]}): {qps:,.0f} QPS")
-    log(json.dumps({"batched_qps": round(qps, 1)}))
+    # --- regime 1: whatever the dtype-aware threshold picks (bf16 at <=8.4M
+    # padded rows: the exact flat scan — matmuls stream at HBM bandwidth) ---
+    eff = limits.effective_flat_threshold()
+    flat_now = dev["x"].shape[0] <= eff
+    log(f"effective flat threshold {eff} -> "
+        f"{'flat-exact' if flat_now else 'pruned'} serving at this scale")
+    if flat_now:
+        measure("flat-exact", args.efs[0], args.probes[0])
+
+    # --- regime 2: the pruned path (HNSW beam + IVF nprobe), forced by
+    # dropping the threshold — the plan for corpora past HBM residency ---
+    old = limits.FLAT_THRESHOLD
+    try:
+        limits.FLAT_THRESHOLD = 0
+        os.environ["FVDB_FLAT_THRESHOLD"] = "0"  # pin effective() too
+        idx.fused._key = None
+        for ef in args.efs:
+            for n_probe in args.probes:
+                measure("pruned", ef, n_probe)
+    finally:
+        limits.FLAT_THRESHOLD = old
+        os.environ.pop("FVDB_FLAT_THRESHOLD", None)
+        idx.fused._key = None
 
 
 if __name__ == "__main__":

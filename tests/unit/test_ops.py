@@ -169,3 +169,19 @@ def test_grow_rows_preserves_prefix(rng):
     g2 = grow_rows(b, 16, fill=-1)
     np.testing.assert_array_equal(g2[:6], b)
     assert (g2[6:] == -1).all()
+
+
+def test_effective_flat_threshold_dtype_aware(monkeypatch):
+    """bf16 halves bytes/row, so the flat-plan capacity bound doubles; an
+    explicit env override is taken as already adjusted."""
+    from fabstir_vectordb_tpu.utils import limits
+
+    monkeypatch.delenv("FVDB_FLAT_THRESHOLD", raising=False)
+    monkeypatch.delenv("FVDB_SERVING_DTYPE", raising=False)
+    base = limits.FLAT_THRESHOLD
+    assert limits.effective_flat_threshold() == base
+    assert limits.effective_flat_threshold("bfloat16") == 2 * base
+    monkeypatch.setenv("FVDB_SERVING_DTYPE", "bfloat16")
+    assert limits.effective_flat_threshold() == 2 * base
+    monkeypatch.setenv("FVDB_FLAT_THRESHOLD", "12345")
+    assert limits.effective_flat_threshold("bfloat16") == base  # env pins
