@@ -956,30 +956,52 @@ class HNSWIndex:
 
         over = np.nonzero(counts > free_count)[0]
         if over.size:
-            # batched heuristic prune across ALL overfull targets: one padded
-            # [T_over, C] candidate table instead of a python loop per target
-            # (the loop was ~1 ms/target; thousands of targets per insert
-            # batch dominated build time)
-            extra_max = int((counts[over] - n_fit[over]).max())
-            c_width = width + extra_max
+            # flat-pair reverse prune across ALL overfull targets. A padded
+            # [T, width+extra_max] table explodes when one popular target
+            # absorbs hundreds of additions in a batch (C ~ 500 forces a
+            # [T, C, D] gather measured at ~7 s/layer-call — the dominant
+            # cost of the whole index build). Instead: gather only the real
+            # (target, candidate) pairs, rank per target, and truncate to
+            # the closest width+32 before the O(C^2) heuristic — the prune
+            # keeps at most `width` scanned in ascending distance order, so
+            # the tail can affect neither the kept set nor the fill.
             t_over = over.size
-            cand = np.full((t_over, c_width), -1, np.int64)
-            for j, i in enumerate(over):  # cheap: slicing only
-                cur = lists[i][lists[i] >= 0]
-                extras = news[start[i] + n_fit[i]: start[i] + counts[i]]
-                row = np.concatenate([cur, extras])
-                cand[j, : len(row)] = row
-            tv = self.store.data[uniq[over]]  # [T, D]
-            cv = self.store.data[np.maximum(cand, 0)]  # [T, C, D]
-            diff = cv - tv[:, None, :]
-            d = np.einsum("tcd,tcd->tc", diff, diff)
-            d[cand < 0] = np.inf
-            order = np.argsort(d, axis=1, kind="stable")
-            cand = np.take_along_axis(cand, order, axis=1)
-            d = np.take_along_axis(d, order, axis=1)
+            ov_map = np.full(t_count, -1, np.int64)
+            ov_map[over] = np.arange(t_over)
+
+            cur_lists = lists[over]  # [T, width]
+            jj, cc = np.nonzero(cur_lists >= 0)
+            tgt_cur = jj
+            cand_cur = cur_lists[jj, cc]
+
+            tgt_all = np.repeat(np.arange(t_count), counts)
+            j_all = ov_map[tgt_all]
+            within_all = np.arange(len(targets)) - np.repeat(start, counts)
+            ex = (j_all >= 0) & (within_all >= np.repeat(n_fit, counts))
+            tgt_ex = j_all[ex]
+            cand_ex = news[ex]
+
+            tgt_f = np.concatenate([tgt_cur, tgt_ex])
+            cand_f = np.concatenate([cand_cur, cand_ex]).astype(np.int64)
+            tvf = self.store.data[uniq[over]]  # [T, D]
+            diff = self.store.data[cand_f] - tvf[tgt_f]  # [P, D]
+            d_f = np.einsum("pd,pd->p", diff, diff)
+
+            c_trunc = width + 32
+            order_f = np.lexsort((d_f, tgt_f))  # stable: cur before extras
+            tgt_s = tgt_f[order_f]
+            cand_s = cand_f[order_f]
+            d_s = d_f[order_f]
+            starts_t = np.searchsorted(tgt_s, np.arange(t_over))
+            rank_f = np.arange(len(tgt_s)) - starts_t[tgt_s]
+            in_t = rank_f < c_trunc
+            cand = np.full((t_over, c_trunc), -1, np.int64)
+            d = np.full((t_over, c_trunc), np.inf, np.float32)
+            cand[tgt_s[in_t], rank_f[in_t]] = cand_s[in_t]
+            d[tgt_s[in_t], rank_f[in_t]] = d_s[in_t]
+
             kept = _heuristic_kept_host(
-                self.store.data[np.maximum(cand, 0)],  # re-gather, now sorted
-                d, cand >= 0, width,
+                self.store.data[np.maximum(cand, 0)], d, cand >= 0, width,
             )
             # kept-first then closest-unkept fill, take `width`
             rank = (~kept).astype(np.int8) + (cand < 0).astype(np.int8) * 2

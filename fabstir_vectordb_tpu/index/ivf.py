@@ -210,17 +210,24 @@ class IVFIndex:
             return
         self._ensure_capacity()
         cj = jnp.asarray(self.centroids)
+        # assign against the serving mirror: bulk inserts were re-uploading
+        # the batch as f32 (1.5 GB per 1M rows through the tunnel) even
+        # though serving uploads the same rows again right after. The
+        # mirror upload (bf16: half the bytes) is shared with serving;
+        # assignment then only ships row indices and gathers on-device.
+        mirror = self.store.device(dtype=limits.serving_dtype())
         for lo in range(0, rows.size, self._ASSIGN_CHUNK):
             sub = rows[lo: lo + self._ASSIGN_CHUNK]
-            vecs = self.store.data[sub]
             # pad the tail chunk to a power-of-two bucket so bulk inserts
             # compile O(log N) assignment variants, not one per batch size
             n_pad = bucket(len(sub), minimum=1)
+            sub_pad = sub
             if n_pad > len(sub):
-                vecs = np.concatenate(
-                    [vecs, np.repeat(vecs[:1], n_pad - len(sub), axis=0)]
+                sub_pad = np.concatenate(
+                    [sub, np.repeat(sub[:1], n_pad - len(sub))]
                 )
-            assign, _ = assign_clusters(jnp.asarray(vecs), cj)
+            vecs = mirror.x[jnp.asarray(sub_pad)].astype(jnp.float32)
+            assign, _ = assign_clusters(vecs, cj)
             self.assignments[sub] = np.asarray(assign, np.int32)[: len(sub)]
         self._version += 1
 
