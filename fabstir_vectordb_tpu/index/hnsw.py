@@ -204,6 +204,24 @@ def _heuristic_prune_one(data, target_vec, ids: np.ndarray, width: int) -> np.nd
     return sel
 
 
+@jax.jit
+def _pair_dists_kernel(x, x_sq, t_ids, c_ids):
+    """Squared L2 between row pairs of the resident mirror: [P] -> [P]."""
+    xt = x[t_ids].astype(jnp.float32)
+    xc = x[c_ids].astype(jnp.float32)
+    dots = jnp.einsum("pd,pd->p", xt, xc, preferred_element_type=jnp.float32)
+    return jnp.maximum(x_sq[t_ids] - 2.0 * dots + x_sq[c_ids], 0.0)
+
+
+# flat-pair counts / table rows above which the reverse-link prune computes
+# on device against the resident mirror instead of gathering [P, D] rows on
+# the host (measured: host gathers+einsum were ~2 s per 1024-insert batch at
+# 200K rows — ~90% of _add_reverse_links_bulk; a device call is one ~10 ms
+# round-trip and the vectors never leave HBM)
+_PAIR_DEVICE_MIN = 16_384
+_KEPT_DEVICE_MIN = 1_024
+
+
 def _gather_dists(x, x_sq, q, q_sq, ids):
     """Distances from each query to its own id list: q [B,D], ids [B,M] -> [B,M]."""
     safe = jnp.maximum(ids, 0)
@@ -983,9 +1001,22 @@ class HNSWIndex:
 
             tgt_f = np.concatenate([tgt_cur, tgt_ex])
             cand_f = np.concatenate([cand_cur, cand_ex]).astype(np.int64)
-            tvf = self.store.data[uniq[over]]  # [T, D]
-            diff = self.store.data[cand_f] - tvf[tgt_f]  # [P, D]
-            d_f = np.einsum("pd,pd->p", diff, diff)
+            t_rows = uniq[over]
+            p_n = cand_f.size
+            if p_n >= _PAIR_DEVICE_MIN:
+                mirror = self.store.device(dtype=limits.serving_dtype())
+                p_pad = bucket(p_n, minimum=_PAIR_DEVICE_MIN)
+                ti = np.zeros(p_pad, np.int32)
+                ci = np.zeros(p_pad, np.int32)
+                ti[:p_n] = t_rows[tgt_f]
+                ci[:p_n] = cand_f
+                d_f = np.asarray(_pair_dists_kernel(
+                    mirror.x, mirror.x_sq, jnp.asarray(ti), jnp.asarray(ci)
+                ))[:p_n]
+            else:
+                tvf = self.store.data[t_rows]  # [T, D]
+                diff = self.store.data[cand_f] - tvf[tgt_f]  # [P, D]
+                d_f = np.einsum("pd,pd->p", diff, diff)
 
             c_trunc = width + 32
             order_f = np.lexsort((d_f, tgt_f))  # stable: cur before extras
@@ -1000,9 +1031,20 @@ class HNSWIndex:
             cand[tgt_s[in_t], rank_f[in_t]] = cand_s[in_t]
             d[tgt_s[in_t], rank_f[in_t]] = d_s[in_t]
 
-            kept = _heuristic_kept_host(
-                self.store.data[np.maximum(cand, 0)], d, cand >= 0, width,
-            )
+            if t_over >= _KEPT_DEVICE_MIN:
+                mirror = self.store.device(dtype=limits.serving_dtype())
+                t_pad = bucket(t_over, minimum=_KEPT_DEVICE_MIN)
+                cand_p = np.full((t_pad, c_trunc), -1, np.int32)
+                d_p = np.full((t_pad, c_trunc), np.inf, np.float32)
+                cand_p[:t_over] = cand
+                d_p[:t_over] = d
+                kept = np.asarray(heuristic_kept_kernel(
+                    mirror.x, jnp.asarray(cand_p), jnp.asarray(d_p), width
+                ))[:t_over]
+            else:
+                kept = _heuristic_kept_host(
+                    self.store.data[np.maximum(cand, 0)], d, cand >= 0, width,
+                )
             # kept-first then closest-unkept fill, take `width`
             rank = (~kept).astype(np.int8) + (cand < 0).astype(np.int8) * 2
             sel_order = np.argsort(rank, axis=1, kind="stable")[:, :width]

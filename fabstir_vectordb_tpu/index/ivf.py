@@ -162,8 +162,17 @@ class IVFIndex:
                 f"training dim {vectors.shape[1]} != store dim {self.store.dim}"
             )
         n = min(vectors.shape[0], self.config.train_size)
+        # bucket the sample rows to a power of two (masked padding): the
+        # training program is one big jit (k-means++ scan + Lloyd loop)
+        # that costs 60s+ per compile on remote-compile targets — without
+        # bucketing every distinct sample size pays that compile
+        n_pad = bucket(n, minimum=min(1024, n))
         sample = vectors[:n]
-        mask = jnp.ones((n,), bool)
+        if n_pad > n:
+            sample = np.concatenate(
+                [sample, np.zeros((n_pad - n, sample.shape[1]), np.float32)]
+            )
+        mask = jnp.arange(n_pad) < n
         res = kmeans_train(
             jax.random.PRNGKey(self.config.seed),
             jnp.asarray(sample),
