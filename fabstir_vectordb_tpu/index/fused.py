@@ -61,7 +61,8 @@ def flat_search_kernel(x, x_sq, mask, q, k: int):
 
 @partial(
     jax.jit,
-    static_argnames=("k", "ef", "n_probe", "has_hnsw", "has_ivf", "has_filter"),
+    static_argnames=("k", "ef", "n_probe", "has_hnsw", "has_ivf",
+                     "has_filter", "beam_expand"),
 )
 def hybrid_search_kernel(
     x,
@@ -83,6 +84,7 @@ def hybrid_search_kernel(
     has_hnsw: bool,
     has_ivf: bool,
     has_filter: bool = False,
+    beam_expand: int = 1,
 ):
     b = q.shape[0]
     vals = jnp.full((b, k), jnp.inf, jnp.float32)
@@ -99,7 +101,7 @@ def hybrid_search_kernel(
             x, x_sq, hnsw_mask, nbrs0, nbrs_up, up_offset, q, cur[:, None],
             jnp.ones((b,), bool), layer=0, ef=ef, max_iters=ef + 32,
             result_mask=(hnsw_mask & extra_mask) if has_filter else None,
-            has_result_mask=has_filter,
+            has_result_mask=has_filter, expand=beam_expand,
         )
         vals, rows = merge_topk(vals, rows, hd[:, :k], hr[:, :k], k)
 
@@ -216,6 +218,7 @@ class FusedSearcher:
             dev["entry"], dev["entry_level"], dev["centroids"], dev["tiles"],
             q, k, ef, n_probe_eff, dev["has_hnsw"], dev["has_ivf"],
             has_filter=extra_mask is not None,
+            beam_expand=limits.beam_expand(),
         )
 
     def search(

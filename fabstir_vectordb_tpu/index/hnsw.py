@@ -278,7 +278,7 @@ def beam_search_kernel(
     x, x_sq, mask, nbrs0, nbrs_up, up_offset, q, start_ids, active,
     layer, ef: int, max_iters: int,
     result_mask=None, has_result_mask: bool = False,
-    use_nbrs0: bool | None = None,
+    use_nbrs0: bool | None = None, expand: int = 1,
 ):
     if use_nbrs0 is None:
         use_nbrs0 = int(layer) == 0  # layer must be a python int to default
@@ -286,19 +286,20 @@ def beam_search_kernel(
         x, x_sq, mask, nbrs0, nbrs_up, up_offset, q, start_ids, active,
         jnp.int32(layer), ef=ef, max_iters=max_iters,
         result_mask=result_mask, has_result_mask=has_result_mask,
-        use_nbrs0=bool(use_nbrs0),
+        use_nbrs0=bool(use_nbrs0), expand=expand,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("use_nbrs0", "ef", "max_iters", "has_result_mask"),
+    static_argnames=("use_nbrs0", "ef", "max_iters", "has_result_mask",
+                     "expand"),
 )
 def _beam_search_jit(
     x, x_sq, mask, nbrs0, nbrs_up, up_offset, q, start_ids, active,
     layer, ef: int, max_iters: int,
     result_mask=None, has_result_mask: bool = False,
-    use_nbrs0: bool = True,
+    use_nbrs0: bool = True, expand: int = 1,
 ):
     """Batched beam search at one graph layer.
 
@@ -383,23 +384,36 @@ def _beam_search_jit(
     def body(state):
         pool_d, pool_id, pool_exp, res_d, res_id, done, it = state
         und = jnp.where(pool_exp | (pool_id < 0), jnp.inf, pool_d)
-        bsel = jnp.argmin(und, axis=1)  # [B]
-        bd = jnp.take_along_axis(und, bsel[:, None], axis=1)[:, 0]
+        # expand the `expand` best unexpanded candidates per step: the loop
+        # is the serving path's only sequential depth, so wider expansion
+        # trades a few wasted neighbor gathers for ~expand x fewer steps
+        # (termination still keys on the single best candidate, so the
+        # classic best-first stopping rule is unchanged)
+        if expand == 1:
+            bsel = jnp.argmin(und, axis=1)[:, None]  # [B, 1]
+        else:
+            _, bsel = jax.lax.top_k(-und, expand)  # [B, W]
+        seld = jnp.take_along_axis(und, bsel, axis=1)  # [B, W]
+        bd = seld[:, 0]
         worst = pool_d[:, -1]
         pool_full = pool_id[:, -1] >= 0
         newly_done = jnp.isinf(bd) | (pool_full & (bd > worst))
         done2 = done | newly_done
         run = ~done2  # queries doing real work this step
 
-        nid = jnp.take_along_axis(pool_id, bsel[:, None], axis=1)[:, 0]
+        nid = jnp.take_along_axis(pool_id, bsel, axis=1)  # [B, W]
+        parent_ok = jnp.isfinite(seld) & (nid >= 0) & run[:, None]
         nid_safe = jnp.maximum(nid, 0)
-        pool_exp2 = pool_exp.at[jnp.arange(b), bsel].max(run)
+        pool_exp2 = pool_exp.at[
+            jnp.arange(b)[:, None], bsel
+        ].max(parent_ok)
 
         if use_nbrs0:
-            nbr = nbrs0[nid_safe]  # [B, M0]
+            nbr = nbrs0[nid_safe]  # [B, W, M0]
         else:
             row = jnp.maximum(up_offset[nid_safe] + layer - 1, 0)
-            nbr = nbrs_up[row]  # [B, M]
+            nbr = nbrs_up[row]  # [B, W, M]
+        nbr = jnp.where(parent_ok[:, :, None], nbr, -1).reshape(b, -1)
         nbr_safe = jnp.maximum(nbr, 0)
         m_w = nbr.shape[1]
         # dedup without a visited bitmap (see docstring): already-in-pool
@@ -1127,6 +1141,7 @@ class HNSWIndex:
             result_mask=jnp.asarray(mask & extra_mask)
             if extra_mask is not None else None,
             has_result_mask=extra_mask is not None,
+            expand=limits.beam_expand(),
         )
         d = np.asarray(pool_d)[:, :k]
         rows = np.asarray(pool_id)[:, :k]

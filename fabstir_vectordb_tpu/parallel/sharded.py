@@ -380,6 +380,7 @@ def sharded_hnsw_search(mesh: Mesh, axis: str = "data"):
         pool_d, pool_id = beam_search_kernel(
             x, x_sq, mask, nbrs0, nbrs_up, up_offset, q, cur[:, None],
             jnp.ones((b,), bool), layer=0, ef=ef, max_iters=ef + 32,
+            expand=limits.beam_expand(),
         )
         return pool_d[:, :k], pool_id[:, :k]
 

@@ -31,6 +31,16 @@ def effective_flat_threshold(dtype: str | None = None) -> int:
     return FLAT_THRESHOLD * (2 if dtype == "bfloat16" else 1)
 
 
+def beam_expand() -> int:
+    """Beam-search candidates expanded per sequential step (FVDB_BEAM_EXPAND).
+
+    The layer-0 beam's while_loop is the pruned serving path's only
+    sequential depth; expanding the W best unexpanded candidates per step
+    cuts that depth ~W x for a few wasted neighbor gathers. Default 4.
+    """
+    return max(1, int(os.environ.get("FVDB_BEAM_EXPAND", 4)))
+
+
 def serving_dtype() -> str:
     """Device-resident corpus dtype ("float32" | "bfloat16").
 

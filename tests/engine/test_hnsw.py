@@ -196,3 +196,54 @@ def test_device_mirror_delta_matches_full_upload(rng):
     np.testing.assert_array_equal(np.asarray(dev["nbrs0"]), h.nbrs0)
     np.testing.assert_array_equal(np.asarray(dev["nbrs_up"]), h.nbrs_up)
     np.testing.assert_array_equal(np.asarray(dev["up_offset"]), h.up_offset)
+
+
+def test_reverse_link_prune_popular_target(rng=None):
+    """A batch whose members all point at one popular region must leave every
+    reverse list width-bounded, duplicate-free, and containing near links.
+
+    Exercises the overfull branch of _add_reverse_links_bulk (flat-pair
+    ranking + truncated heuristic): one tight cluster guarantees hundreds of
+    reverse additions landing on the same few targets in a single batch.
+    """
+    rng = np.random.default_rng(7)
+    dim = 16
+    n = 2048
+    # one dominant tight cluster -> popular targets
+    vecs = 0.05 * rng.standard_normal((n, dim)).astype(np.float32)
+    vecs[: n // 8] += rng.standard_normal((n // 8, dim)).astype(np.float32)
+    store = VectorStore(dim)
+    rows = store.add_batch([f"v{i}" for i in range(n)], vecs)
+    cfg = HNSWConfig(seed=3)
+    hnsw = HNSWIndex(store, cfg)
+    hnsw.insert_rows(rows)
+
+    members = hnsw.member_rows()
+    assert len(members) == n
+    for row in members[:: 64]:
+        lst = hnsw.nbrs0[row]
+        real = lst[lst >= 0]
+        assert len(real) <= cfg.m0
+        assert len(np.unique(real)) == len(real), "duplicate reverse links"
+        assert (real != row).all(), "self link"
+    # graph must remain navigable: near-perfect self-recall
+    q = vecs[:: 97]
+    d, ids = hnsw.search_rows(q, k=1, ef=64)
+    assert (ids[:, 0] == np.arange(n)[:: 97]).mean() >= 0.95
+
+
+def test_beam_expand_preserves_recall(monkeypatch):
+    """expand=4 must match expand=1 quality: wider per-step expansion only
+    ADDS explored nodes (termination still keys on the single best), so
+    recall cannot degrade."""
+    import os
+    store, hnsw, vecs = build_index(n=3000, dim=24, seed=11)
+    q = vecs[::29]
+    truth = FlatIndex(store)
+    recalls = {}
+    for w in (1, 4):
+        monkeypatch.setenv("FVDB_BEAM_EXPAND", str(w))
+        _, ids = hnsw.search_rows(q, k=10, ef=48)
+        recalls[w] = recall_at_k(truth, ids, q, 10)
+    assert recalls[4] >= recalls[1] - 0.02, recalls
+    assert recalls[4] >= 0.9, recalls
