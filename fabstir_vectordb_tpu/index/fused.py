@@ -122,6 +122,10 @@ class FusedSearcher:
         self.hybrid = hybrid
         self._key = None
         self._dev: dict | None = None
+        # reduced-rank serving state: (mu, p) fit + projected bf16 mirror,
+        # keyed by (store version, rank) — see _proj_state
+        self._proj_key = None
+        self._proj: dict | None = None
         # device-resident filter bitmask, keyed by content digest: repeated
         # filtered queries (the columnar path caches masks per epoch) would
         # otherwise re-upload a capacity-sized bool array every call — one
@@ -183,6 +187,70 @@ class FusedSearcher:
             self._key = key
         return self._dev
 
+    def _proj_state(self) -> dict:
+        """Reduced-rank serving mirror: PCA fit + projected bf16 corpus.
+
+        The fit samples up to 64K active rows; the whole corpus projects via
+        host BLAS (the f32 corpus may exceed HBM in this regime — that is
+        the point) and only the [capacity, rank] bf16 mirror + f32 norms
+        upload. Rebuilt whenever the store version or rank changes.
+        """
+        h = self.hybrid
+        rank = limits.pca_rank()
+        key = (h.store._version, rank)
+        if self._proj is None or self._proj_key != key:
+            from ..ops.projection import fit_pca, project
+
+            self._proj = None  # release before re-upload (HBM headroom)
+            data = h.store.data
+            count = max(h.store.count, 1)
+            stride = max(1, count // 65_536)
+            mu, p = fit_pca(data[:count:stride], rank)
+            xp = project(data, mu, p)  # [capacity, rank] f32 host
+            xp_sq = np.einsum("nr,nr->n", xp, xp)
+            self._proj = {
+                "mu": jnp.asarray(mu),
+                "p": jnp.asarray(p),
+                "xp": jnp.asarray(xp, jnp.bfloat16),
+                "xp_sq": jnp.asarray(xp_sq),
+            }
+            self._proj_key = key
+        return self._proj
+
+    def _projected_dispatch(self, dev, queries_np, q, k: int,
+                            extra_mask: np.ndarray | None):
+        """Stage 1 on device: exact top-(oversample*k) in PCA space."""
+        from ..utils.padding import bucket
+
+        proj = self._proj_state()
+        mask = dev["members"]
+        if extra_mask is not None:
+            mask = mask & self._device_mask(extra_mask)
+        ov_k = min(
+            bucket(k * limits.pca_oversample()), int(proj["xp"].shape[0])
+        )
+        qp = (q - proj["mu"]) @ proj["p"]  # [B, rank] on device
+        vals_p, rows_p = flat_search_kernel(
+            proj["xp"], proj["xp_sq"], mask, qp, ov_k
+        )
+        store = self.hybrid.store
+
+        def rerank(vals_np: np.ndarray, rows_np: np.ndarray):
+            """Stage 2 on host: exact sq-L2 over the candidate rows
+            (difference form — the norm-expansion form loses ~1e-3 absolute
+            to cancellation, visible on near-duplicate hits)."""
+            safe = np.maximum(rows_np, 0)
+            diff = store.data[safe] - queries_np[:, None, :]  # [B, OV, D]
+            d = np.einsum("bod,bod->bo", diff, diff)
+            d = np.where(rows_np >= 0, d, np.inf)
+            order = np.argsort(d, axis=1, kind="stable")[:, :k]
+            return (
+                np.take_along_axis(d, order, axis=1),
+                np.take_along_axis(rows_np, order, axis=1),
+            )
+
+        return vals_p, rows_p, rerank
+
     def search_dispatch(
         self,
         queries: np.ndarray,
@@ -193,26 +261,36 @@ class FusedSearcher:
     ):
         """Dispatch one fused search WITHOUT the result readback.
 
-        Returns device arrays (sq-dists [B, k], rows [B, k]). JAX dispatch is
-        asynchronous: this call returns as soon as the program is enqueued,
-        so callers can pipeline several batches (dispatch i+1 before reading
-        i) and overlap the host<->device round-trips that otherwise dominate
-        tunneled serving. ``jax.device_get`` the pair to materialize.
+        Returns ``(sq_dists, rows, post)``: two device arrays plus an
+        optional host post-process to apply AFTER ``jax.device_get`` (the
+        reduced-rank regime reranks its stage-1 candidates there; exact
+        regimes return ``post=None``). JAX dispatch is asynchronous: this
+        call returns as soon as the program is enqueued, so callers can
+        pipeline several batches (dispatch i+1 before reading i) and overlap
+        the host<->device round-trips that otherwise dominate tunneled
+        serving.
         """
         dev = self._device_state()
-        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        queries_np = np.atleast_2d(np.asarray(queries, np.float32))
+        q = jnp.asarray(queries_np)
 
         if dev["x"].shape[0] <= limits.effective_flat_threshold(
                 "bfloat16" if dev["x"].dtype == jnp.bfloat16 else "float32"):
             mask = dev["members"]
             if extra_mask is not None:
                 mask = mask & self._device_mask(extra_mask)
-            return flat_search_kernel(dev["x"], dev["x_sq"], mask, q, k)
+            vals, rows = flat_search_kernel(dev["x"], dev["x_sq"], mask, q, k)
+            return vals, rows, None
+
+        if limits.pca_serve():
+            # beyond bf16 residency: compressed exact scan + exact rerank
+            # (matmul-bound) instead of gather-bound graph/list traversal
+            return self._projected_dispatch(dev, queries_np, q, k, extra_mask)
 
         extra = (dev["ones"] if extra_mask is None
                  else self._device_mask(extra_mask))
         n_probe_eff = min(n_probe, int(dev["centroids"].shape[0]))
-        return hybrid_search_kernel(
+        vals, rows = hybrid_search_kernel(
             dev["x"], dev["x_sq"], dev["hnsw_mask"], dev["ivf_mask"], extra,
             dev["nbrs0"], dev["nbrs_up"], dev["up_offset"],
             dev["entry"], dev["entry_level"], dev["centroids"], dev["tiles"],
@@ -220,6 +298,7 @@ class FusedSearcher:
             has_filter=extra_mask is not None,
             beam_expand=limits.beam_expand(),
         )
+        return vals, rows, None
 
     def search(
         self,
@@ -230,7 +309,12 @@ class FusedSearcher:
         extra_mask: np.ndarray | None = None,
     ):
         """Returns (sq-dists [B, k], rows [B, k]) as numpy."""
-        vals, rows = self.search_dispatch(queries, k, ef, n_probe, extra_mask)
+        vals, rows, post = self.search_dispatch(
+            queries, k, ef, n_probe, extra_mask
+        )
         # one combined readback (separate np.asarray calls pay two RTTs on
         # tunneled devices)
-        return jax.device_get((vals, rows))
+        vals, rows = jax.device_get((vals, rows))
+        if post is not None:
+            vals, rows = post(vals, rows)
+        return vals, rows

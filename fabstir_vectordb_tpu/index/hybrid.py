@@ -281,7 +281,7 @@ class HybridIndex:
 
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         k_eff = bucket(k)
-        handle = self.fused.search_dispatch(
+        vals_d, rows_d, post = self.fused.search_dispatch(
             queries, k_eff, bucket(max(cfg.hnsw_ef, k)),
             cfg.ivf_n_probe or self.config.ivf.n_probe, extra_mask,
         )
@@ -289,7 +289,9 @@ class HybridIndex:
         def finalize():
             import jax
 
-            vals, rows = jax.device_get(handle)
+            vals, rows = jax.device_get((vals_d, rows_d))
+            if post is not None:
+                vals, rows = post(vals, rows)
             return self._finalize_fast(vals, rows, k)
 
         return finalize

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.distance import pairwise_distance
-from ..ops.kmeans import assign_clusters, kmeans_train
+from ..ops.kmeans import assign_clusters, kmeans_train_stepped
 from ..ops.topk import masked_topk, merge_topk
 from ..utils import limits
 from ..utils.padding import bucket, round_up, grow_rows
@@ -173,7 +173,7 @@ class IVFIndex:
                 [sample, np.zeros((n_pad - n, sample.shape[1]), np.float32)]
             )
         mask = jnp.arange(n_pad) < n
-        res = kmeans_train(
+        res = kmeans_train_stepped(
             jax.random.PRNGKey(self.config.seed),
             jnp.asarray(sample),
             mask,

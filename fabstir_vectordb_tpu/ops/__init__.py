@@ -9,7 +9,8 @@ from .distance import (
     METRICS,
 )
 from .topk import masked_topk, merge_topk, chunked_topk, StreamingTopK
-from .kmeans import kmeans_pp_init, lloyd_step, kmeans_train, assign_clusters
+from .kmeans import (kmeans_pp_init, lloyd_step, kmeans_train,
+                     kmeans_train_stepped, assign_clusters)
 
 __all__ = [
     "pairwise_sq_l2",
@@ -27,5 +28,6 @@ __all__ = [
     "kmeans_pp_init",
     "lloyd_step",
     "kmeans_train",
+    "kmeans_train_stepped",
     "assign_clusters",
 ]

@@ -104,6 +104,47 @@ def lloyd_step(x, mask, centroids):
     return new_centroids, err
 
 
+_lloyd_step_jit = jax.jit(lloyd_step)
+
+
+def kmeans_train_stepped(
+    key,
+    x,
+    mask,
+    n_clusters: int,
+    max_iterations: int = 25,
+    tol: float = 1e-4,
+) -> TrainResult:
+    """Host-driven twin of kmeans_train: pp_init + one jitted Lloyd step per
+    host iteration, convergence checked host-side.
+
+    Functionally identical (same init, same update, same stopping rule) but
+    compiled as two SMALL programs instead of one scan+while_loop giant —
+    on remote-compile targets the monolithic program costs 60s+ per compile
+    (and a corrupted cached executable of it once wedged the device); the
+    stepped form compiles in seconds and its pieces are shared with other
+    callers. Costs max_iterations device round-trips, which is noise next
+    to the matmuls at IVF training sizes.
+    """
+    cents = kmeans_pp_init(key, x, mask, n_clusters)
+    last_err = float("inf")
+    i = 0
+    converged = False
+    err = jnp.float32(0.0)
+    while i < max_iterations:
+        cents, err = _lloyd_step_jit(x, mask, cents)
+        err_f = float(err)
+        if i > 0 and abs(last_err - err_f) / max(last_err, 1e-30) < tol:
+            converged = True
+            i += 1
+            break
+        last_err = err_f
+        i += 1
+    return TrainResult(
+        cents, jnp.int32(i), jnp.bool_(converged), jnp.float32(err)
+    )
+
+
 @partial(jax.jit, static_argnames=("n_clusters", "max_iterations"))
 def kmeans_train(
     key,

@@ -31,6 +31,27 @@ def effective_flat_threshold(dtype: str | None = None) -> int:
     return FLAT_THRESHOLD * (2 if dtype == "bfloat16" else 1)
 
 
+def pca_serve() -> bool:
+    """Reduced-rank serving beyond the flat threshold (FVDB_PCA_SERVE).
+
+    On: corpora past bf16-mirror residency serve via a PCA-compressed exact
+    scan (one MXU matmul over a [N, rank] bf16 mirror) + exact host rerank
+    of oversample*k rows — matmul-bound instead of gather-bound. Off ("0"):
+    the HNSW-beam + IVF-nprobe pruned path serves instead.
+    """
+    return os.environ.get("FVDB_PCA_SERVE", "1") != "0"
+
+
+def pca_rank() -> int:
+    """Projected dimensionality for reduced-rank serving (FVDB_PCA_RANK)."""
+    return max(8, int(os.environ.get("FVDB_PCA_RANK", 96)))
+
+
+def pca_oversample() -> int:
+    """Stage-1 candidates per requested k (FVDB_PCA_OVERSAMPLE)."""
+    return max(2, int(os.environ.get("FVDB_PCA_OVERSAMPLE", 8)))
+
+
 def beam_expand() -> int:
     """Beam-search candidates expanded per sequential step (FVDB_BEAM_EXPAND).
 

@@ -177,12 +177,18 @@ def main() -> None:
     if flat_now:
         measure("flat-exact", args.efs[0], args.probes[0])
 
-    # --- regime 2: the pruned path (HNSW beam + IVF nprobe), forced by
-    # dropping the threshold — the plan for corpora past HBM residency ---
+    # --- regime 2: reduced-rank serving (PCA stage-1 + exact rerank) —
+    # the DEFAULT plan past bf16 residency: matmul-bound, 4x less HBM ---
     old = limits.FLAT_THRESHOLD
     try:
         limits.FLAT_THRESHOLD = 0
         os.environ["FVDB_FLAT_THRESHOLD"] = "0"  # pin effective() too
+        idx.fused._key = None
+        measure(f"pca-r{limits.pca_rank()}", args.efs[0], args.probes[0])
+
+        # --- regime 3: the pruned path (HNSW beam + IVF nprobe), the
+        # fallback when FVDB_PCA_SERVE=0 ---
+        os.environ["FVDB_PCA_SERVE"] = "0"
         idx.fused._key = None
         for ef in args.efs:
             for n_probe in args.probes:
@@ -190,6 +196,7 @@ def main() -> None:
     finally:
         limits.FLAT_THRESHOLD = old
         os.environ.pop("FVDB_FLAT_THRESHOLD", None)
+        os.environ.pop("FVDB_PCA_SERVE", None)
         idx.fused._key = None
 
 

@@ -235,6 +235,8 @@ def test_fused_flat_and_pruned_regimes_agree(rng):
     q = vecs[:8] + 0.01
     cfg = SearchConfig(auto_migrate=False)
 
+    import os
+
     from fabstir_vectordb_tpu.utils import limits
     old = limits.FLAT_THRESHOLD
     try:
@@ -243,10 +245,16 @@ def test_fused_flat_and_pruned_regimes_agree(rng):
         d_flat, r_flat = idx.search_rows(q, k, config=cfg, now=NOW)
 
         limits.FLAT_THRESHOLD = 0
+        os.environ["FVDB_PCA_SERVE"] = "0"  # force the pruned kernel
         idx.fused._key = None
         d_pruned, r_pruned = idx.search_rows(q, k, config=cfg, now=NOW)
+
+        os.environ.pop("FVDB_PCA_SERVE", None)  # default: reduced-rank
+        idx.fused._key = None
+        d_pca, r_pca = idx.search_rows(q, k, config=cfg, now=NOW)
     finally:
         limits.FLAT_THRESHOLD = old
+        os.environ.pop("FVDB_PCA_SERVE", None)
         idx.fused._key = None
 
     # flat regime == exact oracle
@@ -258,6 +266,13 @@ def test_fused_flat_and_pruned_regimes_agree(rng):
     # pruned regime: full-probe IVF + beam -> near-exact here
     assert (r_pruned[:, 0] == orows[:, 0]).mean() >= 0.9
     assert 3 not in r_pruned
+
+    # reduced-rank regime: stage-1 PCA scan + exact rerank -> near-exact,
+    # and the reranked distances are the EXACT ones
+    assert (r_pca[:, 0] == orows[:, 0]).mean() >= 0.9
+    assert 3 not in r_pca
+    hit = r_pca == orows
+    np.testing.assert_allclose(d_pca[hit], od[hit], rtol=1e-4, atol=1e-4)
 
 
 def test_bfloat16_serving_mirror(rng):
@@ -332,6 +347,7 @@ class TestPrunedRegime:
         from fabstir_vectordb_tpu.utils import limits
 
         monkeypatch.setattr(limits, "FLAT_THRESHOLD", 2048)
+        monkeypatch.setenv("FVDB_PCA_SERVE", "0")  # exercise the pruned kernel
         idx, vecs, NOW = self._build()
         dev = idx.fused._device_state()
         assert dev["x"].shape[0] > limits.FLAT_THRESHOLD  # pruned regime on
@@ -374,6 +390,7 @@ class TestPrunedRegime:
 
         monkeypatch.setenv("FVDB_SERVING_DTYPE", "bfloat16")
         monkeypatch.setattr(limits, "FLAT_THRESHOLD", 2048)
+        monkeypatch.setenv("FVDB_PCA_SERVE", "0")  # exercise the pruned kernel
         idx, vecs, NOW = self._build()
         dev = idx.fused._device_state()
         assert dev["x"].dtype == jnp.bfloat16
@@ -405,6 +422,7 @@ class TestPrunedRegime:
         from fabstir_vectordb_tpu.utils import limits
 
         monkeypatch.setattr(limits, "FLAT_THRESHOLD", 2048)
+        monkeypatch.setenv("FVDB_PCA_SERVE", "0")  # exercise the pruned kernel
         idx, vecs, NOW = self._build(n=4096)
         cfg = SearchConfig(auto_migrate=False, hnsw_ef=64)
         b = 256
@@ -507,3 +525,76 @@ class TestPipelinedServing:
         want = idx.search_rows(q, 5, config=cfg, now=NOW)
         got = idx.search_rows_dispatch(q, 5, config=cfg, now=NOW)()
         np.testing.assert_array_equal(want[1], got[1])
+
+
+class TestReducedRankRegime:
+    """Reduced-rank (PCA) serving: the default beyond-bf16-residency regime —
+    stage-1 compressed exact scan + stage-2 exact host rerank."""
+
+    def _build(self, n=3072, dim=64):
+        rng = np.random.default_rng(5)
+        centers = rng.standard_normal((16, dim)).astype(np.float32)
+        vecs = (centers[rng.integers(0, 16, n)]
+                + 0.3 * rng.standard_normal((n, dim)).astype(np.float32))
+        idx = HybridIndex(dim, HybridConfig(
+            ivf=IVFConfig(n_clusters=16, n_probe=8, seed=0),
+            auto_migrate=False))
+        idx.initialize(vecs[:2000])
+        ts = np.where(np.arange(n) % 2 == 0, NOW - DAY, NOW - 30 * DAY)
+        idx.insert_batch([f"v{i}" for i in range(n)], vecs, ts, now=NOW)
+        return idx, vecs
+
+    def test_recall_filter_and_dispatch_parity(self, monkeypatch):
+        from fabstir_vectordb_tpu.utils import limits
+
+        monkeypatch.setattr(limits, "FLAT_THRESHOLD", 1024)
+        monkeypatch.setenv("FVDB_PCA_RANK", "24")
+        idx, vecs = self._build()
+        rng = np.random.default_rng(9)
+        qi = rng.integers(0, vecs.shape[0], 48)
+        queries = vecs[qi] + 0.01 * rng.standard_normal(
+            (48, vecs.shape[1])).astype(np.float32)
+        cfg = SearchConfig(auto_migrate=False)
+        d, rows = idx.search_rows(queries, 10, config=cfg, now=NOW)
+
+        x = idx.store.data[: idx.store.count]
+        d2 = ((queries ** 2).sum(1)[:, None] - 2.0 * queries @ x.T
+              + (x ** 2).sum(1)[None, :])
+        truth = np.argsort(d2, axis=1)[:, :10]
+        hits = sum(
+            len(set(rows[i][rows[i] >= 0]) & set(truth[i]))
+            for i in range(48))
+        recall = hits / (48 * 10)
+        assert recall >= 0.9, f"reduced-rank recall@10 {recall:.3f}"
+        # distances are EXACT (rerank recomputes full-precision sq-L2);
+        # difference form here too — the norm-expansion d2 above loses ~1e-3
+        # to cancellation and would dominate the comparison
+        diff = idx.store.data[np.maximum(rows, 0)] - queries[:, None, :]
+        exact = np.sqrt(np.einsum("bod,bod->bo", diff, diff))
+        ok = rows >= 0
+        np.testing.assert_allclose(d[ok], exact[ok], rtol=1e-4, atol=1e-4)
+
+        # filtered search through the projected path
+        mask = np.zeros(idx.store.capacity, bool)
+        mask[: idx.store.count: 3] = True
+        fd, frows = idx.search_rows(queries[:8], 5, config=cfg,
+                                    extra_mask=mask, now=NOW)
+        got = frows[frows >= 0]
+        assert got.size > 0 and (got % 3 == 0).all()
+
+        # dispatch/finalize path returns the same results as eager search
+        fin = idx.search_rows_dispatch(queries[:4], 10, config=cfg, now=NOW)
+        dd, rr = fin()
+        np.testing.assert_array_equal(rr, rows[:4])
+
+    def test_mutation_invalidates_projection(self, monkeypatch):
+        from fabstir_vectordb_tpu.utils import limits
+
+        monkeypatch.setattr(limits, "FLAT_THRESHOLD", 1024)
+        idx, vecs = self._build(n=2048)
+        cfg = SearchConfig(auto_migrate=False)
+        idx.search_rows(vecs[:1], 5, config=cfg, now=NOW)
+        new = (vecs[100] + 0.001).astype(np.float32)
+        idx.insert("fresh", new, timestamp=NOW - DAY, now=NOW)
+        _, rows = idx.search_rows(new, 1, config=cfg, now=NOW)
+        assert idx.store.id_of(int(rows[0, 0])) == "fresh"
