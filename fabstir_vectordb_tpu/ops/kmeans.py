@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .distance import pairwise_sq_l2, squared_norms
 
@@ -107,6 +108,82 @@ def lloyd_step(x, mask, centroids):
 _lloyd_step_jit = jax.jit(lloyd_step)
 
 
+@partial(jax.jit, static_argnames=("l",))
+def _scalable_round(key, x, x_sq, mask, d2, l: int):
+    """One kmeans|| round: Gumbel-top-l weighted sample (without
+    replacement, proportional to d2) + min-distance table update.
+    Returns (new_d2, cand [l, D], cand_rows [l])."""
+    logw = jnp.where(mask & (d2 > 0), jnp.log(jnp.maximum(d2, 1e-30)), -jnp.inf)
+    g = jax.random.gumbel(key, logw.shape)
+    _, rows = jax.lax.top_k(logw + g, l)
+    cand = x[rows]
+    dc = pairwise_sq_l2(cand, x, x_sq)  # [l, N]
+    d2 = jnp.where(mask, jnp.minimum(d2, jnp.min(dc, axis=0)), 0.0)
+    return d2, cand, rows
+
+
+def _weighted_kmeanspp_host(cand: np.ndarray, w: np.ndarray, k: int,
+                            rng: np.random.Generator) -> np.ndarray:
+    """Classic k-means++ over a small weighted candidate set (host numpy)."""
+    c_n = cand.shape[0]
+    first = int(rng.choice(c_n, p=w / w.sum()))
+    chosen = [first]
+    d2 = ((cand - cand[first]) ** 2).sum(1)
+    for _ in range(1, k):
+        p = w * d2
+        s = p.sum()
+        if not np.isfinite(s) or s <= 0:
+            nxt = int(rng.integers(0, c_n))
+        else:
+            nxt = int(rng.choice(c_n, p=p / s))
+        chosen.append(nxt)
+        nd = ((cand - cand[nxt]) ** 2).sum(1)
+        np.minimum(d2, nd, out=d2)
+    return cand[np.asarray(chosen)]
+
+
+def kmeans_scalable_init(key, x, mask, n_clusters: int, rounds: int = 5,
+                         oversample: int = 8) -> jax.Array:
+    """kmeans|| seeding (Bahmani et al., VLDB'12) — the compile-friendly
+    k-means++ replacement for remote-compile targets.
+
+    ``kmeans_pp_init``'s C-step lax.scan compiles in ~5 minutes per shape
+    on the tunneled compile service; this runs ``rounds`` small programs
+    (one [l, N] distance matmul + Gumbel-top-l weighted sample each,
+    static shapes), weights the ~rounds*oversample*k candidates by cluster
+    population, and finishes with exact weighted k-means++ on that small
+    set host-side. Seeding quality >= k-means++ at these sizes.
+    """
+    x_sq = squared_norms(x)
+    l = max(n_clusters * oversample // rounds, 1)
+    key, sub = jax.random.split(key)
+    logits = jnp.where(mask, 0.0, -jnp.inf)
+    first = jax.random.categorical(sub, logits)
+    d2 = pairwise_sq_l2(x[first][None, :], x, x_sq)[0]
+    d2 = jnp.where(mask, d2, 0.0)
+
+    cands = [x[first][None, :]]
+    for _ in range(rounds):
+        key, sub = jax.random.split(key)
+        d2, cand, _ = _scalable_round(sub, x, x_sq, mask, d2, l)
+        cands.append(cand)
+    cand = jnp.concatenate(cands, axis=0)  # [1 + rounds*l, D]
+
+    # weight candidates by the population they attract (one assignment pass)
+    dc = pairwise_sq_l2(x, cand)  # [N, C]
+    nearest = jnp.argmin(dc, axis=1)
+    w = jnp.bincount(
+        jnp.where(mask, nearest, cand.shape[0]),
+        length=cand.shape[0] + 1,
+    )[: cand.shape[0]]
+
+    cand_np = np.asarray(cand, np.float32)
+    w_np = np.asarray(w, np.float64) + 1e-9
+    seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1]) & 0x7FFFFFFF
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(_weighted_kmeanspp_host(cand_np, w_np, n_clusters, rng))
+
+
 def kmeans_train_stepped(
     key,
     x,
@@ -118,15 +195,16 @@ def kmeans_train_stepped(
     """Host-driven twin of kmeans_train: pp_init + one jitted Lloyd step per
     host iteration, convergence checked host-side.
 
-    Functionally identical (same init, same update, same stopping rule) but
-    compiled as two SMALL programs instead of one scan+while_loop giant —
-    on remote-compile targets the monolithic program costs 60s+ per compile
-    (and a corrupted cached executable of it once wedged the device); the
-    stepped form compiles in seconds and its pieces are shared with other
-    callers. Costs max_iterations device round-trips, which is noise next
-    to the matmuls at IVF training sizes.
+    Same update rule and stopping rule, but seeded by kmeans|| (see
+    kmeans_scalable_init — quality >= k-means++) and compiled as SMALL
+    programs instead of one scan+while_loop giant: on remote-compile
+    targets the monolithic program costs minutes per compile (and a
+    corrupted cached executable of it once wedged the device); the stepped
+    form compiles in seconds and its pieces are shared with other callers.
+    Costs max_iterations device round-trips, which is noise next to the
+    matmuls at IVF training sizes.
     """
-    cents = kmeans_pp_init(key, x, mask, n_clusters)
+    cents = kmeans_scalable_init(key, x, mask, n_clusters)
     last_err = float("inf")
     i = 0
     converged = False
