@@ -108,6 +108,26 @@ def lloyd_step(x, mask, centroids):
 _lloyd_step_jit = jax.jit(lloyd_step)
 
 
+@jax.jit
+def _scalable_first(key, x, mask):
+    """First kmeans|| pick + initial min-distance table (one program)."""
+    x_sq = squared_norms(x)
+    logits = jnp.where(mask, 0.0, -jnp.inf)
+    first = jax.random.categorical(key, logits)
+    d2 = pairwise_sq_l2(x[first][None, :], x, x_sq)[0]
+    return x_sq, jnp.where(mask, d2, 0.0), x[first]
+
+
+@jax.jit
+def _scalable_weights(x, mask, cand):
+    """Candidate weights = attracted population (one program)."""
+    dc = pairwise_sq_l2(x, cand)  # [N, C]
+    nearest = jnp.argmin(dc, axis=1)
+    return jnp.bincount(
+        jnp.where(mask, nearest, cand.shape[0]), length=cand.shape[0] + 1
+    )[: cand.shape[0]]
+
+
 @partial(jax.jit, static_argnames=("l",))
 def _scalable_round(key, x, x_sq, mask, d2, l: int):
     """One kmeans|| round: Gumbel-top-l weighted sample (without
@@ -154,15 +174,11 @@ def kmeans_scalable_init(key, x, mask, n_clusters: int, rounds: int = 5,
     population, and finishes with exact weighted k-means++ on that small
     set host-side. Seeding quality >= k-means++ at these sizes.
     """
-    x_sq = squared_norms(x)
     l = max(n_clusters * oversample // rounds, 1)
     key, sub = jax.random.split(key)
-    logits = jnp.where(mask, 0.0, -jnp.inf)
-    first = jax.random.categorical(sub, logits)
-    d2 = pairwise_sq_l2(x[first][None, :], x, x_sq)[0]
-    d2 = jnp.where(mask, d2, 0.0)
+    x_sq, d2, first_c = _scalable_first(sub, x, mask)
 
-    cands = [x[first][None, :]]
+    cands = [first_c[None, :]]
     for _ in range(rounds):
         key, sub = jax.random.split(key)
         d2, cand, _ = _scalable_round(sub, x, x_sq, mask, d2, l)
@@ -170,12 +186,7 @@ def kmeans_scalable_init(key, x, mask, n_clusters: int, rounds: int = 5,
     cand = jnp.concatenate(cands, axis=0)  # [1 + rounds*l, D]
 
     # weight candidates by the population they attract (one assignment pass)
-    dc = pairwise_sq_l2(x, cand)  # [N, C]
-    nearest = jnp.argmin(dc, axis=1)
-    w = jnp.bincount(
-        jnp.where(mask, nearest, cand.shape[0]),
-        length=cand.shape[0] + 1,
-    )[: cand.shape[0]]
+    w = _scalable_weights(x, mask, cand)
 
     cand_np = np.asarray(cand, np.float32)
     w_np = np.asarray(w, np.float64) + 1e-9
