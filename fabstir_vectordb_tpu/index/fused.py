@@ -115,6 +115,15 @@ def hybrid_search_kernel(
     return vals, rows
 
 
+@jax.jit
+def _bf16_row_norms(xp):
+    """Squared row norms of a bf16 matrix, f32 accumulation, fused (the
+    eager form would materialize an [N, r] f32 temporary — GBs at 30M+
+    rows)."""
+    x32 = xp.astype(jnp.float32)
+    return jnp.sum(x32 * x32, axis=1)
+
+
 class FusedSearcher:
     """Caches device-resident engine state and dispatches fused searches."""
 
@@ -187,32 +196,56 @@ class FusedSearcher:
             self._key = key
         return self._dev
 
+    # rows per projection chunk: the f32 corpus may exceed HBM in this
+    # regime, so it ships as transient bf16 blocks (capacity is a power of
+    # two, so all chunks share one compiled shape)
+    _PROJ_CHUNK = 2_097_152
+
     def _proj_state(self) -> dict:
         """Reduced-rank serving mirror: PCA fit + projected bf16 corpus.
 
-        The fit samples up to 64K active rows; the whole corpus projects via
-        host BLAS (the f32 corpus may exceed HBM in this regime — that is
-        the point) and only the [capacity, rank] bf16 mirror + f32 norms
-        upload. Rebuilt whenever the store version or rank changes.
+        Fit: covariance of a <=16K-row sample on device (the host has few
+        cores; eigh of the [D, D] covariance is trivial host-side).
+        Projection: the corpus streams through the device in bf16 chunks —
+        [chunk, D] upload, one matmul, write into the resident
+        [capacity, rank] bf16 mirror — so neither host BLAS nor a full-HBM
+        f32 mirror is ever needed. Norms come from the bf16 mirror itself
+        (consistent with what stage 1 scans). Rebuilt whenever the store
+        version or rank changes.
         """
         h = self.hybrid
         rank = limits.pca_rank()
         key = (h.store._version, rank)
         if self._proj is None or self._proj_key != key:
-            from ..ops.projection import fit_pca, project
-
             self._proj = None  # release before re-upload (HBM headroom)
             data = h.store.data
             count = max(h.store.count, 1)
-            stride = max(1, count // 65_536)
-            mu, p = fit_pca(data[:count:stride], rank)
-            xp = project(data, mu, p)  # [capacity, rank] f32 host
-            xp_sq = np.einsum("nr,nr->n", xp, xp)
+            stride = max(1, count // 16_384)
+            sample = jnp.asarray(data[:count:stride])
+            mu_d = jnp.mean(sample, axis=0)
+            xc = sample - mu_d
+            cov = np.asarray(jax.device_get(xc.T @ xc), np.float64)
+            _, evecs = np.linalg.eigh(cov)
+            rank = min(rank, cov.shape[0])
+            p_d = jnp.asarray(
+                np.ascontiguousarray(evecs[:, ::-1][:, :rank], np.float32)
+            )
+            cap = data.shape[0]
+            xp = jnp.zeros((cap, rank), jnp.bfloat16)
+            for lo in range(0, cap, self._PROJ_CHUNK):
+                blk = jnp.asarray(
+                    data[lo: lo + self._PROJ_CHUNK], jnp.bfloat16
+                )
+                pr = (blk.astype(jnp.float32) - mu_d) @ p_d
+                xp = xp.at[lo: lo + pr.shape[0]].set(
+                    pr.astype(jnp.bfloat16)
+                )
+            xp_sq = _bf16_row_norms(xp)  # fused: no [N, r] f32 transient
             self._proj = {
-                "mu": jnp.asarray(mu),
-                "p": jnp.asarray(p),
-                "xp": jnp.asarray(xp, jnp.bfloat16),
-                "xp_sq": jnp.asarray(xp_sq),
+                "mu": mu_d,
+                "p": p_d,
+                "xp": xp,
+                "xp_sq": xp_sq,
             }
             self._proj_key = key
         return self._proj
