@@ -269,17 +269,31 @@ class FusedSearcher:
         store = self.hybrid.store
 
         def rerank(vals_np: np.ndarray, rows_np: np.ndarray):
-            """Stage 2 on host: exact sq-L2 over the candidate rows
-            (difference form — the norm-expansion form loses ~1e-3 absolute
-            to cancellation, visible on near-duplicate hits)."""
+            """Stage 2 on host: exact sq-L2 over the candidate rows.
+
+            Selection uses the norm-expansion form (cached row norms + one
+            BLAS batched matmul — the difference form materializes and
+            squares a [B, OV, D] temporary, ~5x slower on few-core hosts);
+            the k winners then get difference-form distances (the expansion
+            form loses ~1e-3 absolute to cancellation on near-duplicates).
+            """
             safe = np.maximum(rows_np, 0)
-            diff = store.data[safe] - queries_np[:, None, :]  # [B, OV, D]
-            d = np.einsum("bod,bod->bo", diff, diff)
+            cv = store.data[safe]  # [B, OV, D]
+            dots = np.matmul(cv, queries_np[:, :, None])[..., 0]
+            q_sq = np.einsum("bd,bd->b", queries_np, queries_np)
+            d = store.host_sq()[safe] - 2.0 * dots + q_sq[:, None]
             d = np.where(rows_np >= 0, d, np.inf)
             order = np.argsort(d, axis=1, kind="stable")[:, :k]
+            top_rows = np.take_along_axis(rows_np, order, axis=1)
+            diff = store.data[np.maximum(top_rows, 0)] \
+                - queries_np[:, None, :]  # [B, k, D] — small
+            top_d = np.einsum("bkd,bkd->bk", diff, diff)
+            top_d = np.where(top_rows >= 0, top_d, np.inf)
+            # exact distances can reorder within the candidate set
+            order2 = np.argsort(top_d, axis=1, kind="stable")
             return (
-                np.take_along_axis(d, order, axis=1),
-                np.take_along_axis(rows_np, order, axis=1),
+                np.take_along_axis(top_d, order2, axis=1),
+                np.take_along_axis(top_rows, order2, axis=1),
             )
 
         return vals_p, rows_p, rerank

@@ -291,6 +291,19 @@ class VectorStore:
                     x=x, x_sq=x_sq, version=self._version, dtype=dtype)
             return self._mirror
 
+    def host_sq(self) -> np.ndarray:
+        """Cached [capacity] f32 squared row norms of the host copy (keyed by
+        version). Serving reranks read this instead of re-squaring gathered
+        rows per query batch (memory-bound and slow on few-core hosts)."""
+        with self._lock:
+            cached = getattr(self, "_host_sq", None)
+            if cached is None or cached[0] != self._version:
+                sq = np.einsum(
+                    "nd,nd->n", self.data, self.data, dtype=np.float32
+                )
+                self._host_sq = cached = (self._version, sq)
+            return cached[1]
+
     def memory_usage_bytes(self) -> int:
         return int(
             self.data.nbytes
