@@ -1,6 +1,7 @@
 from .mesh import make_mesh, cpu_mesh
 from .sharded import (
     sharded_flat_search,
+    sharded_projected_search,
     sharded_ivf_search,
     sharded_lloyd_step,
     sharded_kmeans_train,
@@ -16,6 +17,7 @@ __all__ = [
     "make_mesh",
     "cpu_mesh",
     "sharded_flat_search",
+    "sharded_projected_search",
     "sharded_ivf_search",
     "sharded_lloyd_step",
     "sharded_kmeans_train",

@@ -75,6 +75,28 @@ def sharded_flat_search(mesh: Mesh, axis: str = "data"):
     return run
 
 
+def sharded_projected_search(mesh: Mesh, axis: str = "data"):
+    """Row-sharded reduced-rank stage 1 (multi-chip twin of the single-chip
+    PCA regime, see index/fused.py::FusedSearcher._projected_dispatch).
+
+    Returns fn(xp [N, rank] bf16 sharded, xp_sq [N], mask [N], mu [D],
+    p [D, rank], q [B, D] replicated, ov_k) -> (approx sq-dists, rows)
+    replicated — the top ov_k stage-1 candidates. Queries project on
+    device; each chip scans only its row shard of the compressed mirror;
+    partial top-k merge over ICI. The caller reranks the candidates
+    against the full-precision corpus (host-resident at these scales),
+    exactly like the single-chip regime.
+    """
+    flat = sharded_flat_search(mesh, axis)
+
+    @partial(jax.jit, static_argnames=("ov_k",))
+    def run(xp, xp_sq, mask, mu, p, q, ov_k: int):
+        qp = ((q - mu) @ p).astype(xp.dtype)
+        return flat(xp, xp_sq, mask, qp, ov_k)
+
+    return run
+
+
 # --------------------------------------------------------------------------
 # Sharded IVF
 # --------------------------------------------------------------------------

@@ -175,3 +175,49 @@ def test_sharded_hybrid_search_merges_both_engines():
     assert (r[:, 0] == targets).all(), r[:, 0]
     # distances ascending and merged across engines
     assert (np.diff(np.where(np.isfinite(d), d, 1e30), axis=1) >= 0).all()
+
+
+def test_sharded_projected_search_matches_single_chip(mesh, rng):
+    """Row-sharded PCA stage-1 + host rerank == exact search (clustered
+    data, generous oversample)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fabstir_vectordb_tpu.ops.projection import fit_pca, project
+    from fabstir_vectordb_tpu.parallel.sharded import sharded_projected_search
+
+    n, dim, rank, k = 2048, 32, 16, 5
+    centers = rng.standard_normal((8, dim)).astype(np.float32)
+    x = (centers[rng.integers(0, 8, n)]
+         + 0.1 * rng.standard_normal((n, dim)).astype(np.float32))
+    mu, p = fit_pca(x, rank)
+    xp = project(x, mu, p)
+    xp_sq = np.einsum("nr,nr->n", xp, xp)
+    mask = np.ones(n, bool)
+
+    shard = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    xp_d = jax.device_put(jnp.asarray(xp, jnp.bfloat16), shard)
+    xp_sq_d = jax.device_put(jnp.asarray(xp_sq), shard)
+    mask_d = jax.device_put(jnp.asarray(mask), shard)
+
+    q = x[:16] + 0.01
+    fn = sharded_projected_search(mesh)
+    vals, rows = jax.device_get(fn(
+        xp_d, xp_sq_d, mask_d,
+        jax.device_put(jnp.asarray(mu), rep),
+        jax.device_put(jnp.asarray(p), rep),
+        jax.device_put(jnp.asarray(q), rep), 128,
+    ))
+    assert rows.shape == (16, 128)
+    # host rerank of the stage-1 candidates -> exact top-k
+    diff = x[np.maximum(rows, 0)] - q[:, None, :]
+    d = np.einsum("bod,bod->bo", diff, diff)
+    d = np.where(rows >= 0, d, np.inf)
+    order = np.argsort(d, axis=1)[:, :k]
+    got = np.take_along_axis(rows, order, axis=1)
+
+    d_full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    truth = np.argsort(d_full, axis=1)[:, :k]
+    hits = sum(len(set(got[i]) & set(truth[i])) for i in range(16))
+    assert hits / (16 * k) >= 0.95
