@@ -11,8 +11,9 @@ src/hnsw/operations.rs). Key mapping:
   - greedy descent from the entry point with ef=1 above layer 0, then an
     ef-beam at layer 0 (core.rs:398-467, search_layer :469-554) -> two
     device kernels, *batched over queries*: a vectorized greedy-descent
-    while_loop and a beam loop with masked candidate pools, visited bitmap,
-    gather + distance matmul + argsort merge per step;
+    while_loop and a beam loop with masked candidate pools (O(B x ef)
+    state, no visited bitmap), multi-candidate expansion per step,
+    gather + distance matmul + argsort merge;
   - insert: per-layer ef_construction beam for candidates, closest-M neighbor
     pruning, bidirectional linking with reverse-list pruning (core.rs:226-378)
     -> device batched candidate search + host numpy linking;
