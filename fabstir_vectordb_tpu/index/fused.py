@@ -116,6 +116,15 @@ def hybrid_search_kernel(
 
 
 @jax.jit
+def _project_chunk(blk, mu, p):
+    """Fused chunk projection: bf16 corpus block -> bf16 projected block.
+    One jit so the f32 upcast + centering fuse into the matmul prologue —
+    the eager form materializes a [chunk, D] f32 temporary (3.2 GB at 2M
+    rows) next to the serving state and OOMs HBM at scale."""
+    return ((blk.astype(jnp.float32) - mu) @ p).astype(jnp.bfloat16)
+
+
+@jax.jit
 def _bf16_row_norms(xp):
     """Squared row norms of a bf16 matrix, f32 accumulation, fused (the
     eager form would materialize an [N, r] f32 temporary — GBs at 30M+
@@ -141,6 +150,11 @@ class FusedSearcher:
         # extra host->device RTT (~10 ms through a tunnel, measured)
         self._mask_digest: bytes | None = None
         self._mask_dev = None
+        # masks-only device state for the reduced-rank regime (the full-dim
+        # corpus mirror must NOT be resident there — that is the regime's
+        # memory premise; building _device_state first OOM'd HBM at 5M)
+        self._members_key = None
+        self._members_dev = None
 
     def _device_mask(self, extra_mask: np.ndarray):
         import hashlib
@@ -218,6 +232,11 @@ class FusedSearcher:
         key = (h.store._version, rank)
         if self._proj is None or self._proj_key != key:
             self._proj = None  # release before re-upload (HBM headroom)
+            # the full-dim mirror and graph/tile device state are dead
+            # weight in this regime — free them before allocating
+            h.store.release_mirror()
+            self._dev = None
+            self._key = None
             data = h.store.data
             count = max(h.store.count, 1)
             stride = max(1, count // 16_384)
@@ -230,16 +249,22 @@ class FusedSearcher:
             p_d = jnp.asarray(
                 np.ascontiguousarray(evecs[:, ::-1][:, :rank], np.float32)
             )
+            import ml_dtypes
+
             cap = data.shape[0]
-            xp = jnp.zeros((cap, rank), jnp.bfloat16)
+            # assemble host-side and upload ONCE: device-side .at[].set
+            # assembly copies the whole [cap, rank] buffer per chunk
+            xp_host = np.empty((cap, rank), ml_dtypes.bfloat16)
             for lo in range(0, cap, self._PROJ_CHUNK):
                 blk = jnp.asarray(
                     data[lo: lo + self._PROJ_CHUNK], jnp.bfloat16
                 )
-                pr = (blk.astype(jnp.float32) - mu_d) @ p_d
-                xp = xp.at[lo: lo + pr.shape[0]].set(
-                    pr.astype(jnp.bfloat16)
+                xp_host[lo: lo + blk.shape[0]] = np.asarray(
+                    _project_chunk(blk, mu_d, p_d)
                 )
+                del blk
+            xp = jnp.asarray(xp_host)
+            del xp_host
             xp_sq = _bf16_row_norms(xp)  # fused: no [N, r] f32 transient
             self._proj = {
                 "mu": mu_d,
@@ -250,13 +275,27 @@ class FusedSearcher:
             self._proj_key = key
         return self._proj
 
-    def _projected_dispatch(self, dev, queries_np, q, k: int,
+    def _members_state(self):
+        """Device members mask alone (all the reduced-rank regime needs)."""
+        h = self.hybrid
+        key = self._state_key()
+        if self._members_dev is None or self._members_key != key:
+            active = h.store.active_mask()
+            cap = h.store.capacity
+            members = active & (
+                h.hnsw.member_mask()[:cap] | h.ivf.member_mask()[:cap]
+            )
+            self._members_dev = jnp.asarray(members)
+            self._members_key = key
+        return self._members_dev
+
+    def _projected_dispatch(self, queries_np, q, k: int,
                             extra_mask: np.ndarray | None):
         """Stage 1 on device: exact top-(oversample*k) in PCA space."""
         from ..utils.padding import bucket
 
         proj = self._proj_state()
-        mask = dev["members"]
+        mask = self._members_state()
         if extra_mask is not None:
             mask = mask & self._device_mask(extra_mask)
         ov_k = min(
@@ -317,12 +356,13 @@ class FusedSearcher:
         the host<->device round-trips that otherwise dominate tunneled
         serving.
         """
-        dev = self._device_state()
         queries_np = np.atleast_2d(np.asarray(queries, np.float32))
         q = jnp.asarray(queries_np)
 
-        if dev["x"].shape[0] <= limits.effective_flat_threshold(
-                "bfloat16" if dev["x"].dtype == jnp.bfloat16 else "float32"):
+        # regime selection BEFORE materializing any mirror: the reduced-rank
+        # regime must never upload the full-dim corpus (its memory premise)
+        if self.hybrid.store.capacity <= limits.effective_flat_threshold():
+            dev = self._device_state()
             mask = dev["members"]
             if extra_mask is not None:
                 mask = mask & self._device_mask(extra_mask)
@@ -332,8 +372,9 @@ class FusedSearcher:
         if limits.pca_serve():
             # beyond bf16 residency: compressed exact scan + exact rerank
             # (matmul-bound) instead of gather-bound graph/list traversal
-            return self._projected_dispatch(dev, queries_np, q, k, extra_mask)
+            return self._projected_dispatch(queries_np, q, k, extra_mask)
 
+        dev = self._device_state()
         extra = (dev["ones"] if extra_mask is None
                  else self._device_mask(extra_mask))
         n_probe_eff = min(n_probe, int(dev["centroids"].shape[0]))

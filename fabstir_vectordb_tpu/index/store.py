@@ -291,6 +291,13 @@ class VectorStore:
                     x=x, x_sq=x_sq, version=self._version, dtype=dtype)
             return self._mirror
 
+    def release_mirror(self) -> None:
+        """Drop the cached device mirror (re-uploaded on next use). The
+        reduced-rank serving regime calls this: past the flat threshold the
+        full-dim mirror is dead weight in HBM (6.4 GB at 8.4M bf16 rows)."""
+        with self._lock:
+            self._mirror = None
+
     def host_sq(self) -> np.ndarray:
         """Cached [capacity] f32 squared row norms of the host copy (keyed by
         version). Serving reranks read this instead of re-squaring gathered
