@@ -216,13 +216,39 @@ def main() -> None:
         idx, vecs, queries, cfg, p50_1m, qps_1m, qpipe_1m = bench_scale(
             n2, dim, k, min(n_queries, 100), rng, recent_frac=0.02, tag="1m"
         )
-        del idx, vecs, queries
         emit(f"warm_search_p50_1000k_{dim}d_k{k}", p50_1m, "ms",
              BASELINE_MS / p50_1m)
         emit(f"batched_qps_1000k_{dim}d_k{k}", qps_1m, "qps",
              qps_1m / BASELINE_QPS)
         emit(f"pipelined_qps_1000k_{dim}d_k{k}", qpipe_1m, "qps",
              qpipe_1m / BASELINE_QPS)
+
+        # ---- phase 2b: reduced-rank regime on the same 1M index ----
+        # (the beyond-bf16-residency plan: PCA-96 stage-1 + exact rerank;
+        # forced here by dropping the threshold so the driver artifact
+        # records it at every round)
+        if os.environ.get("FVDB_BENCH_SKIP_PCA", "0") != "1":
+            from fabstir_vectordb_tpu.utils import limits
+
+            old = limits.FLAT_THRESHOLD
+            try:
+                limits.FLAT_THRESHOLD = 0
+                os.environ["FVDB_FLAT_THRESHOLD"] = "0"
+                idx.fused._key = None
+                t0 = time.perf_counter()
+                idx.search_rows(queries[0], k, config=cfg, now=NOW)
+                log(f"pca mirror build + compile: {time.perf_counter()-t0:.1f}s")
+                p50_pca = measure_p50(idx, queries[:100], k, cfg, "pca 1m")
+                qps_pca, _ = measure_qps(idx, rng, dim, k, cfg, reps=5)
+                emit(f"pca_search_p50_1000k_{dim}d_k{k}", p50_pca, "ms",
+                     BASELINE_MS / p50_pca)
+                emit(f"pca_batched_qps_1000k_{dim}d_k{k}", qps_pca, "qps",
+                     qps_pca / BASELINE_QPS)
+            finally:
+                limits.FLAT_THRESHOLD = old
+                os.environ.pop("FVDB_FLAT_THRESHOLD", None)
+                idx.fused._key = None
+        del idx, vecs, queries
 
     # headline LAST (driver parses the final JSON line; key matches round 1)
     emit(f"warm_search_p50_{n1//1000}k_{dim}d_k{k}", p50_100k, "ms",
