@@ -634,3 +634,33 @@ class TestShardedMetadataMap:
         )
         s2.load_user_vectors("leg", {"lazyLoad": False})
         assert s2.search(vecs[5].tolist(), 1)[0]["id"] == "m5"
+
+
+class TestReducedRankServing:
+    """Full session stack through the reduced-rank (PCA) regime: ingest ->
+    columnar filter -> search with exact rerank, threshold forced to 0."""
+
+    def test_session_search_and_filter_via_pca(self, monkeypatch):
+        from fabstir_vectordb_tpu.utils import limits
+
+        monkeypatch.setattr(limits, "FLAT_THRESHOLD", 0)
+        monkeypatch.setenv("FVDB_FLAT_THRESHOLD", "0")
+        monkeypatch.setenv("FVDB_PCA_RANK", "8")
+        s = make_session("pca-e2e")
+        inputs = vec_inputs(4000, dim=16,
+                            meta=lambda i: {"g": i % 4, "i": i})
+        s.add_vectors(inputs)
+
+        res = s.search(inputs[123]["vector"], 3)
+        assert res[0]["id"] == "doc123"
+        assert res[0]["score"] > 0.999  # exact rerank: exact self-distance 0
+
+        res = s.search(inputs[123]["vector"], 5, {"filter": {"g": 2}})
+        assert len(res) == 5
+        for r in res:
+            assert r["metadata"]["g"] == 2
+
+        # deletes respected through the masks-only state
+        s.delete_vector("doc123")
+        res = s.search(inputs[123]["vector"], 3)
+        assert res[0]["id"] != "doc123"
