@@ -244,7 +244,16 @@ class FusedSearcher:
             mu_d = jnp.mean(sample, axis=0)
             xc = sample - mu_d
             cov = np.asarray(jax.device_get(xc.T @ xc), np.float64)
-            _, evecs = np.linalg.eigh(cov)
+            evals, evecs = np.linalg.eigh(cov)
+            if rank < 0:  # auto: smallest rank capturing pca_var() variance
+                ev = np.maximum(evals[::-1], 0.0)
+                total = ev.sum()
+                if total <= 0:
+                    rank = 32
+                else:
+                    cum = np.cumsum(ev) / total
+                    rank = int(np.searchsorted(cum, limits.pca_var()) + 1)
+                rank = int(min(max(rank, 32), 192, cov.shape[0]))
             rank = min(rank, cov.shape[0])
             p_d = jnp.asarray(
                 np.ascontiguousarray(evecs[:, ::-1][:, :rank], np.float32)
@@ -274,6 +283,13 @@ class FusedSearcher:
             }
             self._proj_key = key
         return self._proj
+
+    def _release_proj(self) -> None:
+        """Free the reduced-rank mirror when another regime takes over —
+        the exact/pruned state and the projection state never coexist in
+        HBM (their sum OOM'd a 5M-row corpus on a 16 GB chip)."""
+        self._proj = None
+        self._proj_key = None
 
     def _members_state(self):
         """Device members mask alone (all the reduced-rank regime needs)."""
@@ -362,6 +378,7 @@ class FusedSearcher:
         # regime selection BEFORE materializing any mirror: the reduced-rank
         # regime must never upload the full-dim corpus (its memory premise)
         if self.hybrid.store.capacity <= limits.effective_flat_threshold():
+            self._release_proj()  # regimes are exclusive in HBM
             dev = self._device_state()
             mask = dev["members"]
             if extra_mask is not None:
@@ -374,6 +391,7 @@ class FusedSearcher:
             # (matmul-bound) instead of gather-bound graph/list traversal
             return self._projected_dispatch(queries_np, q, k, extra_mask)
 
+        self._release_proj()  # pruned regime: free the projection mirror
         dev = self._device_state()
         extra = (dev["ones"] if extra_mask is None
                  else self._device_mask(extra_mask))

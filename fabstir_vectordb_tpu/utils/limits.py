@@ -43,8 +43,22 @@ def pca_serve() -> bool:
 
 
 def pca_rank() -> int:
-    """Projected dimensionality for reduced-rank serving (FVDB_PCA_RANK)."""
-    return max(8, int(os.environ.get("FVDB_PCA_RANK", 96)))
+    """Projected dimensionality for reduced-rank serving (FVDB_PCA_RANK).
+
+    Returns -1 ("auto", the default): the searcher picks the smallest rank
+    capturing ``pca_var()`` of the sample variance, clamped to [32, 192] —
+    embedding data with fast spectral decay gets a small fast mirror,
+    adversarially isotropic data gets the recall it needs.
+    """
+    v = os.environ.get("FVDB_PCA_RANK", "auto")
+    if v == "auto":
+        return -1
+    return max(8, int(v))
+
+
+def pca_var() -> float:
+    """Variance fraction targeted by auto rank (FVDB_PCA_VAR, default 0.9)."""
+    return min(0.999, max(0.5, float(os.environ.get("FVDB_PCA_VAR", 0.9))))
 
 
 def pca_oversample() -> int:

@@ -184,7 +184,10 @@ def main() -> None:
         limits.FLAT_THRESHOLD = 0
         os.environ["FVDB_FLAT_THRESHOLD"] = "0"  # pin effective() too
         idx.fused._key = None
-        measure(f"pca-r{limits.pca_rank()}", args.efs[0], args.probes[0])
+        idx.search_rows(queries[0], k, config=SearchConfig(
+            auto_migrate=False), now=NOW)  # build projection state
+        r_eff = int(idx.fused._proj["p"].shape[1])
+        measure(f"pca-r{r_eff}", args.efs[0], args.probes[0])
 
         # --- regime 3: the pruned path (HNSW beam + IVF nprobe), the
         # fallback when FVDB_PCA_SERVE=0 ---
