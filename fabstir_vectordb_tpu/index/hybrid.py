@@ -27,6 +27,7 @@ Key mapping:
 """
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -93,6 +94,12 @@ class HybridIndex:
         self.initialized = False
         self._materialize_event = None  # set during lazy loads
         self._load_error: Exception | None = None
+        # serializes MUTATIONS (insert/delete/vacuum/migrate): the engines'
+        # multi-step link/assign sequences are not safe under concurrent
+        # writers (a capacity grow mid-link raced a second writer's insert
+        # in testing). Readers stay lock-free: searches snapshot versioned
+        # device state and tolerate pre-/post-write host views.
+        self._write_lock = threading.RLock()
 
     # ------------------------------------------------------------ lifecycle
     def begin_materialize(self, event) -> None:
@@ -148,6 +155,10 @@ class HybridIndex:
     ) -> np.ndarray:
         """Insert vectors, routing each by age. Returns store rows."""
         self.wait_ready()
+        with self._write_lock:
+            return self._insert_batch_locked(ids, vectors, timestamps, now)
+
+    def _insert_batch_locked(self, ids, vectors, timestamps, now):
         now = time.time() if now is None else now
         vectors = np.asarray(vectors, np.float32)
         if timestamps is None:
@@ -398,6 +409,10 @@ class HybridIndex:
         if not self.ivf.trained:
             return 0
         self.wait_ready()
+        with self._write_lock:
+            return self._migrate_locked(batch_size, now)
+
+    def _migrate_locked(self, batch_size, now) -> int:
         now = time.time() if now is None else now
         batch_size = batch_size or self.config.migration_batch_size
         m = self.hnsw.member_mask()[: self.store.count]
@@ -422,7 +437,8 @@ class HybridIndex:
     # ----------------------------------------------------------------- CRUD
     def delete(self, vid: str) -> bool:
         """Soft-delete by id (either engine)."""
-        return self.store.mark_deleted(vid)
+        with self._write_lock:
+            return self.store.mark_deleted(vid)
 
     def batch_delete(self, ids: list) -> int:
         n = 0
@@ -437,6 +453,10 @@ class HybridIndex:
     def vacuum(self) -> dict:
         """Physically remove soft-deleted vectors from both engines."""
         self.wait_ready()
+        with self._write_lock:
+            return self._vacuum_locked()
+
+    def _vacuum_locked(self) -> dict:
         hnsw_removed = self.hnsw.vacuum()
         ivf_removed = self.ivf.vacuum()
         self.store.vacuum()

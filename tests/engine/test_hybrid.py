@@ -598,3 +598,68 @@ class TestReducedRankRegime:
         idx.insert("fresh", new, timestamp=NOW - DAY, now=NOW)
         _, rows = idx.search_rows(new, 1, config=cfg, now=NOW)
         assert idx.store.id_of(int(rows[0, 0])) == "fresh"
+
+
+def test_concurrent_inserts_searches_deletes_stay_consistent():
+    """Concurrent writers (insert/delete) and readers (search) over one
+    HybridIndex: the single-store RLock + functional device state must keep
+    the index consistent — final counts exact, no crashes, every surviving
+    id findable (mirrors the reference's Arc<RwLock> concurrency tests)."""
+    import threading
+
+    dim = 16
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((2000, dim)).astype(np.float32)
+    idx = HybridIndex(dim, HybridConfig(
+        ivf=IVFConfig(n_clusters=8, n_probe=8, seed=0), auto_migrate=False))
+    idx.initialize(base)
+    idx.insert_batch([f"base{i}" for i in range(2000)], base,
+                     np.full(2000, NOW - 30 * DAY), now=NOW)
+
+    errors: list = []
+    extra = rng.standard_normal((400, dim)).astype(np.float32)
+
+    def writer(t):
+        try:
+            for j in range(t * 100, (t + 1) * 100):
+                idx.insert(f"w{j}", extra[j % 400], timestamp=NOW - DAY,
+                           now=NOW)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def deleter():
+        try:
+            for i in range(0, 200):
+                idx.delete(f"base{i}")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def reader():
+        try:
+            for i in range(40):
+                d, rows = idx.search_rows(base[i + 500], 5, now=NOW)
+                assert rows.shape == (1, 5)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = (
+        [threading.Thread(target=writer, args=(t,)) for t in range(2)]
+        + [threading.Thread(target=deleter)]
+        + [threading.Thread(target=reader) for _ in range(2)]
+    )
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    s = idx.stats(now=NOW)
+    # 2000 base + 200 writes - 200 deletes = 2000 active
+    assert s.total_vectors == 2000
+    assert idx.deletion_stats()["total_deleted"] == 200
+    for j in (0, 99, 199):
+        assert idx.contains(f"w{j}")
+    # surviving ids still findable with exact search
+    for probe in (250, 900, 1700):
+        res = idx.search(base[probe], 1, now=NOW)
+        assert res[0][0] == f"base{probe}"
