@@ -363,3 +363,35 @@ async def test_batch_insert_persists_all(client):
     await seed_data(client, n=12)
     for i in range(12):
         assert store.exists(f"rest-test/vectors/v{i}.cbor")
+
+
+async def test_coalesced_searches_through_reduced_rank_regime(
+        aiohttp_client, monkeypatch):
+    """Concurrent /search correctness when the serving regime is the PCA
+    stage-1 + host-rerank path: the coalescer batches queries, the fused
+    dispatch returns a post-rerank closure, and every request must still
+    get ITS OWN top hit."""
+    import asyncio
+
+    from fabstir_vectordb_tpu.utils import limits
+
+    monkeypatch.setattr(limits, "FLAT_THRESHOLD", 0)
+    monkeypatch.setenv("FVDB_FLAT_THRESHOLD", "0")
+    monkeypatch.setenv("FVDB_PCA_RANK", "8")
+    app = create_app(ApiConfig(session_id="rest-pca"),
+                     store=MemoryObjectStore())
+    client = await aiohttp_client(app)
+    data = await seed_data(client, n=64)
+    resp = await client.post("/api/v1/search",
+                             json={"vector": data[0], "k": 3})
+    assert resp.status == 200
+
+    async def one(i):
+        r = await client.post("/api/v1/search",
+                              json={"vector": data[i], "k": 3})
+        assert r.status == 200
+        body = await r.json()
+        assert body["results"][0]["id"] == f"v{i}"
+        assert body["results"][0]["score"] > 0.999  # exact rerank distance
+
+    await asyncio.gather(*(one(i) for i in range(32)))
