@@ -663,3 +663,15 @@ def test_concurrent_inserts_searches_deletes_stay_consistent():
     for probe in (250, 900, 1700):
         res = idx.search(base[probe], 1, now=NOW)
         assert res[0][0] == f"base{probe}"
+
+
+def test_search_oversampled_post_filter_matches_reference_strategy():
+    """The reference's k*oversample unfiltered search + O(k) predicate
+    post-filter (hybrid/core.rs:513-549) — the fallback for filters the
+    columnar index can't lower."""
+    idx, vecs = make_hybrid(20, 80)
+    res = idx.search_oversampled_post_filter(
+        vecs[11], 5, lambda vid: int(vid[1:]) % 2 == 1, now=NOW)
+    assert res and res[0][0] == "v11"
+    assert all(int(vid[1:]) % 2 == 1 for vid, _ in res)
+    assert len(res) <= 5

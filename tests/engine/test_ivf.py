@@ -165,3 +165,28 @@ class TestOperations:
         quality = ivf.evaluate_search_quality(q, k=5)
         assert 0.5 <= quality["recall"] <= 1.0
         assert quality["avg_query_ms"] >= 0
+
+
+def test_optimize_and_compact_clusters():
+    """optimize_clusters retrains over current members and reports variance
+    delta; compact_clusters rebuilds tiles at minimal padding (reference:
+    ivf/operations.rs:222-261, 394-420)."""
+    rng = np.random.default_rng(3)
+    dim = 16
+    centers = rng.standard_normal((4, dim)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 4, 600)]
+            + 0.05 * rng.standard_normal((600, dim)).astype(np.float32))
+    store = VectorStore(dim)
+    rows = store.add_batch([f"v{i}" for i in range(600)], vecs)
+    ivf = IVFIndex(store, IVFConfig(n_clusters=4, n_probe=4, seed=1))
+    # deliberately bad centroids -> optimize should improve variance
+    ivf.set_trained(rng.standard_normal((4, dim)).astype(np.float32))
+    ivf.insert_rows(rows)
+    before = ivf.cluster_stats().mean_variance
+    rep = ivf.optimize_clusters()
+    assert rep["variance_before"] == pytest.approx(before)
+    assert rep["variance_after"] <= rep["variance_before"] + 1e-6
+    # compact: tiles rebuild and search still exact-ish with full probes
+    ivf.compact_clusters()
+    d, r = ivf.search_rows(vecs[:4], 1, n_probe=4)
+    assert (r[:, 0] == np.arange(4)).mean() >= 0.75
