@@ -371,6 +371,7 @@ def create_app(config: ApiConfig | None = None,
                     "requests": state.coalescer.requests,
                     "dispatches": state.coalescer.dispatches,
                 },
+                "serving": state.session.index.fused.serving_info(),
             }
         )
 

@@ -284,6 +284,31 @@ class FusedSearcher:
             self._proj_key = key
         return self._proj
 
+    def serving_info(self) -> dict:
+        """Which query plan serves right now (observability: REST
+        /admin/statistics). Does not materialize any device state."""
+        cap = self.hybrid.store.capacity
+        if cap <= limits.effective_flat_threshold():
+            regime = "flat-exact"
+        elif limits.pca_serve():
+            regime = "reduced-rank"
+        else:
+            regime = "pruned"
+        info = {
+            "regime": regime,
+            "serving_dtype": limits.serving_dtype(),
+            "capacity_rows": int(cap),
+            "effective_flat_threshold": int(limits.effective_flat_threshold()),
+        }
+        if regime == "reduced-rank":
+            info["pca_oversample"] = limits.pca_oversample()
+            if self._proj is not None:
+                info["pca_rank"] = int(self._proj["p"].shape[1])
+            else:
+                r = limits.pca_rank()
+                info["pca_rank"] = "auto" if r < 0 else r
+        return info
+
     def _release_proj(self) -> None:
         """Free the reduced-rank mirror when another regime takes over —
         the exact/pruned state and the projection state never coexist in

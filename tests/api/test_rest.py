@@ -395,3 +395,25 @@ async def test_coalesced_searches_through_reduced_rank_regime(
         assert body["results"][0]["score"] > 0.999  # exact rerank distance
 
     await asyncio.gather(*(one(i) for i in range(32)))
+
+
+async def test_statistics_reports_serving_regime(aiohttp_client, monkeypatch):
+    from fabstir_vectordb_tpu.utils import limits
+
+    app = create_app(ApiConfig(session_id="rest-regime"),
+                     store=MemoryObjectStore())
+    client = await aiohttp_client(app)
+    await seed_data(client, n=8)
+    body = await (await client.get("/api/v1/admin/statistics")).json()
+    assert body["serving"]["regime"] == "flat-exact"
+    assert body["serving"]["serving_dtype"] in ("float32", "bfloat16")
+
+    monkeypatch.setattr(limits, "FLAT_THRESHOLD", 0)
+    monkeypatch.setenv("FVDB_FLAT_THRESHOLD", "0")
+    body = await (await client.get("/api/v1/admin/statistics")).json()
+    assert body["serving"]["regime"] == "reduced-rank"
+    assert "pca_rank" in body["serving"]
+
+    monkeypatch.setenv("FVDB_PCA_SERVE", "0")
+    body = await (await client.get("/api/v1/admin/statistics")).json()
+    assert body["serving"]["regime"] == "pruned"
