@@ -185,3 +185,33 @@ def test_effective_flat_threshold_dtype_aware(monkeypatch):
     assert limits.effective_flat_threshold() == 2 * base
     monkeypatch.setenv("FVDB_FLAT_THRESHOLD", "12345")
     assert limits.effective_flat_threshold("bfloat16") == base  # env pins
+
+
+def test_serving_knob_parsing(monkeypatch):
+    """Env-knob semantics: auto rank sentinel, var clamping, beam expand
+    and oversample floors."""
+    from fabstir_vectordb_tpu.utils import limits
+
+    for var in ("FVDB_PCA_RANK", "FVDB_PCA_VAR", "FVDB_PCA_OVERSAMPLE",
+                "FVDB_BEAM_EXPAND", "FVDB_PCA_SERVE"):
+        monkeypatch.delenv(var, raising=False)
+    assert limits.pca_rank() == -1          # auto by default
+    assert limits.pca_var() == 0.9
+    assert limits.pca_oversample() == 8
+    assert limits.beam_expand() == 4
+    assert limits.pca_serve() is True
+
+    monkeypatch.setenv("FVDB_PCA_RANK", "64")
+    assert limits.pca_rank() == 64
+    monkeypatch.setenv("FVDB_PCA_RANK", "2")
+    assert limits.pca_rank() == 8           # floor
+    monkeypatch.setenv("FVDB_PCA_VAR", "0.1")
+    assert limits.pca_var() == 0.5          # clamp low
+    monkeypatch.setenv("FVDB_PCA_VAR", "1.5")
+    assert limits.pca_var() == 0.999        # clamp high
+    monkeypatch.setenv("FVDB_PCA_OVERSAMPLE", "1")
+    assert limits.pca_oversample() == 2     # floor
+    monkeypatch.setenv("FVDB_BEAM_EXPAND", "0")
+    assert limits.beam_expand() == 1        # floor
+    monkeypatch.setenv("FVDB_PCA_SERVE", "0")
+    assert limits.pca_serve() is False
