@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.distance import pairwise_distance
-from ..ops.kmeans import kmeans_pp_init
+from ..ops.kmeans import kmeans_scalable_init
 from ..ops.topk import masked_topk, merge_topk
 from ..utils import limits
 from ..utils.padding import round_up
@@ -301,9 +301,11 @@ def sharded_kmeans_train(
         x = np.concatenate([x, np.zeros((n_pad - n, x.shape[1]), np.float32)])
         mask = np.concatenate([mask, np.zeros(n_pad - n, bool)])
 
-    # seed from a host-side sample (cheap, single device)
+    # seed from a host-side sample (cheap, single device) — kmeans||,
+    # same as the single-chip trainer: the k-means++ lax.scan costs
+    # minutes per shape to compile on remote-compile targets
     sample_idx = np.nonzero(mask)[0][: max(n_clusters * 40, n_clusters)]
-    init = kmeans_pp_init(
+    init = kmeans_scalable_init(
         jax.random.PRNGKey(seed),
         jnp.asarray(x[sample_idx]),
         jnp.ones(len(sample_idx), bool),
