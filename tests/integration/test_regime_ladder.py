@@ -1,0 +1,98 @@
+"""Serving-regime ladder integration: one index walked through all three
+query plans (flat-exact -> reduced-rank -> pruned -> back to flat), checking
+result consistency AND that each regime releases the others' device state
+(their sum OOM'd a 5M corpus on a 16 GB chip — see index/fused.py)."""
+import numpy as np
+import pytest
+
+from fabstir_vectordb_tpu.index import (
+    FlatIndex, HybridConfig, HybridIndex, IVFConfig, SearchConfig)
+from fabstir_vectordb_tpu.utils import limits
+
+NOW = 1_700_000_000.0
+DAY = 86_400.0
+
+
+@pytest.fixture()
+def ladder_index():
+    rng = np.random.default_rng(11)
+    dim, n = 32, 3000
+    centers = rng.standard_normal((12, dim)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 12, n)]
+            + 0.1 * rng.standard_normal((n, dim)).astype(np.float32))
+    idx = HybridIndex(dim, HybridConfig(
+        ivf=IVFConfig(n_clusters=12, n_probe=12, seed=0),
+        auto_migrate=False))
+    idx.initialize(vecs[:2000])
+    ts = np.where(np.arange(n) % 3 == 0, NOW - DAY, NOW - 30 * DAY)
+    idx.insert_batch([f"v{i}" for i in range(n)], vecs, ts, now=NOW)
+    return idx, vecs
+
+
+def _top1(idx, q):
+    _, rows = idx.search_rows(q, 1, config=SearchConfig(auto_migrate=False),
+                              now=NOW)
+    return rows[:, 0]
+
+
+def test_regime_ladder_consistency_and_state_release(ladder_index,
+                                                     monkeypatch):
+    idx, vecs = ladder_index
+    q = vecs[::97] + 0.001
+    expect = np.arange(vecs.shape[0])[::97]
+
+    # flat-exact
+    monkeypatch.setattr(limits, "FLAT_THRESHOLD", 10**9)
+    monkeypatch.delenv("FVDB_FLAT_THRESHOLD", raising=False)
+    assert (_top1(idx, q) == expect).all()
+    assert idx.fused._dev is not None  # full state resident
+    assert idx.fused._proj is None
+
+    # reduced-rank (auto rank)
+    monkeypatch.setattr(limits, "FLAT_THRESHOLD", 0)
+    monkeypatch.setenv("FVDB_FLAT_THRESHOLD", "0")
+    assert (_top1(idx, q) == expect).mean() >= 0.95
+    assert idx.fused._proj is not None
+    assert idx.fused._dev is None, "full-dim state must be released"
+    assert idx.fused.serving_info()["regime"] == "reduced-rank"
+
+    # pruned
+    monkeypatch.setenv("FVDB_PCA_SERVE", "0")
+    assert (_top1(idx, q) == expect).mean() >= 0.9
+    assert idx.fused._proj is None, "projection mirror must be released"
+    assert idx.fused._dev is not None
+    assert idx.fused.serving_info()["regime"] == "pruned"
+
+    # back to flat-exact: exact again, projection still released
+    monkeypatch.setattr(limits, "FLAT_THRESHOLD", 10**9)
+    monkeypatch.delenv("FVDB_FLAT_THRESHOLD", raising=False)
+    monkeypatch.delenv("FVDB_PCA_SERVE", raising=False)
+    assert (_top1(idx, q) == expect).all()
+    assert idx.fused._proj is None
+
+    # sanity: flat == oracle
+    oracle = FlatIndex(idx.store)
+    _, orows = oracle.search_rows(q, 1)
+    np.testing.assert_array_equal(_top1(idx, q), orows[:, 0])
+
+
+def test_mutations_invalidate_every_regime(ladder_index, monkeypatch):
+    """A post-switch insert must be visible in whichever regime serves."""
+    idx, vecs = ladder_index
+    new = (vecs[0] + 0.0005).astype(np.float32)
+
+    monkeypatch.setattr(limits, "FLAT_THRESHOLD", 0)
+    monkeypatch.setenv("FVDB_FLAT_THRESHOLD", "0")
+    idx.search_rows(vecs[:1], 1, config=SearchConfig(auto_migrate=False),
+                    now=NOW)  # build projection state
+    idx.insert("fresh", new, timestamp=NOW - DAY, now=NOW)
+    _, rows = idx.search_rows(new, 1, config=SearchConfig(auto_migrate=False),
+                              now=NOW)
+    assert idx.store.id_of(int(rows[0, 0])) == "fresh"
+
+    monkeypatch.setenv("FVDB_PCA_SERVE", "0")
+    idx.insert("fresh2", (vecs[1] + 0.0005).astype(np.float32),
+               timestamp=NOW - DAY, now=NOW)
+    _, rows = idx.search_rows(vecs[1] + 0.0005, 1,
+                              config=SearchConfig(auto_migrate=False), now=NOW)
+    assert idx.store.id_of(int(rows[0, 0])) == "fresh2"
