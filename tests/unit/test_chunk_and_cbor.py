@@ -150,3 +150,64 @@ class TestChunkPartitionProperties:
             assert all(c.vector_count >= 1 for c in m.chunks)
             loaded, _ = HybridPersister(store).load_index_chunked(f"p{trial}")
             assert loaded.stats(now=1.0).total_vectors == n
+
+
+def test_cbor_fuzz_roundtrip_random_structures():
+    """Property fuzz: 200 random nested JSON-ish structures (dicts, lists,
+    strings incl. unicode, ints spanning widths, floats, bools, None,
+    bytes, f32/f64/i32/i64 ndarrays) must round-trip exactly through the
+    self-describing codec (reference parity: serde_cbor round-trips
+    arbitrary Value trees)."""
+    import numpy as np
+
+    from fabstir_vectordb_tpu.cbor.codec import dumps, loads
+
+    rng = np.random.default_rng(123)
+
+    def rand_value(depth=0):
+        kinds = ["int", "float", "str", "bool", "none", "bytes", "arr"]
+        if depth < 3:
+            kinds += ["list", "dict"] * 2
+        k = kinds[rng.integers(0, len(kinds))]
+        if k == "int":
+            return int(rng.integers(-2**62, 2**62))
+        if k == "float":
+            return float(np.float64(rng.standard_normal()))
+        if k == "str":
+            return "".join(chr(int(c)) for c in rng.integers(32, 0x2FFF, 5))
+        if k == "bool":
+            return bool(rng.integers(0, 2))
+        if k == "none":
+            return None
+        if k == "bytes":
+            return bytes(rng.integers(0, 256, int(rng.integers(0, 16)),
+                                      dtype=np.uint8))
+        if k == "arr":
+            dt = [np.float32, np.float64, np.int32, np.int64][
+                rng.integers(0, 4)]
+            return rng.integers(-100, 100, int(rng.integers(0, 8))).astype(dt)
+        if k == "list":
+            return [rand_value(depth + 1)
+                    for _ in range(int(rng.integers(0, 5)))]
+        return {f"k{j}": rand_value(depth + 1)
+                for j in range(int(rng.integers(0, 5)))}
+
+    def assert_same(a, b):
+        if isinstance(a, np.ndarray):
+            assert isinstance(b, np.ndarray), type(b)
+            assert a.dtype == b.dtype
+            np.testing.assert_array_equal(a, b)
+        elif isinstance(a, dict):
+            assert set(a) == set(b)
+            for kk in a:
+                assert_same(a[kk], b[kk])
+        elif isinstance(a, list):
+            assert isinstance(b, list) and len(a) == len(b)
+            for x, y in zip(a, b):
+                assert_same(x, y)
+        else:
+            assert a == b and type(a) is type(b), (a, b)
+
+    for _ in range(200):
+        v = rand_value()
+        assert_same(v, loads(dumps(v)))
