@@ -192,3 +192,72 @@ class TestScale:
         want = (cats == "b") & (nums >= 10) & (nums < 60)
         np.testing.assert_array_equal(m, want)
         assert dt < 0.05, f"mask took {dt*1e3:.1f}ms at 200K rows"
+
+
+def test_randomized_filters_and_rows_fuzz():
+    """Full property fuzz: BOTH the metadata rows and the filter trees are
+    random; the columnar bitmask must agree with MetadataFilter.matches on
+    every row for every generated filter (500 filters x 300 rows)."""
+    rng = np.random.default_rng(41)
+    values = ["a", "b", "c", 0, 1, 2.5, True, False, None]
+    fields = ["cat", "n", "flag", "tags", "deep.v", "ghost"]
+
+    def rand_rows(n=300):
+        rows = []
+        for _ in range(n):
+            if rng.random() < 0.06:
+                rows.append(None)
+                continue
+            meta = {}
+            if rng.random() < 0.8:
+                meta["cat"] = values[rng.integers(0, len(values))]
+            if rng.random() < 0.8:
+                meta["n"] = values[rng.integers(0, len(values))]
+            if rng.random() < 0.5:
+                meta["flag"] = bool(rng.integers(0, 2))
+            if rng.random() < 0.6:
+                meta["tags"] = [values[rng.integers(0, len(values))]
+                                for _ in range(rng.integers(0, 4))]
+            if rng.random() < 0.5:
+                meta["deep"] = {"v": values[rng.integers(0, len(values))]}
+            rows.append(meta)
+        return rows
+
+    def rand_leaf():
+        field = fields[rng.integers(0, len(fields))]
+        r = rng.random()
+        if r < 0.45:
+            return {field: values[rng.integers(0, len(values))]}
+        if r < 0.65:
+            ops = {}
+            for op in ("$gte", "$gt", "$lte", "$lt"):
+                if rng.random() < 0.4:
+                    ops[op] = float(rng.integers(-2, 5))
+            if "$gte" in ops and "$gt" in ops:
+                del ops["$gt"]  # combination is an error by spec
+            if "$lte" in ops and "$lt" in ops:
+                del ops["$lt"]
+            if not ops:
+                ops["$gte"] = 0.0
+            return {field: ops}
+        k = int(rng.integers(0, 4))
+        return {field: {"$in": [values[rng.integers(0, len(values))]
+                                for _ in range(k)]}}
+
+    def rand_filter(depth=0):
+        r = rng.random()
+        if depth < 2 and r < 0.25:
+            return {"$and": [rand_filter(depth + 1)
+                             for _ in range(rng.integers(0, 3))]}
+        if depth < 2 and r < 0.5:
+            return {"$or": [rand_filter(depth + 1)
+                            for _ in range(rng.integers(0, 3))]}
+        leaf = rand_leaf()
+        if rng.random() < 0.3:  # implicit AND of two leaves
+            leaf.update({k: v for k, v in rand_leaf().items()
+                         if k not in leaf})
+        return leaf
+
+    rows = rand_rows()
+    for _ in range(500):
+        check_equiv(rows, rand_filter())
