@@ -330,7 +330,11 @@ def create_app(config: ApiConfig | None = None,
         query = body.get("vector") or body.get("query")
         if not isinstance(query, list):
             return _error(400, "query vector is required", "INVALID_INPUT")
-        k = int(body.get("k", 10))
+        k = body.get("k", 10)
+        if not isinstance(k, int) or isinstance(k, bool) \
+                or k < 1 or k > 16_384:
+            return _error(400, f"k must be an integer in [1, 16384], got {k!r}",
+                          "INVALID_INPUT")
         options = body.get("options") or {}
         threshold = float(
             options.get("score_threshold", options.get("threshold", 0.0))

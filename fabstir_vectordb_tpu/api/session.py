@@ -225,8 +225,19 @@ class VectorDBSession:
                                     INVALID_INPUT)
             if emb is None or len(emb) == 0:
                 raise VectorDBError(f"vector for {vid!r} is empty", INVALID_INPUT)
+            try:
+                arr_v = np.asarray(emb, np.float32)
+            except (TypeError, ValueError) as e:
+                raise VectorDBError(
+                    f"vector for {vid!r} contains non-numeric values",
+                    INVALID_INPUT) from e
+            if arr_v.ndim != 1 or not np.isfinite(arr_v).all():
+                # a NaN/Inf row silently poisons every distance it touches
+                raise VectorDBError(
+                    f"vector for {vid!r} must be a flat list of finite "
+                    "numbers", INVALID_INPUT)
             ids.append(vid)
-            vecs.append(np.asarray(emb, np.float32))
+            vecs.append(arr_v)
             metas.append(v.get("metadata"))
 
         # dimension capture / enforcement
@@ -331,9 +342,21 @@ class VectorDBSession:
                 filter=options.get("filter"),
             )
         options = options or SearchOptions()
+        if not isinstance(k, (int, np.integer)) or isinstance(k, bool) \
+                or k < 1 or k > 16_384:
+            raise VectorDBError(
+                f"k must be an integer in [1, 16384], got {k!r}",
+                INVALID_INPUT)
         if self.index is None:
             return []
-        q = np.asarray(query_vector, np.float32)
+        try:
+            q = np.asarray(query_vector, np.float32)
+        except (TypeError, ValueError) as e:
+            raise VectorDBError("query vector contains non-numeric values",
+                                INVALID_INPUT) from e
+        if not np.isfinite(q).all():
+            raise VectorDBError("query vector must contain finite numbers",
+                                INVALID_INPUT)
         if q.ndim != 1 or q.shape[0] != self.dim:
             raise VectorDBError(
                 f"query dimension {q.shape} does not match index dimension {self.dim}",
@@ -388,9 +411,21 @@ class VectorDBSession:
         it serially (pipelined serving).
         """
         self._check_alive()
+        if not isinstance(k, (int, np.integer)) or isinstance(k, bool) \
+                or k < 1 or k > 16_384:
+            raise VectorDBError(
+                f"k must be an integer in [1, 16384], got {k!r}",
+                INVALID_INPUT)
         if self.index is None:
             return lambda: [[] for _ in range(len(queries))]
-        q = np.atleast_2d(np.asarray(queries, np.float32))
+        try:
+            q = np.atleast_2d(np.asarray(queries, np.float32))
+        except (TypeError, ValueError) as e:
+            raise VectorDBError("query vector contains non-numeric values",
+                                INVALID_INPUT) from e
+        if not np.isfinite(q).all():
+            raise VectorDBError("query vectors must contain finite numbers",
+                                INVALID_INPUT)
         if q.shape[1] != self.dim:
             raise VectorDBError(
                 f"query dimension {q.shape[1]} does not match index "

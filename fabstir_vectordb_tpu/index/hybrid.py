@@ -207,7 +207,9 @@ class HybridIndex:
         if recent_k == k and historical_k == k:
             from ..utils.padding import bucket
 
-            k_eff = bucket(k)
+            # clamp to capacity: lax.top_k rejects k > N (a k=16384 request
+            # against a 1K-row store must truncate, not crash)
+            k_eff = min(bucket(k), self.store.capacity)
             vals, rows = self.fused.search(
                 queries,
                 k=k_eff,
@@ -291,7 +293,7 @@ class HybridIndex:
         from ..utils.padding import bucket
 
         queries = np.atleast_2d(np.asarray(queries, np.float32))
-        k_eff = bucket(k)
+        k_eff = min(bucket(k), self.store.capacity)  # lax.top_k needs k <= N
         vals_d, rows_d, post = self.fused.search_dispatch(
             queries, k_eff, bucket(max(cfg.hnsw_ef, k)),
             cfg.ivf_n_probe or self.config.ivf.n_probe, extra_mask,

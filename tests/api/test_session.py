@@ -664,3 +664,38 @@ class TestReducedRankServing:
         s.delete_vector("doc123")
         res = s.search(inputs[123]["vector"], 3)
         assert res[0]["id"] != "doc123"
+
+
+class TestInputValidation:
+    """Hostile/edge inputs must produce typed INVALID_INPUT errors, never
+    leaked internals or silently-poisoned state (found live: k=-5 returned
+    results, k=1e9 leaked an XLA message, null in a vector stored NaN)."""
+
+    def test_k_validation(self):
+        s = make_session("kval")
+        s.add_vectors(vec_inputs(20))
+        q = [0.0] * 8
+        for bad_k in (0, -5, 2.5, True, 10**9):
+            with pytest.raises(VectorDBError) as ei:
+                s.search(q, bad_k)
+            assert ei.value.code == "INVALID_INPUT"
+        # large-but-valid k truncates instead of crashing
+        res = s.search(q, 16_384)
+        assert len(res) == 20
+
+    def test_non_finite_vectors_rejected(self):
+        s = make_session("nanval")
+        with pytest.raises(VectorDBError):
+            s.add_vectors([{"id": "a", "vector": [1.0, None, 0.0, 0.0]}])
+        with pytest.raises(VectorDBError):
+            s.add_vectors([{"id": "a", "vector": [1.0, float("nan"), 0, 0]}])
+        with pytest.raises(VectorDBError):
+            s.add_vectors([{"id": "a", "vector": [1.0, "x", 0, 0]}])
+        with pytest.raises(VectorDBError):
+            s.add_vectors([{"id": "a", "vector": [[1.0, 2.0]]}])  # nested
+        s.add_vectors([{"id": "ok", "vector": [1, 0, 0, 0]}])
+        with pytest.raises(VectorDBError):
+            s.search([1.0, float("inf"), 0, 0], 1)
+        with pytest.raises(VectorDBError):
+            s.search([1.0, "x", 0, 0], 1)
+        assert s.search([1, 0, 0, 0], 1)[0]["id"] == "ok"
