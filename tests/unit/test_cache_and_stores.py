@@ -266,3 +266,20 @@ class TestEncryptedObjectStore:
         inner.put("k", bytes(blob))
         with pytest.raises(StorageError):
             enc.get("k")
+
+
+def test_fs_store_rejects_path_traversal(tmp_path):
+    """Keys must never escape the store root (session ids and backup paths
+    flow into keys — '../' in any of them would write outside the root)."""
+    from fabstir_vectordb_tpu.core.object_store import (
+        FileSystemObjectStore, StorageError)
+
+    store = FileSystemObjectStore(str(tmp_path / "root"))
+    for key in ("../evil", "../../etc/passwd", "/etc/hostname",
+                "a/../../b", ".."):
+        with pytest.raises(StorageError):
+            store.put(key, b"x")
+        with pytest.raises((StorageError, Exception)):
+            store.get(key)
+    store.put("ok/nested/key", b"x")  # sane nesting still works
+    assert store.get("ok/nested/key") == b"x"
