@@ -190,3 +190,28 @@ def test_optimize_and_compact_clusters():
     ivf.compact_clusters()
     d, r = ivf.search_rows(vecs[:4], 1, n_probe=4)
     assert (r[:, 0] == np.arange(4)).mean() >= 0.75
+
+
+def test_cosine_and_dot_metrics_match_flat_oracle():
+    """IVF nprobe scan under cosine/dot metrics agrees with the flat oracle
+    at full probes (reference supports euclidean/cosine/angular/dot —
+    vector_ops distances; here the metric threads through centroid ranking
+    AND the list scan)."""
+    from fabstir_vectordb_tpu.index.flat import FlatIndex
+
+    rng = np.random.default_rng(9)
+    dim, n = 24, 800
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    store = VectorStore(dim)
+    rows = store.add_batch([f"v{i}" for i in range(n)], vecs)
+    ivf = IVFIndex(store, IVFConfig(n_clusters=8, n_probe=8, seed=2))
+    ivf.train(vecs)
+    ivf.insert_rows(rows)
+
+    q = vecs[:16] + 0.01
+    for metric in ("cosine", "dot"):
+        oracle = FlatIndex(store, metric=metric)
+        _, orows = oracle.search_rows(q, 5)
+        _, irows = ivf.search_rows(q, 5, n_probe=8, metric=metric)
+        top1_agree = (irows[:, 0] == orows[:, 0]).mean()
+        assert top1_agree >= 0.9, (metric, top1_agree)
