@@ -247,3 +247,13 @@ def test_beam_expand_preserves_recall(monkeypatch):
         recalls[w] = recall_at_k(truth, ids, q, 10)
     assert recalls[4] >= recalls[1] - 0.02, recalls
     assert recalls[4] >= 0.9, recalls
+
+
+def test_ef_smaller_than_k_still_returns_k():
+    """ef < k must not shrink the result set (ef clamps to >= k)."""
+    store, hnsw, vecs = build_index(n=400, dim=16, seed=21)
+    d, ids = hnsw.search_rows(vecs[:4], k=20, ef=4)
+    assert ids.shape == (4, 20)
+    assert (ids >= 0).all()
+    assert (ids[:, 0] == np.arange(4)).all()
+    assert (np.diff(d, axis=1) >= -1e-6).all()  # ascending
