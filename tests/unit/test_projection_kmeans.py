@@ -108,3 +108,31 @@ class TestScalableKMeans:
         assert res.centroids.shape == (8, 16)
         assert float(res.final_error) < 0.1
         assert bool(res.converged)
+
+
+class TestPQProperties:
+    def test_adc_equals_decoded_distance_and_dim_validation(self):
+        """ADC lookup distances must equal exact distances to the DECODED
+        vectors (that is the ADC contract); non-divisible dims rejected."""
+        import jax
+        import jax.numpy as jnp
+
+        from fabstir_vectordb_tpu.ops.quantization import (
+            pq_adc_distances, pq_adc_table, pq_decode, pq_encode, pq_train)
+
+        rng = np.random.default_rng(0)
+        key = jax.random.PRNGKey(0)
+        x = jnp.asarray(rng.standard_normal((400, 24)).astype(np.float32))
+        with pytest.raises(ValueError):
+            pq_train(key, x[:, :22], n_subspaces=8)
+
+        cb = pq_train(key, x, n_subspaces=8, n_codes=16)
+        codes = pq_encode(cb.centroids, x)
+        dec = np.asarray(pq_decode(cb.centroids, codes))
+        table = pq_adc_table(cb.centroids, x[:4])
+        d = np.asarray(pq_adc_distances(table, codes))
+        exact = ((np.asarray(x[:4])[:, None, :] - dec[None, :, :]) ** 2).sum(-1)
+        np.testing.assert_allclose(d, exact, atol=1e-4)
+        # encoding is idempotent: re-encoding decoded vectors gives same codes
+        codes2 = pq_encode(cb.centroids, jnp.asarray(dec))
+        np.testing.assert_array_equal(np.asarray(codes), np.asarray(codes2))
