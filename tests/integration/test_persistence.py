@@ -697,3 +697,33 @@ class TestCompressedBackup:
         p.restore_from_backup("s", prefix="snapshots/daily")
         idx2, _ = p.load_index_chunked("s")
         assert idx2.store.active_count == 80
+
+
+class TestLazyLoadFailure:
+    def test_missing_chunk_during_lazy_load_surfaces_error(self, rng):
+        """A chunk that vanishes between manifest read and background
+        materialization must surface as an error from wait_ready()/search,
+        not hang or silently serve zero vectors."""
+        from fabstir_vectordb_tpu.core import MemoryObjectStore
+        from fabstir_vectordb_tpu.index import HybridConfig, HybridIndex
+        from fabstir_vectordb_tpu.index.ivf import IVFConfig
+        from fabstir_vectordb_tpu.storage.persistence import HybridPersister
+
+        NOW = 1_700_000_000.0
+        vecs = rng.standard_normal((300, 16)).astype(np.float32)
+        idx = HybridIndex(16, HybridConfig(
+            ivf=IVFConfig(n_clusters=4, n_probe=4), auto_migrate=False))
+        idx.initialize(vecs)
+        idx.insert_batch([f"v{i}" for i in range(300)], vecs,
+                         np.full(300, NOW - 30 * 86400.0), now=NOW)
+        store = MemoryObjectStore()
+        p = HybridPersister(store)
+        p.save_index_chunked(idx, "s", chunk_size=100)
+
+        # delete one data chunk AFTER saving (simulates a lost object)
+        victim = [k for k in store.list_keys("s/") if "chunk-1" in k][0]
+        store.delete(victim)
+
+        loaded, _ = p.load_index_chunked("s", lazy=True)
+        with pytest.raises(Exception):
+            loaded.wait_ready(timeout=30)
