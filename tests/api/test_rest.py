@@ -417,3 +417,28 @@ async def test_statistics_reports_serving_regime(aiohttp_client, monkeypatch):
     monkeypatch.setenv("FVDB_PCA_SERVE", "0")
     body = await (await client.get("/api/v1/admin/statistics")).json()
     assert body["serving"]["regime"] == "pruned"
+
+
+async def test_malformed_query_does_not_poison_coalesced_batch(client):
+    """One wrong-dim/non-numeric query must fail ALONE: grouped dispatch
+    previously fanned its error to every request coalesced with it."""
+    import asyncio
+
+    data = await seed_data(client, n=16)
+    await client.post("/api/v1/search", json={"vector": data[0], "k": 3})
+
+    async def good(i):
+        r = await client.post("/api/v1/search",
+                              json={"vector": data[i], "k": 3})
+        return r.status
+
+    async def bad(payload):
+        r = await client.post("/api/v1/search",
+                              json={"vector": payload, "k": 3})
+        return r.status
+
+    statuses = await asyncio.gather(
+        *([good(i) for i in range(10)]
+          + [bad([1.0, 2.0]), bad([1.0, "x"] + [0.0] * 6)]))
+    assert statuses[:10] == [200] * 10
+    assert statuses[10] == 400 and statuses[11] == 400
