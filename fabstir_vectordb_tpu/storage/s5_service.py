@@ -24,7 +24,7 @@ import os
 from aiohttp import web
 
 
-def create_s5_app(fs_root: str | None = None) -> web.Application:
+def create_s5_app() -> web.Application:
     blobs: dict[str, bytes] = {}
     encryption_seen: dict[str, str] = {}
 
