@@ -171,3 +171,35 @@ def test_session_surface_flow(client):
     stats = client.session_stats()
     assert stats["vectorCount"] >= 1
     assert stats_before["vectorCount"] >= stats["vectorCount"] - 1
+
+
+def test_subscribe_updates_receives_mutation_events(client):
+    """The blocking SSE generator must deliver mutation events published by
+    other requests (reference: TS client's subscribe + stream/updates)."""
+    import queue
+    import threading
+
+    got: "queue.Queue" = queue.Queue()
+
+    def listen():
+        try:
+            for event in client.subscribe_updates():
+                got.put(event)
+                return
+        except Exception as e:  # noqa: BLE001
+            got.put(e)
+
+    t = threading.Thread(target=listen, daemon=True)
+    t.start()
+    import time as _t
+
+    deadline = _t.time() + 10
+    event = None
+    while _t.time() < deadline and event is None:
+        client.insert(f"sse-{_t.time_ns()}", vec(1))
+        try:
+            event = got.get(timeout=1.0)
+        except queue.Empty:
+            continue
+    assert isinstance(event, dict), event
+    assert event.get("type") == "insert"
