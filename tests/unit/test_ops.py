@@ -215,3 +215,23 @@ def test_serving_knob_parsing(monkeypatch):
     assert limits.beam_expand() == 1        # floor
     monkeypatch.setenv("FVDB_PCA_SERVE", "0")
     assert limits.pca_serve() is False
+
+
+def test_angular_and_ip_to_cosine_corrections():
+    """Reference vector_ops parity: inner_product_to_cosine handles zero
+    norms; angular_distance = arccos(clamped cosine) with exact values for
+    parallel / orthogonal / antiparallel pairs."""
+    import jax.numpy as jnp
+
+    from fabstir_vectordb_tpu.ops.distance import (
+        angular_distance, inner_product_to_cosine)
+
+    a = jnp.asarray([1.0, 0.0])
+    assert float(angular_distance(a, jnp.asarray([2.0, 0.0]))) == pytest.approx(0.0, abs=1e-6)
+    assert float(angular_distance(a, jnp.asarray([0.0, 3.0]))) == pytest.approx(np.pi / 2, abs=1e-6)
+    assert float(angular_distance(a, jnp.asarray([-1.0, 0.0]))) == pytest.approx(np.pi, abs=1e-6)
+    # zero-norm vector -> cosine 0 (not NaN), angular pi/2
+    z = jnp.asarray([0.0, 0.0])
+    assert float(inner_product_to_cosine(jnp.asarray(0.0), a, z)) == 0.0
+    assert float(angular_distance(a, z)) == pytest.approx(np.pi / 2, abs=1e-6)
+    assert not np.isnan(float(angular_distance(z, z)))
