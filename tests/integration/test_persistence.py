@@ -727,3 +727,52 @@ class TestLazyLoadFailure:
         loaded, _ = p.load_index_chunked("s", lazy=True)
         with pytest.raises(Exception):
             loaded.wait_ready(timeout=30)
+
+
+def test_chunk_loader_inflight_dedup_under_concurrency():
+    """Two threads loading the same UNCACHED chunk while the store is slow
+    must share one in-flight fetch (reference ChunkLoader semantics:
+    cache -> in-flight dedup -> retry)."""
+    import threading
+    import time as _t
+
+    from fabstir_vectordb_tpu.core import MemoryObjectStore
+    from fabstir_vectordb_tpu.storage.chunk_loader import ChunkLoader
+
+    idx, _ = build_hybrid(n=60)
+    store = MemoryObjectStore()
+    HybridPersister(store).save_index_chunked(idx, "s", chunk_size=60)
+    key = "s/chunks/chunk-0.cbor"
+
+    class SlowStore:
+        def __init__(self, inner):
+            self.inner = inner
+            self.gets = 0
+
+        def get(self, k):
+            self.gets += 1
+            _t.sleep(0.3)  # hold the fetch so both threads overlap
+            return self.inner.get(k)
+
+        def __getattr__(self, name):
+            return getattr(self.inner, name)
+
+    slow = SlowStore(store)
+    loader = ChunkLoader(slow)
+    results, errors = [], []
+
+    def load():
+        try:
+            results.append(loader.load_chunk(key))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=load) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(results) == 4
+    assert all(r.ids == results[0].ids for r in results)
+    assert slow.gets == 1, f"expected one shared fetch, got {slow.gets}"
