@@ -141,7 +141,9 @@ class SearchCoalescer:
                 f"dimension {sess.dim}", "INVALID_INPUT")
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
-        await self.queue.put((query, k, filter_json, fut))
+        # enqueue the validated f32 array, not the raw list: dispatch stacks
+        # ndarrays cheaply instead of re-converting every query a second time
+        await self.queue.put((q, k, filter_json, fut))
         if self._worker is None or self._worker.done():
             self._worker = asyncio.ensure_future(self._drain())
         return await fut

@@ -50,13 +50,19 @@ class FlatIndex:
         queries: np.ndarray,
         k: int,
         extra_mask: np.ndarray | None = None,
+        dtype: str | None = None,
     ):
         """Returns (distances [B, k], rows [B, k]); rows are -1 beyond matches.
 
         Euclidean distances are returned as true (non-squared) distances.
+        ``dtype`` pins the device-mirror dtype for this call; the default
+        follows the serving regime (FVDB_SERVING_DTYPE). Ground-truth
+        consumers (``recall_at_k``) pass "float32" explicitly so recall is
+        always measured against an exact baseline even when serving is
+        bf16-quantized.
         """
         queries = np.atleast_2d(np.asarray(queries, np.float32))
-        mirror = self.store.device(dtype=limits.serving_dtype())
+        mirror = self.store.device(dtype=dtype or limits.serving_dtype())
         mask = self.store.active_mask()
         if extra_mask is not None:
             mask = mask & extra_mask
@@ -97,8 +103,10 @@ def recall_at_k(
 
     Generalization of the reference's evaluate_search_quality recall
     computation (src/ivf/operations.rs:329-391) usable against any engine.
+    The oracle scan is forced to float32 so the baseline stays exact under
+    bf16 serving regimes.
     """
-    _, exact = oracle.search_rows(queries, k)
+    _, exact = oracle.search_rows(queries, k, dtype="float32")
     hits = 0
     total = 0
     for b in range(exact.shape[0]):

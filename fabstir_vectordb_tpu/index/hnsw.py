@@ -995,9 +995,13 @@ class HNSWIndex:
             # [T, C, D] gather measured at ~7 s/layer-call — the dominant
             # cost of the whole index build). Instead: gather only the real
             # (target, candidate) pairs, rank per target, and truncate to
-            # the closest width+32 before the O(C^2) heuristic — the prune
-            # keeps at most `width` scanned in ascending distance order, so
-            # the tail can affect neither the kept set nor the fill.
+            # the closest width+max(32,width) before the O(C^2) heuristic.
+            # This is an approximation: the untruncated heuristic can keep
+            # scanning past the margin when many near candidates are
+            # occluded, so a diverse far link the full algorithm would keep
+            # may be dropped for a closer occluded one. With a margin of at
+            # least 2x width that needs >width occluded closer candidates —
+            # rare outside heavily clustered data; recall effect only.
             t_over = over.size
             ov_map = np.full(t_count, -1, np.int64)
             ov_map[over] = np.arange(t_over)
@@ -1033,7 +1037,7 @@ class HNSWIndex:
                 diff = self.store.data[cand_f] - tvf[tgt_f]  # [P, D]
                 d_f = np.einsum("pd,pd->p", diff, diff)
 
-            c_trunc = width + 32
+            c_trunc = width + max(32, width)
             order_f = np.lexsort((d_f, tgt_f))  # stable: cur before extras
             tgt_s = tgt_f[order_f]
             cand_s = cand_f[order_f]

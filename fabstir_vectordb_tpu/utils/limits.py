@@ -72,6 +72,9 @@ def beam_expand() -> int:
     The layer-0 beam's while_loop is the pruned serving path's only
     sequential depth; expanding the W best unexpanded candidates per step
     cuts that depth ~W x for a few wasted neighbor gathers. Default 4.
+    Served results can differ slightly from expand=1 (W*M neighbors
+    compete for the same ef pool slots per bulk step); set 1 for strict
+    single-expansion semantics.
     """
     return max(1, int(os.environ.get("FVDB_BEAM_EXPAND", 4)))
 
