@@ -176,6 +176,93 @@ def _exports(path: Path) -> set:
     return names
 
 
+def _class_body(src: str, header_re: str, cls: str, path) -> str:
+    """Balanced-brace class body (stripped source: no strings/comments)."""
+    m = re.search(header_re, src)
+    assert m, f"{path}: class {cls} not found"
+    start = src.index("{", m.end() - 1)
+    depth = 0
+    for i in range(start, len(src)):
+        if src[i] == "{":
+            depth += 1
+        elif src[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return src[start + 1: i]
+    raise AssertionError(f"{path}: unbalanced class body for {cls}")
+
+
+def _depth1_members(body: str) -> set:
+    """Identifiers followed by '(' or '<' at class-member depth (brace
+    depth 0 within the body) — method definitions, not calls in bodies."""
+    names = set()
+    depth = 0
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch in "{([":
+            depth += 1
+        elif ch in "})]":
+            depth -= 1
+        elif depth == 0 and (ch.isalpha() or ch == "_"):
+            # skip identifiers in type position (after ':', '|', '<', ',')
+            p = i - 1
+            while p >= 0 and body[p] in " \t\n":
+                p -= 1
+            if p >= 0 and body[p] in ":|<,>":
+                j = i
+                while j < len(body) and (body[j].isalnum() or body[j] in "_$"):
+                    j += 1
+                i = j
+                continue
+            j = i
+            while j < len(body) and (body[j].isalnum() or body[j] in "_$"):
+                j += 1
+            word = body[i:j]
+            k = j
+            while k < len(body) and body[k] in " \t\n":
+                k += 1
+            if k < len(body) and body[k] in "(<":
+                names.add(word)
+            i = j
+            continue
+        i += 1
+    return names
+
+
+_MODIFIERS = {"static", "async", "get", "set", "constructor", "super",
+              "if", "for", "while", "switch", "catch", "return"}
+
+
+def _mjs_methods(path: Path, cls: str) -> set:
+    src = strip_js(path.read_text(), str(path))
+    body = _class_body(src, rf"class {cls}\b[^{{]*", cls, path)
+    return {n for n in _depth1_members(body)
+            if not n.startswith("_") and n not in _MODIFIERS}
+
+
+def _dts_methods(path: Path, cls: str) -> set:
+    src = strip_js(path.read_text(), str(path))
+    body = _class_body(src, rf"declare class {cls}\b[^{{]*", cls, path)
+    return {n for n in _depth1_members(body)
+            if not n.startswith("_") and n not in _MODIFIERS}
+
+
+@pytest.mark.parametrize("mjs,dts,cls", [
+    ("bindings/node/index.mjs", "bindings/node/index.d.ts", "VectorDBSession"),
+    ("bindings/js/client.mjs", "bindings/js/client.d.ts", "VectorDbClient"),
+    ("bindings/js/client.mjs", "bindings/js/client.d.ts", "SearchBuilder"),
+])
+def test_dts_matches_implementation(mjs, dts, cls):
+    """The shipped .d.ts is the SDK contract (reference ships generated
+    declarations, bindings/node/index.d.ts:107-242); it must not drift from
+    the implementation."""
+    impl = _mjs_methods(ROOT / mjs, cls)
+    decl = _dts_methods(ROOT / dts, cls)
+    assert decl <= impl, f"{cls}: declared but unimplemented {decl - impl}"
+    assert impl <= decl, f"{cls}: implemented but undeclared {impl - decl}"
+
+
 def test_expected_exports_present():
     """The symbols consumers import must stay exported (the wire the tests
     and reference SDK users depend on)."""
