@@ -1,27 +1,97 @@
-"""Mock Enhanced-S5 HTTP service (aiohttp).
+"""Enhanced-S5 HTTP service (aiohttp): mock and real-portal modes.
 
-Python equivalent of the reference's test S5 services
-(reference: bindings/node/services/s5-http-service.js and test-s5-server/):
-an in-memory (or filesystem-backed) blob service speaking the S5 path API
-the storage driver expects:
+Python equivalent of the reference's S5 services
+(reference: bindings/node/services/s5-http-service.js — S5_MODE mock|real —
+and test-s5-server/, the real-S5.js portal wrapper on :5522): a blob
+service speaking the S5 path API the storage driver expects:
 
-    PUT    /s5/fs/{path}      store blob (honors X-S5-Encryption header
-                              by recording the algorithm; a mock does not
-                              actually encrypt)
+    PUT    /s5/fs/{path}      store blob (honors X-S5-Encryption header)
     GET    /s5/fs/{path}      fetch blob (404 when missing)
     DELETE /s5/fs/{path}      delete blob
     GET    /s5/fs/{prefix}/?list=1   list keys under prefix (JSON)
     GET    /health            service health + stats
 
-Used by integration tests to exercise S5ObjectStore end-to-end, and runnable
-standalone: ``python -m fabstir_vectordb_tpu.storage.s5_service`` (env
-S5_PORT, default 5522, matching the reference service's port).
+Two modes (env ``S5_MODE``, default mock):
+  - ``mock``: in-memory blobs; ``X-S5-Encryption`` is recorded, not applied.
+  - ``real``: stateless proxy — every /s5/fs request is forwarded verbatim
+    (method, body, encryption header) to the upstream portal at
+    ``S5_PORTAL`` / ``S5_PORTAL_URL``, with per-request timeout
+    ``S5_CONNECTION_TIMEOUT`` (seconds, default 30 — real S5 network ops
+    take 5-10 s, reference README.md:250). This is the deployment shape of
+    the reference's docker-compose.real-s5.yml: the engine talks to this
+    service, this service talks to the S5 network.
+
+Used by integration tests to exercise S5ObjectStore end-to-end (the
+real-mode tier is gated behind ``STORAGE_MODE=real``, mirroring reference
+tests/test_s5_real_integration.rs), and runnable standalone:
+``python -m fabstir_vectordb_tpu.storage.s5_service`` (env S5_PORT,
+default 5522, matching the reference service's port).
 """
 from __future__ import annotations
 
 import os
 
+import aiohttp
 from aiohttp import web
+
+#: request headers forwarded to the upstream portal in real mode
+_FORWARD_HEADERS = ("X-S5-Encryption", "Content-Type", "Authorization")
+
+
+def create_s5_proxy_app(portal_url: str, timeout: float = 30.0) -> web.Application:
+    """Real-portal proxy: forward /s5/fs/* to ``portal_url`` unchanged."""
+    portal = portal_url.rstrip("/")
+    client_timeout = aiohttp.ClientTimeout(total=timeout)
+
+    async def _client(app: web.Application) -> None:
+        app["client"] = aiohttp.ClientSession(timeout=client_timeout)
+        yield
+        await app["client"].close()
+
+    async def proxy(request: web.Request):
+        key = request.match_info["path"]
+        url = f"{portal}/s5/fs/{key}"
+        headers = {
+            h: request.headers[h] for h in _FORWARD_HEADERS
+            if h in request.headers
+        }
+        body = await request.read() if request.method == "PUT" else None
+        try:
+            async with request.app["client"].request(
+                request.method, url, params=request.query,
+                data=body, headers=headers,
+            ) as resp:
+                payload = await resp.read()
+                return web.Response(
+                    body=payload, status=resp.status,
+                    content_type=resp.content_type,
+                )
+        except aiohttp.ClientError as e:
+            return web.json_response(
+                {"error": f"portal unreachable: {e}"}, status=502
+            )
+
+    async def health(request: web.Request):
+        upstream = "unknown"
+        try:
+            async with request.app["client"].get(
+                f"{portal}/health"
+            ) as resp:
+                upstream = "ok" if resp.status == 200 else f"http {resp.status}"
+        except aiohttp.ClientError:
+            upstream = "unreachable"
+        return web.json_response(
+            {"status": "ok", "mode": "real", "portal": portal,
+             "upstream": upstream}
+        )
+
+    app = web.Application(client_max_size=256 * 1024 * 1024)
+    app.cleanup_ctx.append(_client)
+    app.router.add_route("PUT", "/s5/fs/{path:.*}", proxy)
+    app.router.add_route("GET", "/s5/fs/{path:.*}", proxy)
+    app.router.add_route("DELETE", "/s5/fs/{path:.*}", proxy)
+    app.router.add_get("/health", health)
+    return app
 
 
 def create_s5_app() -> web.Application:
@@ -76,7 +146,15 @@ def create_s5_app() -> web.Application:
 
 def main() -> None:  # pragma: no cover
     port = int(os.environ.get("S5_PORT", "5522"))
-    web.run_app(create_s5_app(), port=port)
+    mode = os.environ.get("S5_MODE", "mock").lower()
+    if mode == "real":
+        portal = os.environ.get("S5_PORTAL") or os.environ.get("S5_PORTAL_URL")
+        if not portal:
+            raise SystemExit("S5_MODE=real requires S5_PORTAL (portal URL)")
+        timeout = float(os.environ.get("S5_CONNECTION_TIMEOUT", "30"))
+        web.run_app(create_s5_proxy_app(portal, timeout=timeout), port=port)
+    else:
+        web.run_app(create_s5_app(), port=port)
 
 
 if __name__ == "__main__":  # pragma: no cover
