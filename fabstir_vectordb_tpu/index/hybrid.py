@@ -469,10 +469,16 @@ class HybridIndex:
         }
 
     def deletion_stats(self) -> dict:
+        """Per-engine soft-deleted counts. ``total_deleted`` is the sum of
+        the engine counts — NOT ``store.deleted_count``, which includes
+        rows tombstoned by a previous vacuum (rows stay tombstoned forever
+        so adjacency indices remain stable) and would therefore never
+        return to 0 (reference parity: deleted counts reset after vacuum,
+        hybrid/core.rs:1028-1045)."""
         return {
             "hnsw_deleted": self.hnsw.deleted_count,
             "ivf_deleted": self.ivf.deleted_count,
-            "total_deleted": self.store.deleted_count,
+            "total_deleted": self.hnsw.deleted_count + self.ivf.deleted_count,
         }
 
     def get_deleted_vectors(self) -> list:

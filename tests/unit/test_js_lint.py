@@ -17,7 +17,8 @@ from pathlib import Path
 import pytest
 
 ROOT = Path(__file__).resolve().parents[2]
-MJS_FILES = sorted((ROOT / "bindings").rglob("*.mjs"))
+MJS_FILES = sorted((ROOT / "bindings").rglob("*.mjs")) + \
+    sorted((ROOT / "examples").glob("*.mjs"))
 
 # tokens that can directly precede a regex literal (otherwise `/` = divide)
 _REGEX_PRECEDERS = set("=([{,;:!&|?+-*%^~<>")
