@@ -12,8 +12,20 @@ from .sharded import (
     ShardedHNSWState,
     shard_hnsw_state,
 )
+from .persistence import (
+    save_sharded_flat,
+    load_sharded_flat,
+    save_sharded_ivf,
+    load_sharded_ivf,
+    ShardedPersistenceError,
+)
 
 __all__ = [
+    "save_sharded_flat",
+    "load_sharded_flat",
+    "save_sharded_ivf",
+    "load_sharded_ivf",
+    "ShardedPersistenceError",
     "make_mesh",
     "cpu_mesh",
     "sharded_flat_search",
