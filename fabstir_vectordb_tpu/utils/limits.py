@@ -79,6 +79,37 @@ def beam_expand() -> int:
     return max(1, int(os.environ.get("FVDB_BEAM_EXPAND", 4)))
 
 
+def bf16_rerank() -> bool:
+    """f32 re-scoring of bf16 flat-scan candidates (FVDB_BF16_RERANK).
+
+    On (default): the bf16 flat regime oversamples its top-k and re-scores
+    the candidates on device in full f32 difference form. This removes the
+    two mixed-precision ranking errors of the raw bf16 scan (bf16 query
+    rounding in the dot, and the f32-of-f32 x_sq term paired with a bf16
+    dot), which flip near-ties at multi-million scale (measured 0.965
+    recall@10 at 5M without it). Residual error is storage quantization
+    only: ranking is exact with respect to the bf16-stored rows.
+    """
+    return os.environ.get("FVDB_BF16_RERANK", "1") != "0"
+
+
+def pca_target() -> float:
+    """Recall@k target for reduced-rank auto-calibration (FVDB_PCA_TARGET,
+    default 0.99). The mirror build measures stage-1 recall on probe
+    queries and raises oversample (and, if needed, rank) until the target
+    is met."""
+    return min(1.0, max(0.5, float(os.environ.get("FVDB_PCA_TARGET", 0.99))))
+
+
+def hbm_budget_bytes() -> int:
+    """Serving HBM budget (FVDB_HBM_BUDGET_GB, default 12 GiB usable of a
+    16 GiB chip). Gates regime choices that trade HBM for speed — e.g.
+    keeping a full-dim bf16 mirror next to the reduced-rank mirror so
+    rerank runs on the MXU instead of the (1-core) host."""
+    gb = float(os.environ.get("FVDB_HBM_BUDGET_GB", 12))
+    return int(gb * (1 << 30))
+
+
 def serving_dtype() -> str:
     """Device-resident corpus dtype ("float32" | "bfloat16").
 

@@ -96,3 +96,47 @@ def test_mutations_invalidate_every_regime(ladder_index, monkeypatch):
     _, rows = idx.search_rows(vecs[1] + 0.0005, 1,
                               config=SearchConfig(auto_migrate=False), now=NOW)
     assert idx.store.id_of(int(rows[0, 0])) == "fresh2"
+
+
+def test_bf16_flat_rerank_restores_exact_ranking(monkeypatch):
+    """VERDICT r2 #3: under FVDB_SERVING_DTYPE=bfloat16 the flat regime
+    must rank near-ties exactly (f32 rerank of oversampled candidates).
+    A near-duplicate cloud makes the raw mixed-precision bf16 scan
+    misrank; the fused rerank must return the exact top-k with respect to
+    the stored rows."""
+    import ml_dtypes
+
+    rng = np.random.default_rng(3)
+    dim, n, k = 64, 4096, 10
+    base = rng.standard_normal(dim).astype(np.float32) * 2
+    vecs = (base[None, :]
+            + 0.3 * rng.standard_normal((n, dim)).astype(np.float32))
+    idx = HybridIndex(dim, HybridConfig(auto_migrate=False))
+    idx.initialize(vecs[:100])
+    idx.insert_batch([f"v{i}" for i in range(n)], vecs,
+                     np.full(n, NOW - DAY), now=NOW)
+
+    monkeypatch.setenv("FVDB_SERVING_DTYPE", "bfloat16")
+
+    q = base[None, :].astype(np.float32)
+    # oracle: exact f32 distances to the bf16-STORED rows (what the device
+    # actually holds) — rerank is exact w.r.t. these
+    stored = vecs.astype(ml_dtypes.bfloat16).astype(np.float32)
+    d_exact = ((q[:, None, :] - stored[None]) ** 2).sum(-1)[0]
+    want = set(np.argsort(d_exact, kind="stable")[:k].tolist())
+
+    monkeypatch.setenv("FVDB_BF16_RERANK", "0")
+    _, rows_raw = idx.search_rows(
+        q, k, config=SearchConfig(auto_migrate=False), now=NOW)
+    raw_hits = len(want & set(int(r) for r in rows_raw[0])) / k
+
+    idx.fused._key = None  # drop cached device state between regimes
+    monkeypatch.setenv("FVDB_BF16_RERANK", "1")
+    _, rows_rr = idx.search_rows(
+        q, k, config=SearchConfig(auto_migrate=False), now=NOW)
+    rr_hits = len(want & set(int(r) for r in rows_rr[0])) / k
+
+    assert rr_hits == 1.0, f"rerank recall {rr_hits} (raw was {raw_hits})"
+    # the raw scan must actually have been broken on this corpus, or the
+    # test proves nothing
+    assert raw_hits < 1.0, "near-tie corpus no longer trips the raw scan"
