@@ -133,6 +133,18 @@ def _flat_candidates_chunked(x, x_sq, mask, q, ef: int, n_pad: int):
     return jax.lax.fori_loop(0, n_chunks, body, init)
 
 
+@jax.jit
+def _set_member_rows(mask, rows):
+    """Scatter True at ``rows``. The pipelined build keeps the
+    link-candidate member mask device-resident and updates it with a 4 KB
+    row-index upload per batch instead of re-uploading the whole
+    [capacity] bool array (5 MB per 1024-batch at 5M rows — 24 GB of mask
+    traffic over a full build through a tunneled device). NOT donated: the
+    previous mask version is still an input of the in-flight candidate
+    program the pipeline just dispatched."""
+    return mask.at[rows].set(True)
+
+
 # Heuristic neighbor selection (Malkov & Yashunin's select_neighbors_
 # heuristic; also hnswlib getNeighborsByHeuristic2): keep candidate c only if
 # dist(c, q) < dist(c, every kept neighbor). Closest-M pruning links each node
@@ -649,24 +661,127 @@ class HNSWIndex:
     # ----------------------------------------------------------------- build
     def insert_rows(self, rows: np.ndarray, sub_batch: int | None = None) -> None:
         """Insert store rows into the graph (batched device candidate search +
-        host linking). Rows must already exist in the VectorStore."""
+        host linking). Rows must already exist in the VectorStore.
+
+        Post-bootstrap flat-link batches PIPELINE: batch i+1's device
+        candidate program dispatches (against a device-resident member mask
+        scatter-updated to include batch i) while the host links batch i —
+        device compute and host linking overlap instead of alternating
+        (VERDICT r2 #6: the 5M build was host-serial). Exact-mode candidates
+        read only vectors + member mask, never adjacency, so the overlap
+        changes no result: batch i+1 sees exactly the members it would have
+        seen serially.
+        """
         rows = np.asarray(rows, np.int64)
         if rows.size == 0:
             return
         self._ensure_capacity()
+        cfg = self.config
         pos = 0
+        pending = None  # (batch, levels, device handles) awaiting link
+        pending_n = 0
+        pending_hi = 0
+        mask_dev = None  # device member mask incl. dispatched-unlinked rows
+
+        def _flush():
+            nonlocal pending, pending_n, pending_hi
+            if pending is not None:
+                pb, pl, ph = pending
+                self._link_batch(pb, pl, self._flat_finalize(ph))
+                self._version += 1
+                pending = None
+                pending_n = 0
+                pending_hi = 0
+
         while pos < rows.size:
-            n_members = self.num_nodes
+            n_members = self.num_nodes + pending_n
             if sub_batch is not None:
                 step = sub_batch
-            elif n_members < self.config.bootstrap_threshold:
+            elif n_members < cfg.bootstrap_threshold:
                 step = max(1, n_members) if n_members else 1
-                step = min(step, self.config.bootstrap_threshold)
+                step = min(step, cfg.bootstrap_threshold)
             else:
                 step = 1024  # fixed post-bootstrap batch -> stable jit shapes
             batch = rows[pos: pos + step]
-            self._insert_batch(batch)
             pos += len(batch)
+
+            plan = None
+            if cfg.link_mode == "auto" and n_members > cfg.bootstrap_threshold:
+                plan = self._flat_plan(extra_hi=pending_hi)
+            if plan is not None and plan[0]:
+                _, n_pad, kernel = plan
+                if mask_dev is None:
+                    mask_dev = jnp.asarray(self._search_mask())
+                    if pending is not None:  # scatter in the in-flight rows
+                        mask_dev = self._scatter_members(
+                            mask_dev, pending[0])
+                levels_new = np.array(
+                    [self._sample_level() for _ in batch], np.int32)
+                handles = self._flat_dispatch(batch, mask_dev, n_pad, kernel)
+                # next dispatch must see this batch as members
+                mask_dev = self._scatter_members(mask_dev, batch)
+                _flush()  # link the previous batch while this one computes
+                pending = (batch, levels_new, handles)
+                pending_n = len(batch)
+                pending_hi = int(batch.max()) + 1
+            else:
+                _flush()
+                mask_dev = None  # serial path mutates membership host-side
+                self._insert_batch(batch)
+        _flush()
+
+    def _scatter_members(self, mask_dev, batch: np.ndarray):
+        """mask_dev with ``batch`` rows set True (4 KB upload, fixed shape)."""
+        n_real = batch.size
+        b_pad = bucket(n_real, minimum=1)
+        idx = np.empty(b_pad, np.int32)
+        idx[:n_real] = batch
+        idx[n_real:] = batch[0]  # idempotent pad
+        return _set_member_rows(mask_dev, jnp.asarray(idx))
+
+    def _flat_plan(self, extra_hi: int = 0):
+        """(flat_ok, n_pad, kernel) for the exact-matmul candidate plan.
+        ``extra_hi`` extends the member-occupied bound past rows that are
+        dispatched but not yet host-linked (pipelined build)."""
+        members = np.nonzero(self.member_mask())[0]
+        member_hi = int(members.max()) + 1 if members.size else 1
+        member_hi = max(member_hi, extra_hi)
+        n_pad = min(bucket(member_hi, minimum=1024), self.store.capacity)
+        flat_ok = n_pad <= limits.effective_flat_threshold()
+        if n_pad > _CAND_CHUNK:
+            n_pad = min(
+                ((n_pad + _CAND_CHUNK - 1) // _CAND_CHUNK) * _CAND_CHUNK,
+                self.store.capacity,
+            )
+            kernel = _flat_candidates_chunked
+        else:
+            kernel = _flat_candidates_kernel
+        return flat_ok, n_pad, kernel
+
+    def _flat_dispatch(self, batch: np.ndarray, mask_dev, n_pad: int, kernel):
+        """Dispatch the flat candidate program WITHOUT reading back."""
+        cfg = self.config
+        mirror = self.store.device(dtype=limits.serving_dtype())
+        n_real = batch.size
+        b_pad = bucket(n_real, minimum=1)
+        if b_pad > n_real:
+            batch = np.concatenate(
+                [batch, np.repeat(batch[:1], b_pad - n_real)])
+        q = jnp.asarray(self.store.data[batch])
+        vals, ids = kernel(
+            mirror.x, mirror.x_sq, mask_dev, q, cfg.ef_construction, n_pad)
+        c_sel = min(cfg.ef_construction, _HEUR_POOL)
+        keptj = heuristic_kept_kernel(
+            mirror.x, ids[:, :c_sel], vals[:, :c_sel], cfg.m0)
+        return vals, ids, keptj, c_sel
+
+    @staticmethod
+    def _flat_finalize(handles) -> dict:
+        vals, ids, keptj, c_sel = handles
+        vals, ids, kept_sl = jax.device_get((vals, ids, keptj))
+        kept = np.zeros(ids.shape, bool)
+        kept[:, :c_sel] = kept_sl
+        return {"mode": "exact", "ids": ids, "dists": vals, "kept": kept}
 
     def _insert_batch(self, batch: np.ndarray) -> None:
         cfg = self.config
