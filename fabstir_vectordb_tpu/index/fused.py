@@ -155,6 +155,21 @@ def _project_chunk(blk, mu, p):
     return ((blk.astype(jnp.float32) - mu) @ p).astype(jnp.bfloat16)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _oracle_step(blk, m, q, base, vals, rows, k: int):
+    """Running exact top-k of probe queries against one streamed bf16
+    corpus block (f32 compute): the reduced-rank calibration oracle,
+    accumulated for free during the mirror-build pass over the corpus."""
+    d = pairwise_distance(q, blk.astype(jnp.float32))
+    tv, ti = masked_topk(d, m, min(k, blk.shape[0]))
+    tr = jnp.where(ti >= 0, ti + base, -1)
+    if tv.shape[1] < k:
+        pad = k - tv.shape[1]
+        tv = jnp.pad(tv, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        tr = jnp.pad(tr, ((0, 0), (0, pad)), constant_values=-1)
+    return merge_topk(vals, rows, tv, tr, k)
+
+
 @jax.jit
 def _bf16_row_norms(xp):
     """Squared row norms of a bf16 matrix, f32 accumulation, fused (the
@@ -242,78 +257,227 @@ class FusedSearcher:
         return self._dev
 
     # rows per projection chunk: the f32 corpus may exceed HBM in this
-    # regime, so it ships as transient bf16 blocks (capacity is a power of
-    # two, so all chunks share one compiled shape)
+    # regime, so it ships as transient bf16 blocks (mirror rows are padded
+    # to _PROJ_ROW_PAD multiples, so all chunks share one compiled shape)
     _PROJ_CHUNK = 2_097_152
+    # reduced-rank mirrors pad to COUNT (in 1M-row buckets), not to the
+    # power-of-two store capacity: a 10M corpus occupies a 16.8M-row store,
+    # and capacity-sized mirrors would waste 40% of HBM (the difference
+    # between a device rerank mirror fitting at 10M or not)
+    _PROJ_ROW_PAD = 1_048_576
+    _PROBES = 128       # calibration probe queries
+    _CAL_K = 10         # recall@k the calibration targets
 
     def _proj_state(self) -> dict:
-        """Reduced-rank serving mirror: PCA fit + projected bf16 corpus.
+        """Reduced-rank serving mirror: PCA fit + projected bf16 corpus +
+        measured-recall calibration (+ optional device rerank mirror).
 
         Fit: covariance of a <=16K-row sample on device (the host has few
         cores; eigh of the [D, D] covariance is trivial host-side).
         Projection: the corpus streams through the device in bf16 chunks —
         [chunk, D] upload, one matmul, write into the resident
-        [capacity, rank] bf16 mirror — so neither host BLAS nor a full-HBM
-        f32 mirror is ever needed. Norms come from the bf16 mirror itself
-        (consistent with what stage 1 scans). Rebuilt whenever the store
-        version or rank changes.
+        [n_rows, rank] bf16 mirror — so neither host BLAS nor a full-HBM
+        f32 mirror is ever needed. The SAME streamed blocks feed a probe
+        oracle (exact top-k for _PROBES member queries), so calibration
+        costs no extra corpus pass. Calibration picks the smallest
+        oversample whose stage-1 probe recall meets limits.pca_target()
+        (VERDICT r2 #4: the fixed default served 0.861 at 1M); if even the
+        widest pool misses the target and rank was auto, rank doubles and
+        the mirror rebuilds once. When the HBM budget allows, a full-dim
+        bf16 rerank mirror is kept so stage 2 runs on the MXU instead of
+        the 1-core host. Rebuilt whenever the store version or rank
+        changes.
         """
         h = self.hybrid
-        rank = limits.pca_rank()
-        key = (h.store._version, rank)
-        if self._proj is None or self._proj_key != key:
-            self._proj = None  # release before re-upload (HBM headroom)
-            # the full-dim mirror and graph/tile device state are dead
-            # weight in this regime — free them before allocating
-            h.store.release_mirror()
-            self._dev = None
-            self._key = None
-            data = h.store.data
-            count = max(h.store.count, 1)
-            stride = max(1, count // 16_384)
-            sample = jnp.asarray(data[:count:stride])
-            mu_d = jnp.mean(sample, axis=0)
-            xc = sample - mu_d
-            cov = np.asarray(jax.device_get(xc.T @ xc), np.float64)
-            evals, evecs = np.linalg.eigh(cov)
-            if rank < 0:  # auto: smallest rank capturing pca_var() variance
-                ev = np.maximum(evals[::-1], 0.0)
-                total = ev.sum()
-                if total <= 0:
-                    rank = 32
-                else:
-                    cum = np.cumsum(ev) / total
-                    rank = int(np.searchsorted(cum, limits.pca_var()) + 1)
-                rank = int(min(max(rank, 32), 192, cov.shape[0]))
-            rank = min(rank, cov.shape[0])
+        rank_req = limits.pca_rank()
+        key = (h.store._version, rank_req)
+        if self._proj is not None and self._proj_key == key:
+            return self._proj
+        self._proj = None  # release before re-upload (HBM headroom)
+        # the full-dim mirror and graph/tile device state are dead
+        # weight in this regime — free them before allocating
+        h.store.release_mirror()
+        self._dev = None
+        self._key = None
+        data = h.store.data
+        count = max(h.store.count, 1)
+        dim = data.shape[1]
+        from ..utils.padding import round_up
+
+        n_rows = min(data.shape[0],
+                     round_up(count, self._PROJ_ROW_PAD))
+
+        stride = max(1, count // 16_384)
+        sample = jnp.asarray(data[:count:stride])
+        mu_d = jnp.mean(sample, axis=0)
+        xc = sample - mu_d
+        cov = np.asarray(jax.device_get(xc.T @ xc), np.float64)
+        evals, evecs = np.linalg.eigh(cov)
+        rank = rank_req
+        if rank < 0:  # auto: smallest rank capturing pca_var() variance
+            ev = np.maximum(evals[::-1], 0.0)
+            total = ev.sum()
+            if total <= 0:
+                rank = 32
+            else:
+                cum = np.cumsum(ev) / total
+                rank = int(np.searchsorted(cum, limits.pca_var()) + 1)
+            rank = int(min(max(rank, 32), 192, dim))
+        rank = min(rank, dim)
+
+        cap = h.store.capacity
+        members_np = h.store.active_mask() & (
+            h.hnsw.member_mask()[:cap] | h.ivf.member_mask()[:cap]
+        )
+        member_rows = np.nonzero(members_np[:count])[0]
+        if member_rows.size:
+            sel = np.linspace(
+                0, member_rows.size - 1,
+                min(self._PROBES, member_rows.size),
+            ).astype(np.int64)
+            probe_rows = member_rows[sel]
+        else:
+            probe_rows = np.zeros(0, np.int64)
+
+        oracle_rows = None
+        attempt = 0
+        while True:
             p_d = jnp.asarray(
                 np.ascontiguousarray(evecs[:, ::-1][:, :rank], np.float32)
             )
-            import ml_dtypes
+            xp, xp_sq, oracle_rows = self._build_proj_mirror(
+                data, n_rows, mu_d, p_d, members_np, probe_rows, oracle_rows
+            )
+            oversample, achieved = self._calibrate_oversample(
+                xp, xp_sq, members_np[:n_rows], data, probe_rows,
+                mu_d, p_d, oracle_rows,
+            )
+            if (achieved >= limits.pca_target() or rank_req >= 0
+                    or attempt >= 1 or rank >= dim):
+                break
+            rank = min(2 * rank, dim)  # auto-rank retry: double and rebuild
+            xp = xp_sq = None
+            attempt += 1
 
-            cap = data.shape[0]
-            # assemble host-side and upload ONCE: device-side .at[].set
-            # assembly copies the whole [cap, rank] buffer per chunk
-            xp_host = np.empty((cap, rank), ml_dtypes.bfloat16)
-            for lo in range(0, cap, self._PROJ_CHUNK):
-                blk = jnp.asarray(
-                    data[lo: lo + self._PROJ_CHUNK], jnp.bfloat16
-                )
-                xp_host[lo: lo + blk.shape[0]] = np.asarray(
-                    _project_chunk(blk, mu_d, p_d)
-                )
-                del blk
-            xp = jnp.asarray(xp_host)
-            del xp_host
-            xp_sq = _bf16_row_norms(xp)  # fused: no [N, r] f32 transient
-            self._proj = {
-                "mu": mu_d,
-                "p": p_d,
-                "xp": xp,
-                "xp_sq": xp_sq,
-            }
-            self._proj_key = key
+        # stage-2 placement: device rerank mirror when it fits the budget.
+        # In auto mode the switch also requires scale: small corpora keep
+        # the host rerank, whose distances are exact f32 (API contract:
+        # score == 1/(1+exact d)); the device mirror's distances are exact
+        # only w.r.t. the bf16-stored rows (~1e-3 relative), a trade worth
+        # making when host BLAS on 1 core becomes the serving bottleneck.
+        mode = limits.pca_rerank_mode()
+        rerank_x = None
+        if mode != "host":
+            used = n_rows * rank * 2 + n_rows * 4 + n_rows
+            need = n_rows * dim * 2
+            fits = used + need + (1 << 30) <= limits.hbm_budget_bytes()
+            big = count >= 2_000_000
+            if mode == "device" or (fits and big):
+                import ml_dtypes
+
+                rx_host = np.empty((n_rows, dim), ml_dtypes.bfloat16)
+                for lo in range(0, n_rows, self._PROJ_CHUNK):
+                    hi = min(lo + self._PROJ_CHUNK, n_rows)
+                    rx_host[lo:hi] = data[lo:hi]
+                rerank_x = jnp.asarray(rx_host)
+                del rx_host
+
+        self._proj = {
+            "mu": mu_d,
+            "p": p_d,
+            "xp": xp,
+            "xp_sq": xp_sq,
+            "n_rows": n_rows,
+            "oversample": oversample,
+            "achieved_recall": achieved,
+            "rerank_x": rerank_x,
+        }
+        self._proj_key = key
         return self._proj
+
+    def _build_proj_mirror(self, data, n_rows, mu_d, p_d, members_np,
+                           probe_rows, oracle_rows):
+        """One streaming pass: project every corpus block into the bf16
+        mirror and (first pass only) accumulate the probes' exact top-k."""
+        import ml_dtypes
+
+        rank = int(p_d.shape[1])
+        want_oracle = oracle_rows is None and probe_rows.size > 0
+        if want_oracle:
+            q_probe = jnp.asarray(data[probe_rows])
+            ovals = jnp.full((len(probe_rows), self._CAL_K + 1),
+                             jnp.inf, jnp.float32)
+            orows = jnp.full((len(probe_rows), self._CAL_K + 1),
+                             -1, jnp.int32)
+        # assemble host-side and upload ONCE: device-side .at[].set
+        # assembly copies the whole [n_rows, rank] buffer per chunk
+        xp_host = np.empty((n_rows, rank), ml_dtypes.bfloat16)
+        for lo in range(0, n_rows, self._PROJ_CHUNK):
+            hi = min(lo + self._PROJ_CHUNK, n_rows)
+            blk = jnp.asarray(data[lo:hi], jnp.bfloat16)
+            xp_host[lo:hi] = np.asarray(_project_chunk(blk, mu_d, p_d))
+            if want_oracle:
+                m = jnp.asarray(members_np[lo:hi])
+                ovals, orows = _oracle_step(
+                    blk, m, q_probe, jnp.int32(lo), ovals, orows,
+                    self._CAL_K + 1,
+                )
+            del blk
+        if want_oracle:
+            # exclude each probe's self-row, keep _CAL_K true neighbors
+            orows_np = np.asarray(orows)
+            out = np.full((len(probe_rows), self._CAL_K), -1, np.int64)
+            for j, pr in enumerate(probe_rows):
+                r = orows_np[j]
+                r = r[(r >= 0) & (r != pr)][: self._CAL_K]
+                out[j, : len(r)] = r
+            oracle_rows = out
+        xp = jnp.asarray(xp_host)
+        del xp_host
+        xp_sq = _bf16_row_norms(xp)  # fused: no [N, r] f32 transient
+        return xp, xp_sq, oracle_rows
+
+    def _calibrate_oversample(self, xp, xp_sq, members_slice, data,
+                              probe_rows, mu_d, p_d, oracle_rows):
+        """Smallest oversample meeting the recall target, measured on the
+        probe oracle with ONE wide stage-1 pool (prefix widths evaluate
+        every candidate oversample for free). Returns (oversample,
+        achieved_recall_at_chosen)."""
+        explicit = limits.pca_oversample()
+        if probe_rows.size == 0 or oracle_rows is None:
+            return (explicit or 8), 1.0
+        ov_max = int(min(1024, xp.shape[0]))
+        q = jnp.asarray(data[probe_rows])
+        qp = (q - mu_d) @ p_d
+        _, pool = flat_search_kernel(
+            xp, xp_sq, jnp.asarray(members_slice), qp, ov_max)
+        pool = np.asarray(pool)
+        want = [set(int(r) for r in row if r >= 0) for row in oracle_rows]
+        total = sum(len(w) for w in want) or 1
+
+        def recall_at(width: int) -> float:
+            hits = 0
+            for j, w in enumerate(want):
+                got = set(int(r) for r in pool[j, :width] if r >= 0)
+                hits += len(w & got)
+            return hits / total
+
+        if explicit is not None:
+            return explicit, recall_at(min(explicit * self._CAL_K, ov_max))
+        target = limits.pca_target()
+        chosen, achieved = None, 0.0
+        for factor in (4, 6, 8, 12, 16, 24, 32, 48, 64, 96):
+            width = min(factor * self._CAL_K, ov_max)
+            r = recall_at(width)
+            if r >= target:
+                chosen, achieved = factor, r
+                break
+            if width >= ov_max:
+                chosen, achieved = factor, r
+                break
+        if chosen is None:
+            chosen, achieved = 96, recall_at(ov_max)
+        return chosen, achieved
 
     def serving_info(self) -> dict:
         """Which query plan serves right now (observability: REST
@@ -332,12 +496,19 @@ class FusedSearcher:
             "effective_flat_threshold": int(limits.effective_flat_threshold()),
         }
         if regime == "reduced-rank":
-            info["pca_oversample"] = limits.pca_oversample()
             if self._proj is not None:
                 info["pca_rank"] = int(self._proj["p"].shape[1])
+                info["pca_oversample"] = (
+                    limits.pca_oversample() or self._proj["oversample"])
+                info["pca_calibrated_recall"] = round(
+                    float(self._proj["achieved_recall"]), 4)
+                info["pca_rerank"] = (
+                    "device" if self._proj["rerank_x"] is not None
+                    else "host")
             else:
                 r = limits.pca_rank()
                 info["pca_rank"] = "auto" if r < 0 else r
+                info["pca_oversample"] = limits.pca_oversample() or "auto"
         return info
 
     def _release_proj(self) -> None:
@@ -347,36 +518,47 @@ class FusedSearcher:
         self._proj = None
         self._proj_key = None
 
-    def _members_state(self):
-        """Device members mask alone (all the reduced-rank regime needs)."""
+    def _members_state(self, n_rows: int | None = None):
+        """Device members mask alone (all the reduced-rank regime needs).
+        ``n_rows`` truncates to the count-padded mirror length."""
         h = self.hybrid
-        key = self._state_key()
+        key = (self._state_key(), n_rows)
         if self._members_dev is None or self._members_key != key:
             active = h.store.active_mask()
             cap = h.store.capacity
             members = active & (
                 h.hnsw.member_mask()[:cap] | h.ivf.member_mask()[:cap]
             )
+            if n_rows is not None:
+                members = members[:n_rows]
             self._members_dev = jnp.asarray(members)
             self._members_key = key
         return self._members_dev
 
     def _projected_dispatch(self, queries_np, q, k: int,
                             extra_mask: np.ndarray | None):
-        """Stage 1 on device: exact top-(oversample*k) in PCA space."""
+        """Stage 1 on device: exact top-(oversample*k) in PCA space.
+        Stage 2 (rerank) on device when the bf16 full-dim mirror is
+        resident, else on the host from the canonical f32 rows."""
         from ..utils.padding import bucket
 
         proj = self._proj_state()
-        mask = self._members_state()
+        n_rows = proj["n_rows"]
+        mask = self._members_state(n_rows)
         if extra_mask is not None:
-            mask = mask & self._device_mask(extra_mask)
-        ov_k = min(
-            bucket(k * limits.pca_oversample()), int(proj["xp"].shape[0])
-        )
+            mask = mask & self._device_mask(
+                np.ascontiguousarray(extra_mask[:n_rows]))
+        oversample = limits.pca_oversample() or proj["oversample"]
+        ov_k = min(bucket(k * oversample), int(proj["xp"].shape[0]))
         qp = (q - proj["mu"]) @ proj["p"]  # [B, rank] on device
         vals_p, rows_p = flat_search_kernel(
             proj["xp"], proj["xp_sq"], mask, qp, ov_k
         )
+        if proj["rerank_x"] is not None:
+            # all-MXU stage 2: exact f32 re-scoring against the bf16
+            # full-dim mirror; no host work on the hot path
+            vals, rows = rerank_f32_kernel(proj["rerank_x"], q, rows_p, k)
+            return vals, rows, None
         store = self.hybrid.store
 
         def rerank(vals_np: np.ndarray, rows_np: np.ndarray):

@@ -140,3 +140,53 @@ def test_bf16_flat_rerank_restores_exact_ranking(monkeypatch):
     # the raw scan must actually have been broken on this corpus, or the
     # test proves nothing
     assert raw_hits < 1.0, "near-tie corpus no longer trips the raw scan"
+
+
+def test_reduced_rank_calibration_and_rerank_modes(monkeypatch):
+    """VERDICT r2 #4: the reduced-rank regime must pick its own operating
+    point — measured probe recall >= FVDB_PCA_TARGET — and serve stage-2
+    on device when the HBM budget allows, with host rerank giving the
+    same results."""
+    rng = np.random.default_rng(7)
+    dim, n, k = 48, 4000, 10
+    centers = rng.standard_normal((16, dim)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 16, n)]
+            + 0.25 * rng.standard_normal((n, dim)).astype(np.float32))
+    idx = HybridIndex(dim, HybridConfig(
+        ivf=IVFConfig(n_clusters=16, n_probe=16, seed=0),
+        auto_migrate=False))
+    idx.initialize(vecs[:2000])
+    idx.insert_batch([f"v{i}" for i in range(n)], vecs,
+                     np.full(n, NOW - 30 * DAY), now=NOW)
+
+    monkeypatch.setattr(limits, "FLAT_THRESHOLD", 0)
+    monkeypatch.setenv("FVDB_FLAT_THRESHOLD", "0")
+    monkeypatch.delenv("FVDB_PCA_OVERSAMPLE", raising=False)
+    monkeypatch.delenv("FVDB_PCA_RANK", raising=False)
+
+    q = vecs[rng.integers(0, n, 32)] + 0.02
+
+    # device rerank (default auto fits at this size)
+    monkeypatch.setenv("FVDB_PCA_RERANK", "device")
+    _, rows_dev = idx.search_rows(
+        q, k, config=SearchConfig(auto_migrate=False), now=NOW)
+    info = idx.fused.serving_info()
+    assert info["regime"] == "reduced-rank"
+    assert info["pca_rerank"] == "device"
+    assert info["pca_calibrated_recall"] >= limits.pca_target() - 0.05
+    assert isinstance(info["pca_oversample"], int)
+
+    # host rerank on the same state
+    idx.fused._release_proj()
+    monkeypatch.setenv("FVDB_PCA_RERANK", "host")
+    _, rows_host = idx.search_rows(
+        q, k, config=SearchConfig(auto_migrate=False), now=NOW)
+    assert idx.fused.serving_info()["pca_rerank"] == "host"
+
+    # both modes must reach the oracle recall target
+    oracle = FlatIndex(idx.store)
+    from fabstir_vectordb_tpu.index.flat import recall_at_k
+    r_dev = recall_at_k(oracle, rows_dev, q, k)
+    r_host = recall_at_k(oracle, rows_host, q, k)
+    assert r_dev >= 0.95, f"device-rerank recall {r_dev}"
+    assert r_host >= 0.95, f"host-rerank recall {r_host}"

@@ -197,9 +197,11 @@ def test_serving_knob_parsing(monkeypatch):
         monkeypatch.delenv(var, raising=False)
     assert limits.pca_rank() == -1          # auto by default
     assert limits.pca_var() == 0.9
-    assert limits.pca_oversample() == 8
+    assert limits.pca_oversample() is None  # auto: calibrated at build
     assert limits.beam_expand() == 4
     assert limits.pca_serve() is True
+    assert limits.pca_rerank_mode() == "auto"
+    assert limits.pca_target() == 0.99
 
     monkeypatch.setenv("FVDB_PCA_RANK", "64")
     assert limits.pca_rank() == 64
