@@ -51,9 +51,13 @@ def build_index(n, dim, rng, recent_frac=0.10, n_centers=1024):
     from fabstir_vectordb_tpu.index import HybridConfig, HybridIndex, IVFConfig
 
     t0 = time.perf_counter()
-    centers = rng.standard_normal((n_centers, dim)).astype(np.float32)
+    centers = rng.standard_normal((n_centers, dim), dtype=np.float32)
     assign = rng.integers(0, n_centers, n)
-    vecs = centers[assign] + 0.35 * rng.standard_normal((n, dim)).astype(np.float32)
+    # f32 generation + in-place ops: the f64 draw + astype + gather-add
+    # chain was 97 s at 1M on the 1-core host
+    vecs = rng.standard_normal((n, dim), dtype=np.float32)
+    vecs *= 0.35
+    vecs += centers[assign]
     log(f"data generated: {n}x{dim} ({n_centers} clusters) "
         f"in {time.perf_counter()-t0:.1f}s")
 
@@ -150,6 +154,200 @@ def bench_scale(n, dim, k, n_queries, rng, recent_frac, tag):
     return idx, vecs, queries, cfg, p50, qps, qps_pipe
 
 
+def measure_device_p50(idx, queries, k, tag):
+    """Pure device latency: M sequential single-query searches inside ONE
+    jitted program (lax.scan), total/M. Isolates device time from the
+    ~28 ms tunnel RTT that dominates per-call p50 through a remote device
+    (VERDICT r2 weak #1: the sub-5 ms north star needs a committed
+    device-time artifact, not prose)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from fabstir_vectordb_tpu.ops.distance import pairwise_distance
+    from fabstir_vectordb_tpu.ops.topk import masked_topk
+
+    dev = idx.fused._device_state()
+    x, x_sq, mask = dev["x"], dev["x_sq"], dev["members"]
+
+    @partial(jax.jit, static_argnames=("k",))
+    def scan_search(x, x_sq, mask, qs, k: int):
+        compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+        def body(c, q):
+            d = pairwise_distance(
+                q[None], x, x_sq=x_sq, compute_dtype=compute)
+            dv, dr = masked_topk(d, mask, k)
+            return c, (dv[0], dr[0])
+        _, out = jax.lax.scan(body, 0, qs)
+        return out
+
+    m = min(100, queries.shape[0])
+    qs = jnp.asarray(queries[:m])
+    out = scan_search(x, x_sq, mask, qs, k)
+    jax.block_until_ready(out)  # compile + first run
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = scan_search(x, x_sq, mask, qs, k)
+    jax.block_until_ready(out)
+    per = (time.perf_counter() - t0) / reps / m * 1e3
+    log(f"device-only per-query latency {tag}: {per:.3f} ms "
+        f"(scan of {m} sequential searches x {reps} reps)")
+    return per
+
+
+def bench_cold_serve(idx, tag):
+    """Serve-ready time of a warm restart: persist the index to a
+    filesystem store, drop every device buffer AND jax's in-memory
+    executable cache (``jax.clear_caches()`` — so compiles go through the
+    PERSISTENT cache exactly like a fresh process), then time
+    load + prewarm + first answered query. Measured in-process because a
+    second concurrent device client is not safe on a tunneled single
+    chip. VERDICT r2 #5: budget cold start (process/runtime init is
+    environment cost, not index cost, and is excluded)."""
+    import gc
+    import shutil
+    import tempfile
+
+    import jax
+
+    from fabstir_vectordb_tpu.core.object_store import FileSystemObjectStore
+    from fabstir_vectordb_tpu.storage.persistence import HybridPersister
+
+    root = tempfile.mkdtemp(prefix="fvdb_cold_")
+    try:
+        store = FileSystemObjectStore(root)
+        t0 = time.perf_counter()
+        HybridPersister(store).save_index_chunked(idx, "cold")
+        log(f"save for cold-serve test ({tag}): "
+            f"{time.perf_counter()-t0:.1f}s")
+
+        # drop all warm state: device mirrors, fused caches, compiled fns
+        idx.store.release_mirror()
+        idx.fused._dev = None
+        idx.fused._key = None
+        idx.fused._release_proj()
+        gc.collect()
+        jax.clear_caches()
+
+        t0 = time.perf_counter()
+        idx2, _manifest = HybridPersister(store).load_index_chunked(
+            "cold", lazy=False)
+        t_load = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        idx2.fused.prewarm()
+        idx2.search_rows(np.zeros((1, idx2.store.dim), np.float32), 10)
+        t_serve = time.perf_counter() - t0
+        log(f"cold serve-ready {tag}: load={t_load:.2f}s "
+            f"prewarm+first-search={t_serve:.2f}s")
+        # free the duplicate before returning to the caller's index
+        idx2.store.release_mirror()
+        del idx2
+        gc.collect()
+        return t_load + t_serve
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_10m(dim, k, rng):
+    """Beyond-bf16-residency serving, end-to-end at 10M x 384 (VERDICT r2
+    #1 — the regime the reduced-rank machinery exists for). The corpus
+    pads to a 16.8M-row store (past the 8,388,608-row bf16 flat boundary);
+    serving runs the reduced-rank ladder: PCA stage-1 over a count-padded
+    bf16 mirror + f32 rerank (on device when the HBM budget fits). Recall
+    is measured against a streamed exact-f32 oracle (TieredFlatSearcher).
+    Index state is constructed directly (device-assigned IVF membership),
+    like the reference's scale tests (reference:
+    tests/integration/large_dataset_tests.rs:41-130)."""
+    import jax.numpy as jnp
+
+    from fabstir_vectordb_tpu.index import (
+        HybridConfig, HybridIndex, IVFConfig, SearchConfig)
+    from fabstir_vectordb_tpu.index.tiered import TieredFlatSearcher
+    from fabstir_vectordb_tpu.ops.kmeans import assign_clusters
+
+    n = int(os.environ.get("FVDB_BENCH_10M_N", 10_000_000))
+    n_centers = 4096
+    blk_rows = 1_048_576
+
+    t0 = time.perf_counter()
+    centers = rng.standard_normal((n_centers, dim), dtype=np.float32)
+    idx = HybridIndex(dim, HybridConfig(
+        ivf=IVFConfig(n_clusters=256, n_probe=16, train_size=10_000, seed=0),
+        auto_migrate=False))
+    store = idx.store
+    ids = [f"v{i}" for i in range(n)]
+    rows = store.register_rows(ids, timestamps=NOW - 30 * DAY)
+    log(f"registered {n} rows (capacity {store.capacity}) "
+        f"in {time.perf_counter()-t0:.1f}s")
+
+    trained = False
+    cj = None
+    t0 = time.perf_counter()
+    for lo in range(0, n, blk_rows):
+        hi = min(lo + blk_rows, n)
+        block = rng.standard_normal((hi - lo, dim), dtype=np.float32)
+        block *= 0.35
+        block += centers[rng.integers(0, n_centers, hi - lo)]
+        store.fill_rows(lo, block)
+        if not trained:
+            idx.initialize(block[:10_000])
+            cj = jnp.asarray(idx.ivf.centroids)
+            trained = True
+        # direct IVF state construction: device-assign this block
+        idx.ivf._ensure_capacity()
+        assign, _ = assign_clusters(jnp.asarray(block), cj)
+        idx.ivf.assignments[lo:hi] = np.asarray(assign, np.int32)
+        del block
+    store.bump_version()
+    idx.ivf._version += 1
+    log(f"generated + filled + device-assigned {n} rows "
+        f"in {time.perf_counter()-t0:.1f}s")
+
+    cfg = SearchConfig(auto_migrate=False)
+    n_q = 100
+    seeds = rng.integers(0, n, n_q)
+    queries = store.data[seeds] + 0.1 * rng.standard_normal(
+        (n_q, dim), dtype=np.float32)
+
+    t0 = time.perf_counter()
+    idx.search_rows(queries[0], k, config=cfg, now=NOW)
+    log(f"10M mirror build + calibration + first search: "
+        f"{time.perf_counter()-t0:.1f}s")
+    log(f"serving info: {idx.fused.serving_info()}")
+
+    p50 = measure_p50(idx, queries, k, cfg, "beyond-flat 10m")
+    qps, qps_pipe = measure_qps(idx, rng, dim, k, cfg, reps=5)
+
+    # recall vs streamed exact-f32 oracle (one pass over the host corpus)
+    sample = queries[:32]
+    _, got_rows = idx.search_rows(sample, k, config=cfg, now=NOW)
+    cap = store.capacity
+    members = store.active_mask()[:n] & (
+        idx.hnsw.member_mask()[:cap][:n] | idx.ivf.member_mask()[:cap][:n])
+    t0 = time.perf_counter()
+    oracle = TieredFlatSearcher(store.data[:n], members)
+    _, exact_rows = oracle.search(sample, k)
+    log(f"exact streamed oracle pass: {time.perf_counter()-t0:.1f}s")
+    hits = total = 0
+    for b in range(sample.shape[0]):
+        truth = set(int(r) for r in exact_rows[b] if r >= 0)
+        got = set(int(r) for r in got_rows[b] if r >= 0)
+        hits += len(truth & got)
+        total += len(truth)
+    rec = hits / max(total, 1)
+    log(f"recall@{k} vs exact f32 at 10M: {rec:.3f}")
+
+    emit(f"scale_beyond_flat_p50_{n//1000}k_{dim}d_k{k}", p50, "ms",
+         BASELINE_MS / p50)
+    emit(f"scale_beyond_flat_qps_{n//1000}k_{dim}d_k{k}", qps, "qps",
+         qps / BASELINE_QPS)
+    emit(f"scale_beyond_flat_recall_{n//1000}k_{dim}d_k{k}", rec, "recall@10",
+         rec / 1.0)
+    del idx, store, queries
+
+
 def bench_filtered(idx, vecs, queries, cfg, k, tag):
     """Filtered p50 via the columnar bitmask path (10% selectivity)."""
     from fabstir_vectordb_tpu.core.columnar import ColumnarMetadata
@@ -223,6 +421,26 @@ def main() -> None:
         emit(f"pipelined_qps_1000k_{dim}d_k{k}", qpipe_1m, "qps",
              qpipe_1m / BASELINE_QPS)
 
+        # ---- device-only p50 (the north-star artifact) ----
+        try:
+            dev_p50 = measure_device_p50(idx, queries, k, "1m")
+            emit(f"device_p50_1000k_{dim}d_k{k}", dev_p50, "ms",
+                 BASELINE_MS / dev_p50)
+        except Exception as e:  # noqa: BLE001
+            log(f"device p50 failed: {e}")
+
+        # ---- cold serve-ready from a fresh process ----
+        if os.environ.get("FVDB_BENCH_SKIP_COLD", "0") != "1":
+            try:
+                cold = bench_cold_serve(idx, "1m")
+                if cold is not None:
+                    # reference full cold path ~1.685 s (685 ms load +
+                    # ~1 s cold search, BASELINE.md)
+                    emit(f"cold_serve_ready_1000k_{dim}d", cold, "s",
+                         1.685 / cold)
+            except Exception as e:  # noqa: BLE001
+                log(f"cold-serve bench failed: {e}")
+
         # ---- phase 2b: reduced-rank regime on the same 1M index ----
         # (the beyond-bf16-residency plan: PCA-96 stage-1 + exact rerank;
         # forced here by dropping the threshold so the driver artifact
@@ -249,6 +467,18 @@ def main() -> None:
                 os.environ.pop("FVDB_FLAT_THRESHOLD", None)
                 idx.fused._key = None
         del idx, vecs, queries
+
+    # ---- phase 3: 10M beyond bf16 residency ----
+    if (os.environ.get("FVDB_BENCH_SKIP_10M", "0") != "1"
+            and n1 <= 500_000
+            and os.environ.get("FVDB_BENCH_SKIP_1M", "0") != "1"):
+        try:
+            bench_10m(dim, k, rng)
+        except Exception as e:  # noqa: BLE001
+            log(f"10M phase failed: {e}")
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
 
     # headline LAST (driver parses the final JSON line; key matches round 1)
     emit(f"warm_search_p50_{n1//1000}k_{dim}d_k{k}", p50_100k, "ms",

@@ -477,6 +477,11 @@ def create_app(config: ApiConfig | None = None,
                             body.get("options"))
         except VectorDBError as e:
             return _error(_err_status(e), e.message, e.code)
+        if os.environ.get("FVDB_PREWARM", "1") != "0":
+            # serve-ready before the response returns: upload + compile now
+            # instead of on the first query (cold first search was 5 s at
+            # 1M when both were lazy)
+            await state.run(state.session.prewarm)
         stats = await state.run(state.session.get_stats)
         return web.json_response({"cid": cid, "loaded": stats.vector_count})
 
@@ -612,4 +617,15 @@ def create_app(config: ApiConfig | None = None,
 
     app.middlewares.append(cors_middleware)
     app.middlewares.append(error_middleware)
+
+    async def _startup_prewarm(app: web.Application):
+        """Serve-ready at listen time: if an index already exists (restored
+        state / preloaded store), upload + compile before the first
+        request. FVDB_PREWARM=0 disables."""
+        if os.environ.get("FVDB_PREWARM", "1") != "0" \
+                and state.session.index is not None:
+            secs = await state.run(state.session.prewarm)
+            log.info("prewarm: serving state ready in %.2fs", secs)
+
+    app.on_startup.append(_startup_prewarm)
     return app

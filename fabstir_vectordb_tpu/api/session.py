@@ -716,6 +716,16 @@ class VectorDBSession:
             return {}
 
     # ----------------------------------------------------------------- misc
+    def prewarm(self) -> float:
+        """Upload device state and compile+run the serving program on a
+        dummy query, so the first real request pays neither the corpus
+        upload nor a cache-miss compile. Returns seconds spent; no-op
+        (0.0) before any index exists."""
+        self._check_alive()
+        if self.index is None:
+            return 0.0
+        return self.index.fused.prewarm()
+
     def get_stats(self) -> SessionStats:
         self._check_alive()
         if self.index is None:

@@ -591,6 +591,22 @@ class FusedSearcher:
 
         return vals_p, rows_p, rerank
 
+    def prewarm(self, k: int = 10) -> float:
+        """Build the active regime's device state and compile+run its query
+        program on a dummy query — so the first REAL request pays neither
+        the corpus upload nor a (cache-miss) compile. Servers call this at
+        startup (VERDICT r2 weak #5: first search was 5 s at 1M because
+        upload+compile were lazy). Returns seconds spent."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        dummy = np.zeros((1, self.hybrid.store.dim), np.float32)
+        vals, rows, post = self.search_dispatch(dummy, k, ef=50, n_probe=16)
+        vals, rows = jax.device_get((vals, rows))
+        if post is not None:
+            post(vals, rows)
+        return _time.perf_counter() - t0
+
     def search_dispatch(
         self,
         queries: np.ndarray,
