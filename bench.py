@@ -78,8 +78,10 @@ def build_index(n, dim, rng, recent_frac=0.10, n_centers=1024):
     ts[:n_recent] = NOW - DAY
     t0 = time.perf_counter()
     idx.insert_batch(ids, vecs, ts, now=NOW)
+    build_s = time.perf_counter() - t0
     log(f"insert+build ({n_recent} HNSW / {n - n_recent} IVF) "
-        f"in {time.perf_counter()-t0:.1f}s")
+        f"in {build_s:.1f}s ({n / build_s:,.0f} vectors/s)")
+    idx.bench_ingest_qps = n / build_s  # read by main() for the metric
     return idx, vecs
 
 
@@ -420,6 +422,9 @@ def main() -> None:
              qps_1m / BASELINE_QPS)
         emit(f"pipelined_qps_1000k_{dim}d_k{k}", qpipe_1m, "qps",
              qpipe_1m / BASELINE_QPS)
+        # reference has no ingest-rate number — vs_baseline 1.0 sets the bar
+        emit(f"ingest_qps_1000k_{dim}d", idx.bench_ingest_qps,
+             "vectors/s", 1.0)
 
         # ---- device-only p50 (the north-star artifact) ----
         try:

@@ -77,7 +77,7 @@ class AppState:
             VectorDBConfig(session_id=config.session_id), store
         )
         self.executor = ThreadPoolExecutor(max_workers=1)  # serialize engine ops
-        self.subscribers: list[asyncio.Queue] = []
+        self.subscribers: list[_Subscriber] = []
         self.coalescer = SearchCoalescer(self)
 
     async def run(self, fn, *args):
@@ -85,11 +85,36 @@ class AppState:
         return await loop.run_in_executor(self.executor, fn, *args)
 
     def publish(self, event: dict) -> None:
-        for q in list(self.subscribers):
+        """Fan a mutation event to every feed subscriber. Slow-consumer
+        policy (the reference stubs these endpoints, rest.rs:679-738, so
+        this build defines the contract): a full subscriber queue DROPS
+        the event for that subscriber only, and the subscriber is told —
+        its next delivered message is preceded by
+        ``{"type": "lagged", "dropped": N}`` so clients can resync instead
+        of silently missing mutations. The connection itself stays up;
+        fast consumers never lose events (queue depth 256)."""
+        for sub in list(self.subscribers):
             try:
-                q.put_nowait(event)
+                sub.queue.put_nowait(event)
             except asyncio.QueueFull:
-                pass
+                sub.dropped += 1
+
+
+class _Subscriber:
+    __slots__ = ("queue", "dropped")
+
+    def __init__(self):
+        self.queue: asyncio.Queue = asyncio.Queue(maxsize=256)
+        self.dropped = 0
+
+    async def next_events(self) -> list:
+        """Next event(s) to deliver: a lagged marker first if this
+        consumer overflowed since its last read."""
+        event = await self.queue.get()
+        if self.dropped:
+            n, self.dropped = self.dropped, 0
+            return [{"type": "lagged", "dropped": n}, event]
+        return [event]
 
 
 class SearchCoalescer:
@@ -383,7 +408,10 @@ def create_app(config: ApiConfig | None = None,
 
     async def statistics(request: web.Request):
         if state.session.index is None:
-            return web.json_response({"initialized": False})
+            return web.json_response({
+                "initialized": False,
+                "stream": {"subscribers": len(state.subscribers)},
+            })
         stats = await state.run(state.session.get_stats)
         perf = state.session.monitor.stats()
         return web.json_response(
@@ -395,6 +423,7 @@ def create_app(config: ApiConfig | None = None,
                     "requests": state.coalescer.requests,
                     "dispatches": state.coalescer.dispatches,
                 },
+                "stream": {"subscribers": len(state.subscribers)},
                 "serving": state.session.index.fused.serving_info(),
             }
         )
@@ -516,30 +545,30 @@ def create_app(config: ApiConfig | None = None,
             }
         )
         await resp.prepare(request)
-        q: asyncio.Queue = asyncio.Queue(maxsize=256)
-        state.subscribers.append(q)
+        sub = _Subscriber()
+        state.subscribers.append(sub)
         try:
             while True:
-                event = await q.get()
-                payload = f"data: {json.dumps(event)}\n\n"
-                await resp.write(payload.encode())
+                for event in await sub.next_events():
+                    payload = f"data: {json.dumps(event)}\n\n"
+                    await resp.write(payload.encode())
         except (ConnectionResetError, asyncio.CancelledError):
-            pass
+            pass  # client went away mid-stream: unsubscribe below
         finally:
-            if q in state.subscribers:
-                state.subscribers.remove(q)
+            if sub in state.subscribers:
+                state.subscribers.remove(sub)
         return resp
 
     async def websocket(request: web.Request):
         ws = web.WebSocketResponse()
         await ws.prepare(request)
-        q: asyncio.Queue = asyncio.Queue(maxsize=256)
-        state.subscribers.append(q)
+        sub = _Subscriber()
+        state.subscribers.append(sub)
 
         async def pusher():
             while True:
-                event = await q.get()
-                await ws.send_json(event)
+                for event in await sub.next_events():
+                    await ws.send_json(event)
 
         task = asyncio.ensure_future(pusher())
         try:
@@ -551,8 +580,8 @@ def create_app(config: ApiConfig | None = None,
                     break
         finally:
             task.cancel()
-            if q in state.subscribers:
-                state.subscribers.remove(q)
+            if sub in state.subscribers:
+                state.subscribers.remove(sub)
         return ws
 
     # --------------------------------------------------------------- routes
