@@ -447,11 +447,17 @@ class FusedSearcher:
         if probe_rows.size == 0 or oracle_rows is None:
             return (explicit or 8), 1.0
         ov_max = int(min(1024, xp.shape[0]))
-        q = jnp.asarray(data[probe_rows])
-        qp = (q - mu_d) @ p_d
-        _, pool = flat_search_kernel(
-            xp, xp_sq, jnp.asarray(members_slice), qp, ov_max)
-        pool = np.asarray(pool)
+        mask_dev = jnp.asarray(members_slice)
+        # probe sub-batches bound the [B, N] distance matrix: 128 probes
+        # at once over a 10.5M-row mirror is a 5.4 GB transient that
+        # crashed the TPU worker next to the resident state
+        pools = []
+        for lo in range(0, len(probe_rows), 16):
+            q = jnp.asarray(data[probe_rows[lo: lo + 16]])
+            qp = (q - mu_d) @ p_d
+            _, pool_d = flat_search_kernel(xp, xp_sq, mask_dev, qp, ov_max)
+            pools.append(np.asarray(pool_d))
+        pool = np.concatenate(pools, axis=0)
         want = [set(int(r) for r in row if r >= 0) for row in oracle_rows]
         total = sum(len(w) for w in want) or 1
 
