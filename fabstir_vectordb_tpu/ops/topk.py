@@ -17,46 +17,25 @@ import jax.numpy as jnp
 INF = jnp.float32(jnp.inf)
 
 
-# Row-tile width for the two-level exact top-k. lax.top_k lowers to a
-# full O(N log N) sort per row on TPU — measured 31 ms for ONE query over
-# 1M rows, the whole serving budget. Per-tile top-k runs B*T independent
-# small sorts in parallel, and the final top-k scans only T*k candidates;
-# the global top-k is a subset of the union of per-tile top-k, so the
-# result is EXACT, not approximate.
-_TOPK_TILE = 2048
-
-
 @partial(jax.jit, static_argnames=("k",))
 def masked_topk(dists: jax.Array, mask: jax.Array, k: int):
     """Exact top-k smallest distances where mask is True.
 
     dists: [B, N] f32; mask: [N] or [B, N] bool.
     Returns (vals [B, k] f32 with +inf padding, idx [B, k] int32 with -1 padding).
-    Wide rows use the two-level tile reduction (see _TOPK_TILE); narrow
-    rows and large k fall through to plain lax.top_k.
+
+    Plain ``lax.top_k`` deliberately: XLA's TPU TopK lowering is already
+    a partial selection, not a full sort. A two-level tiled reduction
+    (per-2048-tile top-k lanes + candidate merge) was measured on a v5e
+    at 1M x 384: tied at B=1 (7.2 vs 7.0 ms) and 4x SLOWER at B=128
+    (61.8 vs 15.5 ms incl. the distance matmul) — the [B, T, tile]
+    relayout costs more than the selection saves, so it was removed.
     """
     if mask.ndim == 1:
         mask = mask[None, :]
     masked = jnp.where(mask, dists, INF)
-    b, n = masked.shape
-    if n >= 4 * _TOPK_TILE and k <= _TOPK_TILE:
-        t = (n + _TOPK_TILE - 1) // _TOPK_TILE
-        pad = t * _TOPK_TILE - n
-        if pad:
-            masked = jnp.pad(
-                masked, ((0, 0), (0, pad)), constant_values=jnp.inf)
-        tiles = masked.reshape(b, t, _TOPK_TILE)
-        neg, tidx = jax.lax.top_k(-tiles, k)  # [B, T, k] parallel lanes
-        cand_vals = (-neg).reshape(b, t * k)
-        cand_idx = (
-            tidx + (jnp.arange(t, dtype=jnp.int32) * _TOPK_TILE)[None, :, None]
-        ).reshape(b, t * k)
-        neg2, pos = jax.lax.top_k(-cand_vals, k)
-        vals = -neg2
-        idx = jnp.take_along_axis(cand_idx, pos, axis=1)
-    else:
-        neg_vals, idx = jax.lax.top_k(-masked, k)
-        vals = -neg_vals
+    neg_vals, idx = jax.lax.top_k(-masked, k)
+    vals = -neg_vals
     valid = jnp.isfinite(vals)
     return jnp.where(valid, vals, INF), jnp.where(valid, idx, -1).astype(jnp.int32)
 
