@@ -175,7 +175,16 @@ def main() -> None:
     log(f"effective flat threshold {eff} -> "
         f"{'flat-exact' if flat_now else 'pruned'} serving at this scale")
     if flat_now:
+        # with f32 rerank (default): exact near-tie ranking on bf16 mirrors
         measure("flat-exact", args.efs[0], args.probes[0])
+        if limits.serving_dtype() == "bfloat16":
+            # control: raw bf16 scan — quantifies the rerank's recall gain
+            # and its QPS cost (VERDICT r2 #3: target recall 1.000 at <=5%)
+            os.environ["FVDB_BF16_RERANK"] = "0"
+            try:
+                measure("flat-no-rerank", args.efs[0], args.probes[0])
+            finally:
+                os.environ.pop("FVDB_BF16_RERANK", None)
 
     # --- regime 2: reduced-rank serving (PCA stage-1 + exact rerank) —
     # the DEFAULT plan past bf16 residency: matmul-bound, 4x less HBM ---
