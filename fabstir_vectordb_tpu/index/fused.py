@@ -59,6 +59,24 @@ def flat_search_kernel(x, x_sq, mask, q, k: int):
     return masked_topk(d, mask, k)
 
 
+@partial(jax.jit, static_argnames=("ov_k",))
+def stage1_select_kernel(xp, xp_sq, mask, qp, ov_k: int):
+    """Reduced-rank stage 1: distances over the projected mirror + WIDE
+    approximate selection (``lax.approx_min_k``, the TPU-KNN design —
+    arXiv:2206.14286). lax.top_k at candidate widths (k≈1024) lowers to a
+    FULL SORT on TPU — measured: three 5 GB [16384, 81920] sort
+    temporaries for a [128, 10.5M] pool, an instant HBM OOM — while
+    approx_min_k is the O(N) hardware-native selection. The slight recall
+    slack is absorbed by the oversample calibration, which measures this
+    exact kernel end-to-end and widens the pool until the target holds.
+    """
+    compute = jnp.bfloat16 if xp.dtype == jnp.bfloat16 else jnp.float32
+    d = pairwise_distance(qp, xp, x_sq=xp_sq, compute_dtype=compute)
+    from ..ops.topk import masked_approx_topk
+
+    return masked_approx_topk(d, mask, ov_k, recall_target=0.95)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def rerank_f32_kernel(x, q, rows, k: int):
     """Gather candidate rows and re-score in full f32 (difference form).
@@ -448,14 +466,15 @@ class FusedSearcher:
             return (explicit or 8), 1.0
         ov_max = int(min(1024, xp.shape[0]))
         mask_dev = jnp.asarray(members_slice)
-        # probe sub-batches bound the [B, N] distance matrix: 128 probes
-        # at once over a 10.5M-row mirror is a 5.4 GB transient that
-        # crashed the TPU worker next to the resident state
+        # calibrate the SERVING selection kernel (approx stage-1), in probe
+        # sub-batches that bound the [B, N] distance matrix: 128 probes at
+        # once over a 10.5M-row mirror is a 5.4 GB transient that crashed
+        # the TPU worker next to the resident state
         pools = []
         for lo in range(0, len(probe_rows), 16):
             q = jnp.asarray(data[probe_rows[lo: lo + 16]])
             qp = (q - mu_d) @ p_d
-            _, pool_d = flat_search_kernel(xp, xp_sq, mask_dev, qp, ov_max)
+            _, pool_d = stage1_select_kernel(xp, xp_sq, mask_dev, qp, ov_max)
             pools.append(np.asarray(pool_d))
         pool = np.concatenate(pools, axis=0)
         want = [set(int(r) for r in row if r >= 0) for row in oracle_rows]
@@ -557,9 +576,25 @@ class FusedSearcher:
         oversample = limits.pca_oversample() or proj["oversample"]
         ov_k = min(bucket(k * oversample), int(proj["xp"].shape[0]))
         qp = (q - proj["mu"]) @ proj["p"]  # [B, rank] on device
-        vals_p, rows_p = flat_search_kernel(
-            proj["xp"], proj["xp_sq"], mask, qp, ov_k
-        )
+        # chunk the query batch so the [B, N] stage-1 distance transient
+        # stays bounded (B=512 over 10.5M rows is a 21.5 GB allocation)
+        b = int(qp.shape[0])
+        b_sub = max(1, min(b, (4 << 30) // max(n_rows * 4, 1)))
+        # power-of-two sub-batch: callers pad B to a power of two, so the
+        # chunks all share one compiled shape
+        b_sub = 1 << (b_sub.bit_length() - 1)
+        if b <= b_sub:
+            vals_p, rows_p = stage1_select_kernel(
+                proj["xp"], proj["xp_sq"], mask, qp, ov_k)
+        else:
+            parts = [
+                stage1_select_kernel(
+                    proj["xp"], proj["xp_sq"], mask, qp[lo: lo + b_sub],
+                    ov_k)
+                for lo in range(0, b, b_sub)
+            ]
+            vals_p = jnp.concatenate([p[0] for p in parts], axis=0)
+            rows_p = jnp.concatenate([p[1] for p in parts], axis=0)
         if proj["rerank_x"] is not None:
             # all-MXU stage 2: exact f32 re-scoring against the bf16
             # full-dim mirror; no host work on the hot path
