@@ -579,7 +579,8 @@ class FusedSearcher:
         # chunk the query batch so the [B, N] stage-1 distance transient
         # stays bounded (B=512 over 10.5M rows is a 21.5 GB allocation)
         b = int(qp.shape[0])
-        b_sub = max(1, min(b, (4 << 30) // max(n_rows * 4, 1)))
+        b_sub = max(1, min(
+            b, limits.stage1_transient_bytes() // max(n_rows * 4, 1)))
         # power-of-two sub-batch: callers pad B to a power of two, so the
         # chunks all share one compiled shape
         b_sub = 1 << (b_sub.bit_length() - 1)

@@ -134,6 +134,17 @@ def hbm_budget_bytes() -> int:
     return int(gb * (1 << 30))
 
 
+def stage1_transient_bytes() -> int:
+    """Cap on the reduced-rank stage-1 [B, N] distance transient
+    (FVDB_STAGE1_TRANSIENT_GB, default 4 GiB). Query batches are split
+    into power-of-two sub-batches so one chunk's distance matrix stays
+    under this bound regardless of corpus size (B=512 over 10.5M rows
+    would otherwise be a 21.5 GB single allocation). Lower it when a
+    device rerank mirror shares HBM with the stage-1 mirrors."""
+    gb = float(os.environ.get("FVDB_STAGE1_TRANSIENT_GB", 4))
+    return int(gb * (1 << 30))
+
+
 def serving_dtype() -> str:
     """Device-resident corpus dtype ("float32" | "bfloat16").
 

@@ -98,6 +98,29 @@ def test_mutations_invalidate_every_regime(ladder_index, monkeypatch):
     assert idx.store.id_of(int(rows[0, 0])) == "fresh2"
 
 
+def test_stage1_query_chunking_matches_unchunked(ladder_index, monkeypatch):
+    """The stage-1 [B, N] transient cap splits query batches into
+    power-of-two sub-batches at scale (10.5M rows force B<=64). CI can't
+    hold a >1G-element matrix, so shrink FVDB_STAGE1_TRANSIENT_GB until
+    the chunked branch runs at 3K rows and assert it returns exactly the
+    unchunked results."""
+    idx, vecs = ladder_index
+    monkeypatch.setattr(limits, "FLAT_THRESHOLD", 0)
+    monkeypatch.setenv("FVDB_FLAT_THRESHOLD", "0")
+    q = (vecs[::53] + 0.001).astype(np.float32)  # B=57 -> pads past b_sub
+    cfg = SearchConfig(auto_migrate=False)
+
+    _, rows_full = idx.search_rows(q, 5, config=cfg, now=NOW)
+
+    # n_rows ~3K f32 -> one query row is ~12KB; cap the transient at 64KB
+    # so b_sub lands at 4 and the batch splits into many chunks
+    monkeypatch.setenv("FVDB_STAGE1_TRANSIENT_GB", str(65536 / (1 << 30)))
+    assert limits.stage1_transient_bytes() == 65536
+    _, rows_chunked = idx.search_rows(q, 5, config=cfg, now=NOW)
+
+    np.testing.assert_array_equal(rows_full, rows_chunked)
+
+
 def test_bf16_flat_rerank_restores_exact_ranking(monkeypatch):
     """VERDICT r2 #3: under FVDB_SERVING_DTYPE=bfloat16 the flat regime
     must rank near-ties exactly (f32 rerank of oversampled candidates).
