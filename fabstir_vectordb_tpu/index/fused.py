@@ -388,7 +388,10 @@ class FusedSearcher:
         if mode != "host":
             used = n_rows * rank * 2 + n_rows * 4 + n_rows
             need = n_rows * dim * 2
-            fits = used + need + (1 << 30) <= limits.hbm_budget_bytes()
+            # reserve room for the stage-1 [B, N] distance transient (its
+            # cap is a knob — deployments trade it against mirror residency)
+            head = max(1 << 30, limits.stage1_transient_bytes())
+            fits = used + need + head <= limits.hbm_budget_bytes()
             big = count >= 2_000_000
             if mode == "device" or (fits and big):
                 import ml_dtypes
