@@ -273,32 +273,60 @@ def bench_10m(dim, k, rng):
 
     import ml_dtypes
 
-    trained = False
-    cj16 = None
+    # opt-in corpus cache (FVDB_BENCH_10M_CACHE=/path/prefix): generation
+    # is tunnel-upload bound (~16 min at 10M even with bf16 uplink), so
+    # repeat experiments against the same synthetic corpus load it from
+    # disk instead (~2 min of sequential reads)
+    cache = os.environ.get("FVDB_BENCH_10M_CACHE")
+    data_path = f"{cache}.data.npy" if cache else None
+    meta_path = f"{cache}.meta.npz" if cache else None
     t0 = time.perf_counter()
-    for lo in range(0, n, blk_rows):
-        hi = min(lo + blk_rows, n)
-        block = rng.standard_normal((hi - lo, dim), dtype=np.float32)
-        block *= 0.35
-        block += centers[rng.integers(0, n_centers, hi - lo)]
-        store.fill_rows(lo, block)
-        if not trained:
-            idx.initialize(block[:10_000])
-            cj16 = jnp.asarray(idx.ivf.centroids, jnp.bfloat16)
-            trained = True
-        # direct IVF state construction: device-assign this block. The
-        # upload rides the tunnel — bf16 halves the bytes, and nearest-
-        # centroid assignment is insensitive to the rounding (it only
-        # shapes the synthetic IVF lists)
+    if cache and os.path.exists(data_path) and os.path.exists(meta_path):
+        cached = np.load(data_path, mmap_mode="r")
+        meta = np.load(meta_path)
+        assert cached.shape == (n, dim), "cache shape mismatch; delete it"
+        for lo in range(0, n, blk_rows):
+            hi = min(lo + blk_rows, n)
+            store.fill_rows(lo, np.ascontiguousarray(cached[lo:hi]))
+        idx.initialize(np.ascontiguousarray(cached[:10_000]))
+        idx.ivf.centroids = meta["centroids"].copy()
         idx.ivf._ensure_capacity()
-        assign, _ = assign_clusters(
-            jnp.asarray(block.astype(ml_dtypes.bfloat16)), cj16)
-        idx.ivf.assignments[lo:hi] = np.asarray(assign, np.int32)
-        del block
+        idx.ivf.assignments[:n] = meta["assignments"]
+        log(f"loaded cached corpus + assignments "
+            f"in {time.perf_counter()-t0:.1f}s")
+    else:
+        trained = False
+        cj16 = None
+        for lo in range(0, n, blk_rows):
+            hi = min(lo + blk_rows, n)
+            block = rng.standard_normal((hi - lo, dim), dtype=np.float32)
+            block *= 0.35
+            block += centers[rng.integers(0, n_centers, hi - lo)]
+            store.fill_rows(lo, block)
+            if not trained:
+                idx.initialize(block[:10_000])
+                cj16 = jnp.asarray(idx.ivf.centroids, jnp.bfloat16)
+                trained = True
+            # direct IVF state construction: device-assign this block. The
+            # upload rides the tunnel — bf16 halves the bytes, and nearest-
+            # centroid assignment is insensitive to the rounding (it only
+            # shapes the synthetic IVF lists)
+            idx.ivf._ensure_capacity()
+            assign, _ = assign_clusters(
+                jnp.asarray(block.astype(ml_dtypes.bfloat16)), cj16)
+            idx.ivf.assignments[lo:hi] = np.asarray(assign, np.int32)
+            del block
+        log(f"generated + filled + device-assigned {n} rows "
+            f"in {time.perf_counter()-t0:.1f}s")
+        if cache:
+            t0 = time.perf_counter()
+            np.save(data_path, store.data[:n])
+            np.savez(meta_path, centroids=idx.ivf.centroids,
+                     assignments=idx.ivf.assignments[:n])
+            log(f"cached corpus to {cache}.* "
+                f"in {time.perf_counter()-t0:.1f}s")
     store.bump_version()
     idx.ivf._version += 1
-    log(f"generated + filled + device-assigned {n} rows "
-        f"in {time.perf_counter()-t0:.1f}s")
 
     cfg = SearchConfig(auto_migrate=False)
     n_q = 100
