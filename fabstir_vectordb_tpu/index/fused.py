@@ -379,10 +379,12 @@ class FusedSearcher:
 
         # stage-2 placement: device rerank mirror when it fits the budget.
         # In auto mode the switch also requires scale: small corpora keep
-        # the host rerank, whose distances are exact f32 (API contract:
-        # score == 1/(1+exact d)); the device mirror's distances are exact
-        # only w.r.t. the bf16-stored rows (~1e-3 relative), a trade worth
-        # making when host BLAS on 1 core becomes the serving bottleneck.
+        # the all-host rerank. Device mode cuts the wide pool on the MXU,
+        # then the host exactly re-scores just the few survivors (see
+        # _projected_dispatch) — final scores are exact f32 in both modes;
+        # the trade is HBM for the mirror vs host BLAS over the full pool,
+        # worth making when the 1-core host becomes the serving bottleneck
+        # (measured at 10M: 352 QPS host-bound vs 1,804 device, batch=128).
         mode = limits.pca_rerank_mode()
         rerank_x = None
         if mode != "host":
@@ -600,10 +602,16 @@ class FusedSearcher:
             vals_p = jnp.concatenate([p[0] for p in parts], axis=0)
             rows_p = jnp.concatenate([p[1] for p in parts], axis=0)
         if proj["rerank_x"] is not None:
-            # all-MXU stage 2: exact f32 re-scoring against the bf16
-            # full-dim mirror; no host work on the hot path
-            vals, rows = rerank_f32_kernel(proj["rerank_x"], q, rows_p, k)
-            return vals, rows, None
+            # MXU stage 2: f32 re-scoring against the bf16 full-dim mirror
+            # cuts the wide pool to a small survivor set on device. The
+            # bf16-stored rows flip f32 near-ties at 10M scale (measured
+            # recall 0.988 vs 1.000 when the ranking stops here), so the
+            # host then exactly re-scores ONLY the survivors from the
+            # canonical f32 rows — a ~16x smaller gather than host-mode
+            # stage 2, off the device hot path, restoring both recall and
+            # the exact-score API contract (score = 1/(1+exact d)).
+            m = min(bucket(max(32, 4 * k)), int(rows_p.shape[1]))
+            vals_p, rows_p = rerank_f32_kernel(proj["rerank_x"], q, rows_p, m)
         store = self.hybrid.store
 
         def rerank(vals_np: np.ndarray, rows_np: np.ndarray):
