@@ -348,7 +348,14 @@ class FusedSearcher:
             h.hnsw.member_mask()[:cap] | h.ivf.member_mask()[:cap]
         )
         member_rows = np.nonzero(members_np[:count])[0]
-        if member_rows.size:
+        pinned = rank_req >= 0 and limits.pca_oversample() is not None
+        if pinned:
+            # restart fast path: rank AND oversample pinned (operators copy
+            # them from a previous calibration's serving_info) — skip the
+            # probe-oracle corpus pass; the mirror build is the only
+            # remaining streaming pass over the corpus
+            probe_rows = np.zeros(0, np.int64)
+        elif member_rows.size:
             sel = np.linspace(
                 0, member_rows.size - 1,
                 min(self._PROBES, member_rows.size),
@@ -376,6 +383,8 @@ class FusedSearcher:
             rank = min(2 * rank, dim)  # auto-rank retry: double and rebuild
             xp = xp_sq = None
             attempt += 1
+        if pinned:
+            achieved = None  # not measured — the probe pass was skipped
 
         # stage-2 placement: device rerank mirror when it fits the budget.
         # In auto mode the switch also requires scale: small corpora keep
@@ -530,8 +539,10 @@ class FusedSearcher:
                 info["pca_rank"] = int(self._proj["p"].shape[1])
                 info["pca_oversample"] = (
                     limits.pca_oversample() or self._proj["oversample"])
-                info["pca_calibrated_recall"] = round(
-                    float(self._proj["achieved_recall"]), 4)
+                ar = self._proj["achieved_recall"]
+                # None = rank+oversample were pinned, probe pass skipped
+                info["pca_calibrated_recall"] = (
+                    None if ar is None else round(float(ar), 4))
                 info["pca_rerank"] = (
                     "device" if self._proj["rerank_x"] is not None
                     else "host")

@@ -98,6 +98,36 @@ def test_mutations_invalidate_every_regime(ladder_index, monkeypatch):
     assert idx.store.id_of(int(rows[0, 0])) == "fresh2"
 
 
+def test_pinned_knobs_skip_calibration_pass(ladder_index, monkeypatch):
+    """Restart fast path: FVDB_PCA_RANK + FVDB_PCA_OVERSAMPLE pinned (from
+    a prior calibration's serving_info) must skip the probe-oracle corpus
+    pass — observable as pca_calibrated_recall == None — while still
+    serving at the pinned operating point's recall."""
+    idx, vecs = ladder_index
+    monkeypatch.setattr(limits, "FLAT_THRESHOLD", 0)
+    monkeypatch.setenv("FVDB_FLAT_THRESHOLD", "0")
+    monkeypatch.setenv("FVDB_PCA_RANK", "16")
+    monkeypatch.setenv("FVDB_PCA_OVERSAMPLE", "16")
+
+    calls = []
+    orig = idx.fused._build_proj_mirror
+
+    def spy(data, n_rows, mu_d, p_d, members_np, probe_rows, oracle_rows):
+        calls.append(len(probe_rows))
+        return orig(data, n_rows, mu_d, p_d, members_np, probe_rows,
+                    oracle_rows)
+
+    monkeypatch.setattr(idx.fused, "_build_proj_mirror", spy)
+    q = vecs[::97] + 0.001
+    expect = np.arange(vecs.shape[0])[::97]
+    got = _top1(idx, q)
+    assert (got == expect).mean() >= 0.9
+    info = idx.fused.serving_info()
+    assert info["pca_calibrated_recall"] is None
+    assert info["pca_rank"] == 16 and info["pca_oversample"] == 16
+    assert calls == [0], "probe-oracle pass must be skipped when pinned"
+
+
 def test_stage1_query_chunking_matches_unchunked(ladder_index, monkeypatch):
     """The stage-1 [B, N] transient cap splits query batches into
     power-of-two sub-batches at scale (10.5M rows force B<=64). CI can't
