@@ -260,6 +260,14 @@ def bench_10m(dim, k, rng):
     n_centers = 4096
     blk_rows = 1_048_576
 
+    # the documented 10M operating point (docs/PERFORMANCE.md): device
+    # stage-2 needs the bf16 full-dim mirror next to the rank-192 stage-1
+    # mirror (12.1 GB resident), so raise the budget and halve the
+    # stage-1 transient. Measured v5e: 1,608 QPS batched / 2,470
+    # pipelined at recall 0.997 vs 352 QPS host-bound at defaults.
+    os.environ.setdefault("FVDB_HBM_BUDGET_GB", "14.5")
+    os.environ.setdefault("FVDB_STAGE1_TRANSIENT_GB", "2")
+
     t0 = time.perf_counter()
     centers = rng.standard_normal((n_centers, dim), dtype=np.float32)
     idx = HybridIndex(dim, HybridConfig(
