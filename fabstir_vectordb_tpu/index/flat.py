@@ -22,7 +22,7 @@ import numpy as np
 from ..ops.distance import pairwise_distance
 from ..ops.topk import masked_topk
 from ..utils import limits
-from ..utils.padding import bucket
+from ..utils.padding import bucket, fit_mask
 from .store import VectorStore
 
 
@@ -63,11 +63,14 @@ class FlatIndex:
         """
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         mirror = self.store.device(dtype=dtype or limits.serving_dtype())
-        mask = self.store.active_mask()
+        # mask reconciled to the mirror's row count: concurrent capacity
+        # growth must not feed the kernel mismatched shapes
+        n = int(mirror.x.shape[0])
+        mask = self.store.active_mask(n)
         if extra_mask is not None:
-            mask = mask & extra_mask
+            mask = mask & fit_mask(extra_mask, n)
         # bucket k to a power of two so jit kernels are shared across k values
-        k_eff = min(bucket(k), self.store.capacity)
+        k_eff = min(bucket(k), n)
         d, rows = flat_search_kernel(
             mirror.x, mirror.x_sq, jnp.asarray(mask), jnp.asarray(queries),
             k_eff, self.metric,

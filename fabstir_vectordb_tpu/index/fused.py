@@ -25,6 +25,7 @@ Distances returned are squared euclidean (callers sqrt at the boundary).
 from __future__ import annotations
 
 
+import threading
 from functools import partial
 
 import jax
@@ -33,6 +34,7 @@ import numpy as np
 
 from ..ops.distance import pairwise_distance
 from ..ops.topk import masked_topk, merge_topk
+from ..utils.padding import fit_mask
 from .hnsw import beam_search_kernel, greedy_descent_kernel
 from .ivf import ivf_search_kernel
 
@@ -204,6 +206,11 @@ class FusedSearcher:
         self.hybrid = hybrid
         self._key = None
         self._dev: dict | None = None
+        # serializes device-state (re)builds: two readers racing a rebuild
+        # would otherwise hold two corpus-sized mirrors in HBM transiently
+        # (an OOM at multi-GB corpus sizes) and could publish a torn
+        # (_dev, _key) pair
+        self._state_lock = threading.RLock()
         # reduced-rank serving state: (mu, p) fit + projected bf16 mirror,
         # keyed by (store version, rank) — see _proj_state
         self._proj_key = None
@@ -236,6 +243,15 @@ class FusedSearcher:
                 limits.serving_dtype())
 
     def _device_state(self) -> dict:
+        # fast path without the lock: steady-state serving just reads the
+        # published cache (assignment of the dict is atomic)
+        dev, key = self._dev, self._key
+        if dev is not None and key == self._state_key():
+            return dev
+        with self._state_lock:
+            return self._device_state_locked()
+
+    def _device_state_locked(self) -> dict:
         key = self._state_key()
         if self._dev is None or self._key != key:
             h = self.hybrid
@@ -246,9 +262,12 @@ class FusedSearcher:
             self._dev = None
             mirror = h.store.device(dtype=limits.serving_dtype())
             graph = h.hnsw._device_arrays()
-            active = h.store.active_mask()
-            hnsw_mask = active & h.hnsw.member_mask()[: h.store.capacity]
-            ivf_mask = active & h.ivf.member_mask()[: h.store.capacity]
+            # masks reconciled to the mirror's row count: a concurrent
+            # capacity grow between snapshots must not mix shapes
+            n = int(mirror.x.shape[0])
+            active = h.store.active_mask(n)
+            hnsw_mask = active & h.hnsw.member_mask(n)
+            ivf_mask = active & h.ivf.member_mask(n)
             has_ivf = h.ivf.trained and bool(ivf_mask.any())
             self._dev = {
                 "x": mirror.x,
@@ -256,7 +275,7 @@ class FusedSearcher:
                 "hnsw_mask": jnp.asarray(hnsw_mask),
                 "ivf_mask": jnp.asarray(ivf_mask),
                 "members": jnp.asarray(hnsw_mask | ivf_mask),
-                "ones": jnp.ones((h.store.capacity,), bool),
+                "ones": jnp.ones((n,), bool),
                 "nbrs0": graph["nbrs0"],
                 "nbrs_up": graph["nbrs_up"],
                 "up_offset": graph["up_offset"],
@@ -311,6 +330,13 @@ class FusedSearcher:
         key = (h.store._version, rank_req)
         if self._proj is not None and self._proj_key == key:
             return self._proj
+        with self._state_lock:
+            return self._proj_state_locked(key, rank_req)
+
+    def _proj_state_locked(self, key, rank_req: int) -> dict:
+        h = self.hybrid
+        if self._proj is not None and self._proj_key == key:
+            return self._proj  # another thread built it while we waited
         self._proj = None  # release before re-upload (HBM headroom)
         # the full-dim mirror and graph/tile device state are dead
         # weight in this regime — free them before allocating
@@ -343,9 +369,9 @@ class FusedSearcher:
             rank = int(min(max(rank, 32), 192, dim))
         rank = min(rank, dim)
 
-        cap = h.store.capacity
-        members_np = h.store.active_mask() & (
-            h.hnsw.member_mask()[:cap] | h.ivf.member_mask()[:cap]
+        members_np = h.store.active_mask(data.shape[0]) & (
+            h.hnsw.member_mask(data.shape[0])
+            | h.ivf.member_mask(data.shape[0])
         )
         member_rows = np.nonzero(members_np[:count])[0]
         pinned = rank_req >= 0 and limits.pca_oversample() is not None
@@ -565,13 +591,10 @@ class FusedSearcher:
         h = self.hybrid
         key = (self._state_key(), n_rows)
         if self._members_dev is None or self._members_key != key:
-            active = h.store.active_mask()
-            cap = h.store.capacity
-            members = active & (
-                h.hnsw.member_mask()[:cap] | h.ivf.member_mask()[:cap]
+            n = n_rows if n_rows is not None else h.store.capacity
+            members = h.store.active_mask(n) & (
+                h.hnsw.member_mask(n) | h.ivf.member_mask(n)
             )
-            if n_rows is not None:
-                members = members[:n_rows]
             self._members_dev = jnp.asarray(members)
             self._members_key = key
         return self._members_dev
@@ -699,9 +722,9 @@ class FusedSearcher:
             self._release_proj()  # regimes are exclusive in HBM
             dev = self._device_state()
             mask = dev["members"]
-            if extra_mask is not None:
-                mask = mask & self._device_mask(extra_mask)
             cap = int(dev["x"].shape[0])
+            if extra_mask is not None:
+                mask = mask & self._device_mask(fit_mask(extra_mask, cap))
             if dev["x"].dtype == jnp.bfloat16 and limits.bf16_rerank() \
                     and cap > k:
                 from ..utils.padding import bucket
@@ -722,7 +745,8 @@ class FusedSearcher:
         self._release_proj()  # pruned regime: free the projection mirror
         dev = self._device_state()
         extra = (dev["ones"] if extra_mask is None
-                 else self._device_mask(extra_mask))
+                 else self._device_mask(
+                     fit_mask(extra_mask, int(dev["x"].shape[0]))))
         n_probe_eff = min(n_probe, int(dev["centroids"].shape[0]))
         vals, rows = hybrid_search_kernel(
             dev["x"], dev["x_sq"], dev["hnsw_mask"], dev["ivf_mask"], extra,

@@ -26,6 +26,7 @@ Defaults match the reference: M=16, M0=32, ef_construction=200, search ef=50
 from __future__ import annotations
 
 import math
+import threading
 from dataclasses import dataclass
 from functools import partial
 
@@ -36,7 +37,7 @@ import numpy as np
 from ..ops.distance import pairwise_distance
 from ..ops.topk import masked_approx_topk
 from ..utils import limits
-from ..utils.padding import bucket, grow_rows
+from ..utils.padding import bucket, fit_mask, grow_rows
 from .store import VectorStore
 
 INF = np.float32(np.inf)
@@ -526,6 +527,10 @@ class HNSWIndex:
         self._dirty_up: set = set()
         self._dirty_off: set = set()
         self._dirty_full = True
+        # serializes device-cache rebuilds against dirty-mark updates:
+        # readers rebuild the cache lock-free otherwise, and a clear()
+        # racing a writer's update() could drop adjacency deltas
+        self._dev_sync = threading.Lock()
 
     # ----------------------------------------------------------- bookkeeping
     def _ensure_capacity(self) -> None:
@@ -545,18 +550,25 @@ class HNSWIndex:
         return start
 
     def _mark_dirty0(self, rows) -> None:
-        if not self._dirty_full:
-            self._dirty0.update(np.atleast_1d(np.asarray(rows)).tolist())
+        with self._dev_sync:
+            if not self._dirty_full:
+                self._dirty0.update(np.atleast_1d(np.asarray(rows)).tolist())
 
     def _mark_dirty_up(self, rows) -> None:
-        if not self._dirty_full:
-            self._dirty_up.update(np.atleast_1d(np.asarray(rows)).tolist())
+        with self._dev_sync:
+            if not self._dirty_full:
+                self._dirty_up.update(np.atleast_1d(np.asarray(rows)).tolist())
 
     def _mark_dirty_off(self, rows) -> None:
-        if not self._dirty_full:
-            self._dirty_off.update(np.atleast_1d(np.asarray(rows)).tolist())
+        with self._dev_sync:
+            if not self._dirty_full:
+                self._dirty_off.update(np.atleast_1d(np.asarray(rows)).tolist())
 
     def _device_arrays(self) -> dict:
+        with self._dev_sync:
+            return self._device_arrays_locked()
+
+    def _device_arrays_locked(self) -> dict:
         if self._device is None or self._device_version != self._version:
             dev = self._device
             shapes_ok = (
@@ -607,19 +619,29 @@ class HNSWIndex:
 
     def _invalidate_device(self) -> None:
         """Force the next _device_arrays() to do a full upload."""
-        self._dirty_full = True
-        self._dirty0.clear()
-        self._dirty_up.clear()
-        self._dirty_off.clear()
+        with self._dev_sync:
+            self._dirty_full = True
+            self._dirty0.clear()
+            self._dirty_up.clear()
+            self._dirty_off.clear()
 
     def _sample_level(self) -> int:
         u = self._rng.random()
         level = int(math.floor(math.log(max(u, 1e-12)) / math.log(self.config.level_p)))
         return min(level, self.config.max_level)
 
-    def member_mask(self) -> np.ndarray:
-        self._ensure_capacity()
-        return self.levels >= 0
+    def member_mask(self, n: int | None = None) -> np.ndarray:
+        """[n or store.capacity] bool membership. Non-mutating: readers call
+        this concurrently with writers, so it must neither grow arrays nor
+        assume ``levels`` and ``store.capacity`` were read at one instant
+        (capacity growth swaps the backing arrays)."""
+        levels = self.levels  # local ref: concurrent grow replaces the object
+        if n is None:
+            n = max(self.store.capacity, levels.shape[0])
+        m = np.zeros(n, bool)
+        c = min(n, levels.shape[0])
+        m[:c] = levels[:c] >= 0
+        return m
 
     def member_rows(self) -> np.ndarray:
         return np.nonzero(self.member_mask())[0]
@@ -638,8 +660,10 @@ class HNSWIndex:
         m = self.member_mask()[: self.store.count]
         return int((m & self.store.deleted[: self.store.count]).sum())
 
-    def _search_mask(self) -> np.ndarray:
-        return self.store.active_mask() & self.member_mask()[: self.store.capacity]
+    def _search_mask(self, n: int | None = None) -> np.ndarray:
+        if n is None:
+            n = self.store.capacity
+        return self.store.active_mask(n) & self.member_mask(n)
 
     def _fix_entry_point(self) -> None:
         """Ensure entry point is an active member (reference promotes entry on
@@ -1243,7 +1267,12 @@ class HNSWIndex:
             return (np.full((b, k), np.inf, np.float32), np.full((b, k), -1, np.int32))
         mirror = self.store.device(dtype=limits.serving_dtype())
         dev = self._device_arrays()
-        mask = self._search_mask()
+        # reconcile the mask to the mirror's row count: a concurrent
+        # capacity grow between the two snapshots would otherwise feed the
+        # kernel mismatched shapes (readers serve a consistent prefix)
+        mask = self._search_mask(n=int(mirror.x.shape[0]))
+        if extra_mask is not None:
+            extra_mask = fit_mask(extra_mask, mask.shape[0])
         maskj = jnp.asarray(mask)
         q = jnp.asarray(queries)
         b = queries.shape[0]

@@ -31,7 +31,7 @@ from ..ops.distance import pairwise_distance
 from ..ops.kmeans import assign_clusters, kmeans_train_stepped
 from ..ops.topk import masked_topk, merge_topk
 from ..utils import limits
-from ..utils.padding import bucket, round_up, grow_rows
+from ..utils.padding import bucket, fit_mask, round_up, grow_rows
 from .store import VectorStore
 
 
@@ -246,24 +246,32 @@ class IVFIndex:
         self._version += 1
 
     def member_rows(self) -> np.ndarray:
-        self._ensure_capacity()
-        return np.nonzero(self.assignments >= 0)[0]
+        return np.nonzero(self.member_mask())[0]
 
-    def member_mask(self) -> np.ndarray:
-        self._ensure_capacity()
-        return self.assignments >= 0
+    def member_mask(self, n: int | None = None) -> np.ndarray:
+        """[n or store.capacity] bool membership. Non-mutating: readers
+        (search, tiles) call this concurrently with writers, so it never
+        grows arrays and tolerates a capacity grow swapping them mid-read."""
+        assign = self.assignments  # local ref: growth replaces the object
+        if n is None:
+            n = max(self.store.capacity, assign.shape[0])
+        m = np.zeros(n, bool)
+        c = min(n, assign.shape[0])
+        m[:c] = assign[:c] >= 0
+        return m
 
     @property
     def active_count(self) -> int:
-        m = self.member_mask()
         act = self.store.active_mask()
-        n = min(len(m), len(act))
-        return int((m[:n] & act[:n]).sum())
+        m = self.member_mask(act.shape[0])
+        return int((m & act).sum())
 
     @property
     def deleted_count(self) -> int:
-        m = self.member_mask()[: self.store.count]
-        return int((m & self.store.deleted[: self.store.count]).sum())
+        deleted = self.store.deleted
+        count = min(self.store.count, deleted.shape[0])
+        m = self.member_mask(count)
+        return int((m & deleted[:count]).sum())
 
     def vacuum(self) -> int:
         """Drop tombstoned/deleted rows from the lists. Returns count removed."""
@@ -297,8 +305,11 @@ class IVFIndex:
 
     def tiles(self) -> np.ndarray:
         if self._tiles is None or self._tiles_version != self._version:
-            self._tiles = self._build_tiles()
-            self._tiles_version = self._version
+            # read the version BEFORE building: a writer bumping it
+            # mid-build must invalidate this build, not be masked by it
+            v = self._version
+            t = self._build_tiles()
+            self._tiles, self._tiles_version = t, v
         return self._tiles
 
     # ---------------------------------------------------------------- search
@@ -316,9 +327,12 @@ class IVFIndex:
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         n_probe = n_probe or self.config.n_probe
         mirror = self.store.device(dtype=limits.serving_dtype())
-        mask = self.store.active_mask() & self.member_mask()[: self.store.capacity]
+        # masks reconciled to the mirror's row count: concurrent capacity
+        # growth must not feed the kernel mismatched shapes
+        n = int(mirror.x.shape[0])
+        mask = self.store.active_mask(n) & self.member_mask(n)
         if extra_mask is not None:
-            mask = mask & extra_mask
+            mask = mask & fit_mask(extra_mask, n)
         # bucket k so jit kernels are shared across k values
         k_eff = bucket(k)
         vals, rows, _ = ivf_search_kernel(

@@ -253,10 +253,19 @@ class VectorStore:
     def deleted_count(self) -> int:
         return int(self.deleted[: self.count].sum())
 
-    def active_mask(self) -> np.ndarray:
-        """[capacity] bool: allocated and not deleted."""
-        mask = np.zeros(self.capacity, bool)
-        mask[: self.count] = ~self.deleted[: self.count]
+    def active_mask(self, n: int | None = None) -> np.ndarray:
+        """[n or capacity] bool: allocated and not deleted.
+
+        Built lock-free from one-shot local references with min() bounds so
+        a reader racing a concurrent capacity grow (which swaps the backing
+        arrays) sees a consistent prefix snapshot instead of a shape error.
+        """
+        deleted = self.deleted  # local ref: growth replaces the object
+        if n is None:
+            n = max(self.capacity, deleted.shape[0])
+        mask = np.zeros(n, bool)
+        count = min(self.count, n, deleted.shape[0])
+        mask[:count] = ~deleted[:count]
         return mask
 
     def active_ids(self) -> list:

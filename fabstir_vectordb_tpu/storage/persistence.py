@@ -129,6 +129,11 @@ class HybridPersister:
     ) -> Manifest:
         index.wait_ready()  # a lazily-loaded index must be resident to save
         s = index.store
+        # save reads levels/assignments by store row (owner context, so
+        # mutation is fine); member_mask() no longer grows them as a side
+        # effect, so grow explicitly before the row-indexed reads below
+        index.hnsw._ensure_capacity()
+        index.ivf._ensure_capacity()
         # global save order: allocated rows with live ids (tombstones skipped)
         order = np.array(
             [r for r in range(s.count) if s.row_to_id[r] is not None], np.int64

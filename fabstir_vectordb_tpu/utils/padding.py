@@ -55,6 +55,24 @@ def pad_rows(arr: np.ndarray, capacity: int, fill=0) -> np.ndarray:
     return np.concatenate([arr, pad], axis=0)
 
 
+def fit_mask(mask: np.ndarray, n: int) -> np.ndarray:
+    """Crop/False-pad a boolean row mask to exactly ``n`` rows.
+
+    Search paths snapshot the device mirror and host masks at slightly
+    different instants; under a concurrent capacity grow their lengths can
+    disagree (growth swaps the backing arrays). Reconciling every mask to
+    the mirror's row count serves a consistent prefix snapshot — rows
+    appended after the mirror upload stay invisible until the next
+    version-keyed re-upload — instead of a broadcast shape error.
+    """
+    if mask.shape[0] == n:
+        return mask
+    out = np.zeros(n, bool)
+    c = min(n, mask.shape[0])
+    out[:c] = mask[:c]
+    return out
+
+
 def grow_rows(arr, new_len: int, fill=0):
     """Grow ``arr`` to ``new_len`` rows, preserving the prefix.
 
