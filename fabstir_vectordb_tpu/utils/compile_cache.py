@@ -16,11 +16,34 @@ DEFAULT_DIR = os.path.join(
 )
 
 
+def _host_key() -> str:
+    """Short fingerprint of the host CPU's feature set.
+
+    XLA:CPU cache entries embed AOT-compiled host code; loading an entry
+    produced on a machine with different ISA features (e.g. AMX/AVX-512
+    variants) makes the loader warn about potential SIGILL. Keying the
+    CPU cache directory by the host's feature flags makes stale
+    cross-machine entries invisible instead of dangerous.
+    """
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    raw = flags or platform.processor() or platform.machine() or "unknown"
+    return hashlib.sha1(raw.encode()).hexdigest()[:8]
+
+
 def enable_persistent_cache(path: str | None = None) -> str:
     """Idempotently point JAX's compilation cache at ``path``."""
     import jax
 
     cache_dir = path or os.environ.get("FVDB_COMPILE_CACHE") or DEFAULT_DIR
+    if jax.default_backend() == "cpu":
+        cache_dir = f"{cache_dir}-cpu-{_host_key()}"
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

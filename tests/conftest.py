@@ -24,9 +24,15 @@ except Exception:
     pass
 
 # Persistent compilation cache: kernel shapes repeat across test files/processes.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Routed through enable_persistent_cache so the directory is keyed by the host
+# CPU's feature set — XLA:CPU entries embed host-AOT code, and loading one
+# produced on a different machine risks SIGILL.
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from fabstir_vectordb_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
