@@ -469,6 +469,33 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             log(f"device p50 failed: {e}")
 
+        # ---- turbo flat selection (FVDB_FLAT_SELECT=approx) ----
+        # approx_min_k wide pool + fused exact f32 refine: trades the exact
+        # top_k's batched selection cost for a measured-recall operating
+        # point (docs/PERFORMANCE.md turbo table)
+        if os.environ.get("FVDB_BENCH_SKIP_TURBO", "0") != "1":
+            try:
+                from fabstir_vectordb_tpu.index import FlatIndex
+                from fabstir_vectordb_tpu.index.flat import recall_at_k
+
+                os.environ["FVDB_FLAT_SELECT"] = "approx"
+                idx.search_rows(queries[0], k, config=cfg, now=NOW)  # compile
+                qps_t, qps_t_pipe = measure_qps(idx, rng, dim, k, cfg, reps=5)
+                sample = queries[:32]
+                _, rows_t = idx.search_rows(sample, k, config=cfg, now=NOW)
+                rec_t = recall_at_k(FlatIndex(idx.store), rows_t, sample, k)
+                log(f"turbo recall@{k} vs exact: {rec_t:.4f}")
+                emit(f"turbo_batched_qps_1000k_{dim}d_k{k}", qps_t, "qps",
+                     qps_t / BASELINE_QPS)
+                emit(f"turbo_pipelined_qps_1000k_{dim}d_k{k}", qps_t_pipe,
+                     "qps", qps_t_pipe / BASELINE_QPS)
+                emit(f"turbo_recall_1000k_{dim}d_k{k}", rec_t, "recall@10",
+                     rec_t / 1.0)
+            except Exception as e:  # noqa: BLE001
+                log(f"turbo bench failed: {e}")
+            finally:
+                os.environ.pop("FVDB_FLAT_SELECT", None)
+
         # ---- cold serve-ready from a fresh process ----
         if os.environ.get("FVDB_BENCH_SKIP_COLD", "0") != "1":
             try:

@@ -110,6 +110,33 @@ def flat_search_rerank_kernel(x, x_sq, mask, q, k: int, ov_k: int):
     return rerank_f32_kernel(x, q, rows, k)
 
 
+@partial(jax.jit, static_argnames=("k", "ov_k"))
+def flat_search_approx_kernel(x, x_sq, mask, q, k: int, ov_k: int):
+    """Turbo flat selection (FVDB_FLAT_SELECT=approx): one distance matmul,
+    an O(N) ``approx_min_k`` wide pool, and an exact f32 re-score of the
+    pool — all one device program.
+
+    The exact kernel's lax.top_k is a partial selection but still the
+    batched bottleneck (v5e, 1M x 384: 43.4 ms at B=512, of which the
+    matmul is ~8 ms). approx_min_k's per-bin winners cut selection to
+    O(N): measured 14.8 ms at B=512/ov=128 (f32, recall 0.9984 vs exact),
+    4.6 ms with bf16 mirrors (recall 0.992 — the pool is picked from
+    bf16-quantized distances; the refine is exact w.r.t. stored rows
+    either way, so pool width is the only recall lever). recall_target
+    stays at approx_min_k's 0.95 sweet spot: 0.999 degenerates to a
+    near-sort (measured 229 ms at B=512 — slower than exact).
+
+    Masked rows surface from masked_approx_topk as -1 and are +inf'd by
+    the refine, so deletes/filters can't re-enter through the re-score.
+    """
+    from ..ops.topk import masked_approx_topk
+
+    compute = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    d = pairwise_distance(q, x, x_sq=x_sq, compute_dtype=compute)
+    _, rows = masked_approx_topk(d, mask, ov_k)
+    return rerank_f32_kernel(x, q, rows, k)
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "ef", "n_probe", "has_hnsw", "has_ivf",
@@ -725,7 +752,13 @@ class FusedSearcher:
             cap = int(dev["x"].shape[0])
             if extra_mask is not None:
                 mask = mask & self._device_mask(fit_mask(extra_mask, cap))
-            if dev["x"].dtype == jnp.bfloat16 and limits.bf16_rerank() \
+            if limits.flat_select() == "approx" and cap > k:
+                from ..utils.padding import bucket
+
+                ov_k = min(bucket(max(limits.flat_oversample(), 4 * k)), cap)
+                vals, rows = flat_search_approx_kernel(
+                    dev["x"], dev["x_sq"], mask, q, k, ov_k)
+            elif dev["x"].dtype == jnp.bfloat16 and limits.bf16_rerank() \
                     and cap > k:
                 from ..utils.padding import bucket
 

@@ -117,6 +117,39 @@ def bf16_rerank() -> bool:
     return os.environ.get("FVDB_BF16_RERANK", "1") != "0"
 
 
+def flat_select() -> str:
+    """Flat-regime selection strategy ("exact" | "approx", FVDB_FLAT_SELECT).
+
+    exact (default): lax.top_k over the masked distance row — recall is
+    exactly 1.0; the partial-selection TopK lowering dominates batched
+    device time (measured v5e, 1M x 384: 11.4 ms of a B=128 dispatch,
+    43.4 ms at B=512).
+
+    approx: the TPU-KNN two-stage (arXiv:2206.14286) — ``approx_min_k``
+    selects a wide candidate pool (FVDB_FLAT_OVERSAMPLE) in O(N), then an
+    exact f32 re-score of the pool picks the final k in one fused device
+    program. Measured at B=512 over 1M x 384 on a v5e: 3.1x the exact
+    throughput at recall 0.9984 (f32 mirror, ov=128); with bf16 mirrors
+    9.4x at 0.992 (the pool selection itself is bf16-quantized — raise
+    the oversample to trade QPS for the tail). Opt-in because the flat
+    regime advertises exact results.
+    """
+    v = os.environ.get("FVDB_FLAT_SELECT", "exact")
+    if v not in ("exact", "approx"):
+        raise ValueError(f"FVDB_FLAT_SELECT must be exact|approx, got {v}")
+    return v
+
+
+def flat_oversample() -> int:
+    """approx flat-selection pool width (FVDB_FLAT_OVERSAMPLE, default 128).
+
+    Clamped to at least 4k at dispatch; the exact f32 refine makes pool
+    width the only recall lever (measured at 1M: 128 -> 0.9984,
+    256 -> 0.9988, 512 -> 0.9991 with f32 mirrors).
+    """
+    return max(16, int(os.environ.get("FVDB_FLAT_OVERSAMPLE", 128)))
+
+
 def pca_target() -> float:
     """Recall@k target for reduced-rank auto-calibration (FVDB_PCA_TARGET,
     default 0.99). The mirror build measures stage-1 recall on probe

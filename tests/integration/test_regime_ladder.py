@@ -243,3 +243,57 @@ def test_reduced_rank_calibration_and_rerank_modes(monkeypatch):
     r_host = recall_at_k(oracle, rows_host, q, k)
     assert r_dev >= 0.95, f"device-rerank recall {r_dev}"
     assert r_host >= 0.95, f"host-rerank recall {r_host}"
+
+
+def test_flat_approx_select_matches_exact(ladder_index, monkeypatch):
+    """FVDB_FLAT_SELECT=approx: the turbo flat path (approx_min_k wide pool
+    + fused exact f32 refine) must agree with the exact kernel — on the CPU
+    backend approx_min_k's fallback is exact, so agreement is total; the
+    measured TPU operating points live in docs/PERFORMANCE.md."""
+    idx, vecs = ladder_index
+    q = vecs[::37] + 0.002
+    k = 8
+    monkeypatch.setattr(limits, "FLAT_THRESHOLD", 10**9)
+    monkeypatch.delenv("FVDB_FLAT_THRESHOLD", raising=False)
+
+    cfg = SearchConfig(auto_migrate=False)
+    d_ex, r_ex = idx.search_rows(q, k, config=cfg, now=NOW)
+
+    monkeypatch.setenv("FVDB_FLAT_SELECT", "approx")
+    d_ap, r_ap = idx.search_rows(q, k, config=cfg, now=NOW)
+    np.testing.assert_array_equal(r_ex, r_ap)
+    # distances: exact kernel uses the matmul form (x_sq - 2qx + q_sq), the
+    # refine the cancellation-safe difference form — tiny float drift on
+    # near-zero distances is expected (and the refine is the more accurate)
+    np.testing.assert_allclose(d_ex, d_ap, atol=2e-3)
+
+
+def test_flat_approx_select_respects_masks(ladder_index, monkeypatch):
+    """Deleted rows and filter bitmasks must not re-enter through the
+    refine's re-scoring (the pool kernel masks BEFORE selection)."""
+    idx, vecs = ladder_index
+    monkeypatch.setattr(limits, "FLAT_THRESHOLD", 10**9)
+    monkeypatch.delenv("FVDB_FLAT_THRESHOLD", raising=False)
+    monkeypatch.setenv("FVDB_FLAT_SELECT", "approx")
+    cfg = SearchConfig(auto_migrate=False)
+
+    q = vecs[5:6] + 0.001
+    # row 5 is the nearest neighbor of q; delete it
+    assert idx.delete("v5")
+    _, rows = idx.search_rows(q, 4, config=cfg, now=NOW)
+    assert 5 not in rows[0]
+
+    # extra filter mask: only even rows may surface
+    mask = np.zeros(idx.store.capacity, bool)
+    mask[np.arange(0, vecs.shape[0], 2)] = True
+    _, rows = idx.search_rows(q, 8, config=cfg, extra_mask=mask, now=NOW)
+    got = rows[0][rows[0] >= 0]
+    assert got.size and (got % 2 == 0).all()
+
+
+def test_flat_select_env_validation(monkeypatch):
+    monkeypatch.setenv("FVDB_FLAT_SELECT", "bogus")
+    with pytest.raises(ValueError):
+        limits.flat_select()
+    monkeypatch.setenv("FVDB_FLAT_OVERSAMPLE", "2")
+    assert limits.flat_oversample() == 16  # floor
