@@ -37,19 +37,47 @@ from ..utils.padding import round_up
 # --------------------------------------------------------------------------
 
 
-def sharded_flat_search(mesh: Mesh, axis: str = "data"):
+def sharded_flat_search(mesh: Mesh, axis: str = "data",
+                        select: str = "exact", oversample: int = 128):
     """Builds a jitted exact search over a row-sharded corpus.
 
     Returns fn(x [N, D] sharded, x_sq [N], mask [N], q [B, D] replicated, k)
     -> (dists [B, k], rows [B, k]) replicated. N must divide evenly by the
     axis size (pad with mask=False rows).
+
+    ``select="approx"`` is the multi-chip twin of the single-chip turbo
+    flat mode (FVDB_FLAT_SELECT, index/fused.py::flat_search_approx_kernel):
+    each shard picks an ``oversample``-wide ``approx_min_k`` pool from its
+    local rows and re-scores the pool exactly in f32 BEFORE the ICI merge,
+    so only [n_dev, B, k] candidates cross the interconnect either way —
+    the collective cost is identical, the per-shard selection drops from
+    the batched top_k bottleneck to O(N_local).
     """
+    if select not in ("exact", "approx"):
+        raise ValueError(f"select must be exact|approx, got {select}")
 
     def body(x, x_sq, mask, q, k: int):
         n_local = x.shape[0]
         idx = jax.lax.axis_index(axis)
         d = pairwise_distance(q, x, x_sq=x_sq)
-        vals, rows = masked_topk(d, mask, min(k, n_local))
+        if select == "approx" and n_local > k:
+            from ..ops.topk import masked_approx_topk
+
+            ov = min(max(oversample, 4 * k), n_local)
+            _, cand = masked_approx_topk(d, mask, ov)
+            # exact f32 refine of the local pool (difference form — same
+            # squared-distance convention as the scan above)
+            xg = x[jnp.maximum(cand, 0)].astype(jnp.float32)
+            diff = xg - q[:, None, :].astype(jnp.float32)
+            dr = jnp.sum(diff * diff, axis=-1)
+            dr = jnp.where(cand >= 0, dr, jnp.inf)
+            neg, pos = jax.lax.top_k(-dr, min(k, n_local))
+            vals = jnp.where(jnp.isfinite(neg), -neg, jnp.inf)
+            rows = jnp.where(
+                jnp.isfinite(neg),
+                jnp.take_along_axis(cand, pos, axis=1), -1)
+        else:
+            vals, rows = masked_topk(d, mask, min(k, n_local))
         rows = jnp.where(rows >= 0, rows + idx * n_local, -1)
         # gather each device's top-k and merge
         all_vals = jax.lax.all_gather(vals, axis)  # [n_dev, B, k]

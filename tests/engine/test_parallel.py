@@ -39,6 +39,33 @@ def test_sharded_flat_matches_single_device(mesh, rng):
     )
 
 
+def test_sharded_flat_approx_select_matches_exact(mesh, rng):
+    """Multi-chip twin of FVDB_FLAT_SELECT=approx: per-shard approx pool +
+    local exact f32 refine must agree with the exact sharded search (the
+    CPU backend's approx_min_k fallback is exact, so agreement is total)."""
+    n, d, b, k = 256, 16, 4, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    mask = np.ones(n, bool)
+    mask[5] = False
+    mask[200:210] = False
+
+    exact = sharded_flat_search(mesh)
+    turbo = sharded_flat_search(mesh, select="approx", oversample=16)
+    ev, er = exact(x, (x * x).sum(1), mask, q, k)
+    tv, tr = turbo(x, (x * x).sum(1), mask, q, k)
+    np.testing.assert_array_equal(np.asarray(er), np.asarray(tr))
+    np.testing.assert_allclose(np.asarray(ev), np.asarray(tv),
+                               rtol=1e-3, atol=1e-3)
+    # masked rows must never surface
+    assert not np.isin(np.asarray(tr), [5] + list(range(200, 210))).any()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        sharded_flat_search(mesh, select="bogus")
+
+
 def test_sharded_ivf_matches_host_ivf(mesh, rng):
     n, d, k = 400, 8, 5
     x = rng.standard_normal((n, d)).astype(np.float32) * 3
