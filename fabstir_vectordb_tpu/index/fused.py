@@ -587,6 +587,10 @@ class FusedSearcher:
             "capacity_rows": int(cap),
             "effective_flat_threshold": int(limits.effective_flat_threshold()),
         }
+        if regime == "flat-exact":
+            info["flat_select"] = limits.flat_select()
+            if info["flat_select"] == "approx":
+                info["flat_oversample"] = limits.flat_oversample()
         if regime == "reduced-rank":
             if self._proj is not None:
                 info["pca_rank"] = int(self._proj["p"].shape[1])

@@ -297,3 +297,18 @@ def test_flat_select_env_validation(monkeypatch):
         limits.flat_select()
     monkeypatch.setenv("FVDB_FLAT_OVERSAMPLE", "2")
     assert limits.flat_oversample() == 16  # floor
+
+
+def test_serving_info_reports_flat_select(ladder_index, monkeypatch):
+    idx, _ = ladder_index
+    monkeypatch.setattr(limits, "FLAT_THRESHOLD", 10**9)
+    monkeypatch.delenv("FVDB_FLAT_THRESHOLD", raising=False)
+    info = idx.fused.serving_info()
+    assert info["regime"] == "flat-exact"
+    assert info["flat_select"] == "exact"
+    assert "flat_oversample" not in info
+    monkeypatch.setenv("FVDB_FLAT_SELECT", "approx")
+    monkeypatch.setenv("FVDB_FLAT_OVERSAMPLE", "64")
+    info = idx.fused.serving_info()
+    assert info["flat_select"] == "approx"
+    assert info["flat_oversample"] == 64
