@@ -28,12 +28,22 @@ def _host_key() -> str:
     import hashlib
     import platform
 
+    model = flags = ""
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
+            for ln in f:
+                if not model and ln.startswith("model name"):
+                    model = ln
+                elif not flags and ln.startswith("flags"):
+                    flags = ln
+                if model and flags:
+                    break
     except OSError:
-        flags = ""
-    raw = flags or platform.processor() or platform.machine() or "unknown"
+        pass
+    # Flags alone are not enough: LLVM derives tuning features (e.g.
+    # prefer-no-scatter) from the detected CPU *model*, so two hosts with
+    # identical flag lines can still produce incompatible AOT code.
+    raw = (model + flags) or platform.processor() or platform.machine() or "unknown"
     return hashlib.sha1(raw.encode()).hexdigest()[:8]
 
 
