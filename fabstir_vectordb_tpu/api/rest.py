@@ -32,6 +32,7 @@ from dataclasses import dataclass, field
 import numpy as np
 from aiohttp import web, WSMsgType
 
+from .. import __version__
 from ..core.object_store import ObjectStore
 from ..storage.factory import StorageFactory
 from ..utils.tracing import get_logger
@@ -258,7 +259,7 @@ def create_app(config: ApiConfig | None = None,
         return web.json_response(
             {
                 "status": "healthy",
-                "version": "0.1.0",
+                "version": __version__,
                 "storage_mode": type(store).__name__,
                 "stats": stats,
             }
