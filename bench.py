@@ -291,14 +291,20 @@ def bench_10m(dim, k, rng):
     data_path = f"{cache}.data.npy" if cache else None
     meta_path = f"{cache}.meta.npz" if cache else None
     t0 = time.perf_counter()
-    if cache and os.path.exists(data_path) and os.path.exists(meta_path):
+    cache_hit = bool(
+        cache and os.path.exists(data_path) and os.path.exists(meta_path))
+    if cache_hit:
         cached = np.load(data_path, mmap_mode="r")
         meta = np.load(meta_path)
         if cached.shape != (n, dim):
+            # stale/foreign cache (e.g. the miniature CI twin ran at this
+            # path): regenerate, and DO overwrite below so the next run at
+            # this shape hits
             log(f"corpus cache shape {cached.shape} != ({n}, {dim}); "
                 "regenerating")
-            cache = None
-    if cache and os.path.exists(data_path) and os.path.exists(meta_path):
+            cache_hit = False
+            del cached, meta
+    if cache_hit:
         for lo in range(0, n, blk_rows):
             hi = min(lo + blk_rows, n)
             store.fill_rows(lo, np.ascontiguousarray(cached[lo:hi]))

@@ -13,9 +13,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 
 @pytest.fixture()
-def beyond_flat_env(monkeypatch):
+def beyond_flat_env(monkeypatch, tmp_path):
     monkeypatch.setenv("FVDB_BENCH_10M_N", "60000")
     monkeypatch.setenv("FVDB_FLAT_THRESHOLD", "32768")  # force reduced-rank
+    # own cache prefix: never touch the real bench's /tmp/fvdb_bench10m
+    monkeypatch.setenv("FVDB_BENCH_10M_CACHE", str(tmp_path / "corpus"))
     from fabstir_vectordb_tpu.utils import limits
 
     monkeypatch.setattr(limits, "FLAT_THRESHOLD", 32768)
