@@ -641,8 +641,9 @@ class FusedSearcher:
         n_rows = proj["n_rows"]
         mask = self._members_state(n_rows)
         if extra_mask is not None:
-            mask = mask & self._device_mask(
-                np.ascontiguousarray(extra_mask[:n_rows]))
+            # reconcile to the mirror's row count (a count-sized or stale
+            # capacity-sized mask must crop/pad, not broadcast-error)
+            mask = mask & self._device_mask(fit_mask(extra_mask, n_rows))
         oversample = limits.pca_oversample() or proj["oversample"]
         ov_k = min(bucket(k * oversample), int(proj["xp"].shape[0]))
         qp = (q - proj["mu"]) @ proj["p"]  # [B, rank] on device

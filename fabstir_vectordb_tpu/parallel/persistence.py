@@ -114,7 +114,12 @@ def load_sharded_flat(
         x_sq[lo:hi] = obj["x_sq"]
         mask[lo:hi] = obj["mask"].astype(bool)
     shard = NamedSharding(mesh, P(axis))
-    dtype = np.bfloat16 if man["dtype"] == "bfloat16" else np.float32
+    if man["dtype"] == "bfloat16":
+        import ml_dtypes
+
+        dtype = ml_dtypes.bfloat16  # numpy has no native bfloat16
+    else:
+        dtype = np.float32
     import jax.numpy as jnp
     return (
         jax.device_put(jnp.asarray(x, dtype), shard),

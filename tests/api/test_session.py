@@ -265,6 +265,58 @@ class TestPersistenceRoundtrip:
         res9 = s2.search(inputs[9]["vector"], 40)
         assert all(r["id"] != "doc9" for r in res9)
 
+    def test_metadata_updates_persist_after_save_load(self):
+        """Twin of the reference's metadata-update persistence suite
+        (reference: tests/integration/metadata_update_persistence_tests.rs:66-149):
+        update some vectors' metadata, save, reload in a fresh session —
+        updated fields present, untouched vectors keep their originals."""
+        store = MemoryObjectStore()
+        s = make_session("sess-mu", store)
+        s.add_vectors(vec_inputs(
+            5, meta=lambda i: {"status": "initial", "timestamp": 1000}))
+        s.update_metadata(
+            "doc1",
+            {"status": "updated", "extra": "new field", "timestamp": 2000})
+        s.update_metadata("doc3", {"status": "modified", "timestamp": 3000})
+        cid = s.save_to_s5()
+
+        s2 = make_session("sess-mu-2", store)
+        s2.load_user_vectors(cid)
+        by_id = {r["id"]: r["metadata"]
+                 for r in s2.search([0.0] * 8, 5, {"threshold": -1.0})}
+        assert by_id["doc1"]["status"] == "updated"
+        assert by_id["doc1"]["extra"] == "new field"
+        assert by_id["doc1"]["timestamp"] == 2000
+        assert by_id["doc3"]["status"] == "modified"
+        assert by_id["doc3"]["timestamp"] == 3000
+        # untouched vector keeps its original metadata
+        assert by_id["doc0"]["status"] == "initial"
+        assert by_id["doc0"]["timestamp"] == 1000
+        assert s2.get_stats().vector_count == 5
+
+    def test_rich_metadata_types_survive_roundtrip(self):
+        """Nested objects, arrays, booleans, and nulls round-trip through
+        save/load intact (reference:
+        tests/integration/metadata_update_persistence_tests.rs:290-354)."""
+        store = MemoryObjectStore()
+        s = make_session("sess-rich", store)
+        meta = {
+            "nested": {"deep": {"value": "data-0"}},
+            "array": [1, 2, 3],
+            "bool": True,
+            "null": None,
+        }
+        s.add_vectors(
+            [{"id": "r0", "vector": [0.5] * 8, "metadata": meta}])
+        cid = s.save_to_s5()
+        s2 = make_session("sess-rich-2", store)
+        s2.load_user_vectors(cid)
+        got = s2.search([0.5] * 8, 1)[0]["metadata"]
+        assert got["nested"]["deep"]["value"] == "data-0"
+        assert got["array"] == [1, 2, 3]
+        assert got["bool"] is True
+        assert got["null"] is None
+
     def test_load_missing_cid_fails(self):
         s = make_session()
         with pytest.raises(VectorDBError) as e:

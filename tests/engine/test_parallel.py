@@ -292,6 +292,41 @@ def test_sharded_flat_persistence_reshard(mesh, rng):
     assert 33 not in np.asarray(rows8)
 
 
+def test_sharded_flat_persistence_bf16_reshard(mesh, rng):
+    """A bf16-resident sharded corpus round-trips (the manifest records
+    dtype=bfloat16; numpy has no native bfloat16, so load must go through
+    ml_dtypes)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fabstir_vectordb_tpu.core.object_store import MemoryObjectStore
+    from fabstir_vectordb_tpu.parallel import (
+        load_sharded_flat,
+        save_sharded_flat,
+    )
+
+    n, d, b, k = 256, 16, 4, 5
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    mask = np.ones(n, bool)
+    shard = NamedSharding(mesh, P("data"))
+    xd = jax.device_put(jnp.asarray(x, jnp.bfloat16), shard)
+    sqd = jax.device_put((x * x).sum(1), shard)
+    md = jax.device_put(mask, shard)
+
+    store = MemoryObjectStore()
+    save_sharded_flat(store, "mc/bf16", xd, sqd, md)
+
+    vals8, rows8 = sharded_flat_search(mesh)(xd, sqd, md, q, k)
+    mesh_small = cpu_mesh(4)
+    x2, sq2, m2 = load_sharded_flat(store, "mc/bf16", mesh_small)
+    assert x2.dtype == jnp.bfloat16
+    vals4, rows4 = sharded_flat_search(mesh_small)(x2, sq2, m2, q, k)
+    np.testing.assert_array_equal(np.asarray(rows4), np.asarray(rows8))
+    np.testing.assert_allclose(
+        np.asarray(vals4), np.asarray(vals8), rtol=1e-2, atol=1e-2)
+
+
 def test_sharded_ivf_persistence_reshard(mesh, rng):
     from fabstir_vectordb_tpu.core.object_store import MemoryObjectStore
     from fabstir_vectordb_tpu.parallel import (
