@@ -12,6 +12,7 @@ from .sharded import (
     ShardedHNSWState,
     shard_hnsw_state,
 )
+from .ingest import ShardedBuilder, sharded_assign_clusters
 from .persistence import (
     save_sharded_flat,
     load_sharded_flat,
@@ -21,6 +22,8 @@ from .persistence import (
 )
 
 __all__ = [
+    "ShardedBuilder",
+    "sharded_assign_clusters",
     "save_sharded_flat",
     "load_sharded_flat",
     "save_sharded_ivf",

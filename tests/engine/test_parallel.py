@@ -434,3 +434,66 @@ def test_sharded_flat_scaling_100k(rng):
         curve.append((n_dev, ms))
     print("\nsharded flat 100Kx64 warm latency (virtual CPU mesh): "
           + ", ".join(f"{nd}dev={ms:.1f}ms" for nd, ms in curve))
+
+
+# --------------------------------------------------------------------------
+# Mesh-parallel ingest (ShardedBuilder + sharded_assign_clusters)
+# --------------------------------------------------------------------------
+
+
+def _sharded_build(n_dev, vecs, seed=5, ef=32):
+    from fabstir_vectordb_tpu.index import HNSWConfig, HNSWIndex, VectorStore
+    from fabstir_vectordb_tpu.parallel import ShardedBuilder
+
+    store = VectorStore(vecs.shape[1])
+    rows = store.add_batch([f"v{i}" for i in range(len(vecs))], vecs)
+    hnsw = HNSWIndex(store, HNSWConfig(
+        seed=seed, ef_construction=ef, bootstrap_threshold=128))
+    ShardedBuilder(hnsw, cpu_mesh(n_dev)).insert_rows(rows, sub_batch=256)
+    return hnsw
+
+
+def test_sharded_build_mesh_size_invariant(rng):
+    """The mesh-parallel build produces the SAME graph at every mesh size:
+    exact per-shard top-ef pools merge to the exact global pool (requires
+    ef <= rows/device, which any real corpus satisfies), so adjacency is
+    bit-identical across 1/2/8 devices."""
+    vecs = rng.standard_normal((1024, 16)).astype(np.float32)
+    ref = _sharded_build(1, vecs)
+    for n_dev in (2, 8):
+        got = _sharded_build(n_dev, vecs)
+        assert got.entry_point == ref.entry_point
+        assert got.max_level == ref.max_level
+        np.testing.assert_array_equal(got.levels, ref.levels)
+        np.testing.assert_array_equal(got.nbrs0, ref.nbrs0)
+        np.testing.assert_array_equal(got.nbrs_up, ref.nbrs_up)
+
+
+def test_sharded_build_recall(rng):
+    """Graph built on the mesh serves with the same quality bar as the
+    single-chip builder."""
+    from fabstir_vectordb_tpu.index import FlatIndex
+    from fabstir_vectordb_tpu.index.flat import recall_at_k
+
+    vecs = rng.standard_normal((1024, 16)).astype(np.float32)
+    hnsw = _sharded_build(8, vecs)
+    q = vecs[:32] + 0.01 * rng.standard_normal((32, 16)).astype(np.float32)
+    _, rows = hnsw.search_rows(q, 10, ef=64)
+    rec = recall_at_k(FlatIndex(hnsw.store), rows, q, 10)
+    assert rec >= 0.95
+
+
+def test_sharded_assign_clusters_matches_host(rng):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fabstir_vectordb_tpu.parallel import sharded_assign_clusters
+
+    mesh = cpu_mesh(8)
+    n, d, c = 512, 16, 12
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    cents = rng.standard_normal((c, d)).astype(np.float32)
+    xd = jax.device_put(x, NamedSharding(mesh, P("data")))
+    got = np.asarray(sharded_assign_clusters(mesh)(xd, cents))
+    want = np.argmin(
+        ((x[:, None, :] - cents[None]) ** 2).sum(-1), axis=1)
+    np.testing.assert_array_equal(got, want)
