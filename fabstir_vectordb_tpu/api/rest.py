@@ -429,6 +429,65 @@ def create_app(config: ApiConfig | None = None,
             }
         )
 
+    async def metrics(request: web.Request):
+        """Prometheus text exposition (version 0.0.4) of the same counters
+        /admin/statistics serves as JSON. Beyond reference parity: the
+        reference has no Prometheus/OTel surface at all (SURVEY §5
+        observability)."""
+        from .. import __version__
+
+        lines = [
+            "# HELP fvdb_build_info Build metadata.",
+            "# TYPE fvdb_build_info gauge",
+            f'fvdb_build_info{{version="{__version__}"}} 1',
+            "# HELP fvdb_stream_subscribers Live SSE/WS subscribers.",
+            "# TYPE fvdb_stream_subscribers gauge",
+            f"fvdb_stream_subscribers {len(state.subscribers)}",
+            "# HELP fvdb_coalescer_requests_total Search requests received.",
+            "# TYPE fvdb_coalescer_requests_total counter",
+            f"fvdb_coalescer_requests_total {state.coalescer.requests}",
+            "# HELP fvdb_coalescer_dispatches_total Device batches dispatched.",
+            "# TYPE fvdb_coalescer_dispatches_total counter",
+            f"fvdb_coalescer_dispatches_total {state.coalescer.dispatches}",
+        ]
+        if state.session.index is not None:
+            stats = (await state.run(state.session.get_stats)).to_json()
+            perf = state.session.monitor.stats()
+            info = state.session.index.fused.serving_info()
+            lines += [
+                "# HELP fvdb_vectors Active vectors per index tier.",
+                "# TYPE fvdb_vectors gauge",
+                f'fvdb_vectors{{index="hnsw"}} {stats["hnswVectorCount"]}',
+                f'fvdb_vectors{{index="ivf"}} {stats["ivfVectorCount"]}',
+                "# HELP fvdb_deleted_vectors Soft-deleted (pre-vacuum) rows.",
+                "# TYPE fvdb_deleted_vectors gauge",
+                f"fvdb_deleted_vectors {stats['totalDeletedCount']}",
+                "# HELP fvdb_memory_usage_mb Estimated host index memory.",
+                "# TYPE fvdb_memory_usage_mb gauge",
+                f"fvdb_memory_usage_mb {stats['memoryUsageMb']}",
+                "# HELP fvdb_searches_total Searches served.",
+                "# TYPE fvdb_searches_total counter",
+                f"fvdb_searches_total {perf.get('total_searches', 0)}",
+                "# HELP fvdb_serving_regime_info Active query plan.",
+                "# TYPE fvdb_serving_regime_info gauge",
+                f'fvdb_serving_regime_info{{regime="{info["regime"]}",'
+                f'dtype="{info["serving_dtype"]}"}} 1',
+            ]
+            if perf.get("total_searches", 0):
+                lines += [
+                    "# HELP fvdb_search_latency_ms Search latency quantiles.",
+                    "# TYPE fvdb_search_latency_ms summary",
+                    'fvdb_search_latency_ms{quantile="0.5"} '
+                    f"{perf['p50_ms']:.3f}",
+                    'fvdb_search_latency_ms{quantile="0.99"} '
+                    f"{perf['p99_ms']:.3f}",
+                ]
+        return web.Response(
+            text="\n".join(lines) + "\n",
+            content_type="text/plain",
+            charset="utf-8",
+        )
+
     async def migrate(request: web.Request):
         if state.session.index is None:
             return _error(409, "index not initialized", "SESSION_ERROR")
@@ -594,6 +653,7 @@ def create_app(config: ApiConfig | None = None,
     app.router.add_delete(f"{prefix}/vectors/{{id}}", delete_vector)
     app.router.add_post(f"{prefix}/search", search)
     app.router.add_get(f"{prefix}/admin/statistics", statistics)
+    app.router.add_get("/metrics", metrics)  # Prometheus scrape endpoint
     app.router.add_post(f"{prefix}/admin/migrate", migrate)
     app.router.add_post(f"{prefix}/admin/rebalance", rebalance)
     app.router.add_post(f"{prefix}/admin/backup", backup)

@@ -125,6 +125,32 @@ async def test_statistics(client):
     assert body["index"]["vectorCount"] == 20
 
 
+async def test_metrics_prometheus_exposition(client):
+    """/metrics serves Prometheus text format with the live counters
+    (beyond reference parity: the reference has no Prometheus surface)."""
+    await seed_data(client)
+    # drive one search so latency quantiles exist
+    resp = await client.post(
+        "/api/v1/search", json={"vector": vecs(1)[0], "k": 3})
+    assert resp.status == 200
+    resp = await client.get("/metrics")
+    assert resp.status == 200
+    assert resp.content_type == "text/plain"
+    text = await resp.text()
+    assert 'fvdb_build_info{version="' in text
+    assert 'fvdb_vectors{index="hnsw"}' in text
+    assert "fvdb_searches_total 1" in text
+    assert 'fvdb_search_latency_ms{quantile="0.5"}' in text
+    assert 'fvdb_serving_regime_info{regime="' in text
+    # every non-comment line is "name{labels} value" parseable
+    for line in text.splitlines():
+        if line.startswith("#") or not line:
+            continue
+        name_part, value = line.rsplit(" ", 1)
+        float(value)
+        assert name_part.startswith("fvdb_")
+
+
 async def test_admin_migrate_and_rebalance(client):
     await seed_data(client)
     resp = await client.post("/api/v1/admin/migrate")
