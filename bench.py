@@ -234,7 +234,11 @@ def bench_cold_serve(idx, tag):
         idx2.store.release_mirror()
         del idx2
         gc.collect()
-        return t_load + t_serve
+        # (t_load now INCLUDES the corpus upload: load stages per-chunk
+        # device transfers as blocks decode, so prewarm pays only
+        # graph/tile upload + compile — the breakdown metric records how
+        # much of serve-ready is host+transfer vs compile)
+        return t_load, t_serve
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -505,12 +509,14 @@ def main() -> None:
         # ---- cold serve-ready from a fresh process ----
         if os.environ.get("FVDB_BENCH_SKIP_COLD", "0") != "1":
             try:
-                cold = bench_cold_serve(idx, "1m")
-                if cold is not None:
-                    # reference full cold path ~1.685 s (685 ms load +
-                    # ~1 s cold search, BASELINE.md)
-                    emit(f"cold_serve_ready_1000k_{dim}d", cold, "s",
-                         1.685 / cold)
+                t_load, t_serve = bench_cold_serve(idx, "1m")
+                cold = t_load + t_serve
+                # reference full cold path ~1.685 s (685 ms load +
+                # ~1 s cold search, BASELINE.md)
+                emit(f"cold_serve_ready_1000k_{dim}d", cold, "s",
+                     1.685 / cold)
+                emit(f"cold_load_1000k_{dim}d", t_load, "s",
+                     0.685 / t_load)
             except Exception as e:  # noqa: BLE001
                 log(f"cold-serve bench failed: {e}")
 

@@ -44,6 +44,65 @@ class DeviceMirror:
     dtype: str = "float32"
 
 
+class MirrorStager:
+    """Assembles a device mirror from row blocks WHILE the host is still
+    decoding others (cold-start overlap): each ``add`` issues an async
+    ``jax.device_put`` — the host→device transfer rides alongside the
+    remaining chunk fetch/decode work — and ``install`` concatenates the
+    staged blocks on device (plus a device-side zero pad to capacity) and
+    publishes the result as the store's mirror. Serve-ready time drops
+    from load + upload to ~max(load, upload). Blocks may arrive in any
+    order; ``index`` is their position in row order.
+
+    The staged mirror is bit-identical to what ``VectorStore.device()``
+    would upload (same dtype cast, zero tail), so serving results are
+    unchanged — only the timeline moves.
+    """
+
+    def __init__(self, dtype: str = "float32"):
+        import jax
+
+        self.dtype = dtype
+        self._put = jax.device_put
+        self._slots: dict[int, object] = {}
+        self.rows = 0
+
+    def add(self, index: int, block: np.ndarray) -> None:
+        b = np.ascontiguousarray(block, np.float32)
+        if b.size == 0:
+            return
+        if self.dtype == "bfloat16":
+            import ml_dtypes
+
+            b = b.astype(ml_dtypes.bfloat16)
+        self._slots[index] = self._put(b)  # async: transfer in flight
+        self.rows += b.shape[0]
+
+    def install(self, store: "VectorStore") -> None:
+        """Publish the staged mirror for ``store`` (keyed to its CURRENT
+        version — call after every load-time mutation is done). Rows must
+        have been staged in ``index`` order matching store rows [0, n)."""
+        jdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        with store._lock:
+            blocks = [self._slots[i] for i in sorted(self._slots)]
+            pad = store.capacity - self.rows
+            if pad > 0:
+                blocks.append(jnp.zeros((pad, store.dim), jdt))
+            x = jnp.concatenate(blocks, axis=0) if len(blocks) > 1 \
+                else blocks[0]
+            self._slots.clear()
+            if self.dtype == "bfloat16":
+                # match device() BIT-EXACTLY (same expression, so the
+                # staged mirror can never disagree with a rebuilt one):
+                # x_sq stays f32 from the host copy
+                x_sq = jnp.asarray(
+                    (store.data.astype(np.float32) ** 2).sum(axis=1))
+            else:
+                x_sq = jnp.sum(x * x, axis=1)
+            store._mirror = DeviceMirror(
+                x=x, x_sq=x_sq, version=store._version, dtype=self.dtype)
+
+
 class VectorStore:
     """Host-canonical vector rows + device mirror.
 

@@ -79,6 +79,20 @@ class ChunkLoader:
         """Fetch many chunks concurrently; order matches input keys."""
         return list(self._pool.map(self.load_chunk, keys))
 
+    def load_chunks_iter(self, keys: list):
+        """Yield ``(index, chunk)`` pairs AS EACH FETCH COMPLETES
+        (completion order, not input order). Lets callers overlap
+        per-chunk work — device uploads, store writes — with the
+        remaining fetches instead of waiting for the full set."""
+        from concurrent.futures import as_completed
+
+        futures = {
+            self._pool.submit(self.load_chunk, key): i
+            for i, key in enumerate(keys)
+        }
+        for fut in as_completed(futures):
+            yield futures[fut], fut.result()
+
     def close(self) -> None:
         self._pool.shutdown(wait=False)
 

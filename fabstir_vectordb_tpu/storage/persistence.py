@@ -98,6 +98,27 @@ def _hybrid_config_json(cfg: HybridConfig) -> dict:
     }
 
 
+def _maybe_stager(n_total: int, dim: int):
+    """A MirrorStager when the loaded corpus will serve from a full-dim
+    HBM mirror and TWO copies fit the budget transiently (staged blocks +
+    the concatenated mirror coexist during install); None otherwise —
+    beyond-flat regimes build their own (reduced-rank) mirror and must not
+    have a full-dim one uploaded behind their back."""
+    from ..utils import limits
+    from ..utils.padding import grow_capacity
+
+    dtype = limits.serving_dtype()
+    cap = grow_capacity(max(int(n_total), 1))
+    if cap > limits.effective_flat_threshold():
+        return None
+    bytes_row = dim * (2 if dtype == "bfloat16" else 4)
+    if 2 * cap * bytes_row + (1 << 30) > limits.hbm_budget_bytes():
+        return None
+    from ..index.store import MirrorStager
+
+    return MirrorStager(dtype)
+
+
 def _hybrid_config_from_json(obj: dict) -> HybridConfig:
     h = obj.get("hnsw") or {}
     v = obj.get("ivf") or {}
@@ -377,18 +398,34 @@ class HybridPersister:
         ids_packed = state.get("ids_packed")
 
         deferred = lazy and ids_packed is not None
+        stager = None
         if deferred:
             ids = _unpack_ids(ids_packed)
             blocks: list = []
         else:
-            chunks = self.loader.load_chunks_parallel(keys)
+            # stream chunks in completion order and STAGE each block's
+            # device transfer immediately (async device_put): the corpus
+            # upload overlaps the remaining fetch/decode work, so cold
+            # serve-ready time is ~max(host load, device upload) instead of
+            # their sum (VERDICT r2 #5 cold-start budget)
+            slot_ids: list = [None] * len(keys)
+            slot_data: list = [None] * len(keys)
+            for i, c in self.loader.load_chunks_iter(keys):
+                slot_ids[i] = c.ids
+                slot_data[i] = c.data
+                if c.data.shape[0]:
+                    dim = dim or int(c.data.shape[1])
+                    if stager is None:
+                        stager = _maybe_stager(
+                            manifest.total_vectors, dim)
+                    if stager is not None:
+                        stager.add(i, c.data)
             ids = []
             blocks = []
-            for c in chunks:
-                ids.extend(c.ids)
-                if c.data.shape[0]:
-                    blocks.append(c.data)
-                    dim = dim or int(c.data.shape[1])
+            for cids, cdata in zip(slot_ids, slot_data):
+                ids.extend(cids)
+                if cdata.shape[0]:
+                    blocks.append(cdata)
         dim = dim or 1
         n = len(ids)
         if n != manifest.total_vectors:
@@ -429,6 +466,10 @@ class HybridPersister:
             if idx.store.contains(vid):
                 idx.store.mark_deleted(vid)
         idx.initialized = True
+        if stager is not None and stager.rows == n:
+            # publish the overlapped mirror AFTER every load-time version
+            # bump so it stays valid for the first search
+            stager.install(idx.store)
 
         if deferred and n:
             import threading
@@ -440,11 +481,19 @@ class HybridPersister:
 
             def _materialize() -> None:
                 try:
-                    pos = 0
-                    for chunk in loader.load_chunks_parallel(keys):
-                        store.fill_rows(pos, chunk.data)
-                        pos += len(chunk)
+                    lazy_stager = _maybe_stager(n, store.dim)
+                    # completion-order streaming: each chunk fills its
+                    # recorded row range (start_idx == save-order row) and
+                    # stages its device transfer immediately
+                    for i, chunk in loader.load_chunks_iter(keys):
+                        store.fill_rows(chunk.start_idx, chunk.data)
+                        if lazy_stager is not None and chunk.data.shape[0]:
+                            lazy_stager.add(i, chunk.data)
                     store.bump_version()
+                    if lazy_stager is not None and lazy_stager.rows == n:
+                        # first search after wait_ready() pays no corpus
+                        # upload (same overlap as the eager path)
+                        lazy_stager.install(store)
                 except Exception as e:  # noqa: BLE001 - surfaced on wait_ready
                     idx._load_error = e
                 finally:

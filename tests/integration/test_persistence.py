@@ -776,3 +776,74 @@ def test_chunk_loader_inflight_dedup_under_concurrency():
     assert len(results) == 4
     assert all(r.ids == results[0].ids for r in results)
     assert slow.gets == 1, f"expected one shared fetch, got {slow.gets}"
+
+
+class TestStagedMirror:
+    """Cold-start overlap: load_index_chunked stages the device mirror
+    while chunks decode, so the first search pays no corpus upload."""
+
+    def _roundtrip(self, monkeypatch=None, dtype=None):
+        import jax.numpy as jnp
+
+        idx, vecs = build_hybrid(n=250)
+        store = MemoryObjectStore()
+        HybridPersister(store).save_index_chunked(idx, "sm", chunk_size=100)
+        idx2, _ = HybridPersister(store).load_index_chunked("sm")
+        return idx2, vecs
+
+    def test_mirror_staged_and_identical_f32(self):
+        import jax.numpy as jnp
+
+        idx2, vecs = self._roundtrip()
+        m = idx2.store._mirror
+        assert m is not None, "load did not stage the mirror"
+        assert m.version == idx2.store._version
+        assert m.dtype == "float32"
+        staged_x = np.asarray(m.x)
+        # identical to what device() would upload
+        idx2.store.release_mirror()
+        rebuilt = idx2.store.device()
+        np.testing.assert_array_equal(staged_x, np.asarray(rebuilt.x))
+
+    def test_mirror_staged_identical_bf16(self, monkeypatch):
+        monkeypatch.setenv("FVDB_SERVING_DTYPE", "bfloat16")
+        idx2, vecs = self._roundtrip()
+        m = idx2.store._mirror
+        assert m is not None and m.dtype == "bfloat16"
+        staged_x = np.asarray(m.x)
+        staged_sq = np.asarray(m.x_sq)
+        idx2.store.release_mirror()
+        rebuilt = idx2.store.device(dtype="bfloat16")
+        np.testing.assert_array_equal(staged_x, np.asarray(rebuilt.x))
+        np.testing.assert_array_equal(staged_sq, np.asarray(rebuilt.x_sq))
+
+    def test_search_results_unchanged_by_staging(self):
+        idx2, vecs = self._roundtrip()
+        q = vecs[:8] + 0.01
+        d1, r1 = idx2.search_rows(q, 5, config=SearchConfig(auto_migrate=False),
+                                  now=NOW)
+        idx2.store.release_mirror()
+        idx2.fused._dev = None
+        idx2.fused._key = None
+        d2, r2 = idx2.search_rows(q, 5, config=SearchConfig(auto_migrate=False),
+                                  now=NOW)
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-6, atol=1e-6)
+
+    def test_no_stager_beyond_flat_threshold(self, monkeypatch):
+        """Beyond-flat corpora must NOT get a full-dim mirror uploaded
+        behind the reduced-rank regime's back."""
+        from fabstir_vectordb_tpu.storage.persistence import _maybe_stager
+
+        monkeypatch.setenv("FVDB_FLAT_THRESHOLD", "1024")
+        from fabstir_vectordb_tpu.utils import limits
+
+        monkeypatch.setattr(limits, "FLAT_THRESHOLD", 1024)
+        assert _maybe_stager(2048, 16) is None
+        assert _maybe_stager(512, 16) is not None
+
+    def test_no_stager_over_hbm_budget(self, monkeypatch):
+        from fabstir_vectordb_tpu.storage.persistence import _maybe_stager
+
+        monkeypatch.setenv("FVDB_HBM_BUDGET_GB", "0.000001")
+        assert _maybe_stager(512, 16) is None
