@@ -38,7 +38,8 @@ from ..utils.padding import round_up
 
 
 def sharded_flat_search(mesh: Mesh, axis: str = "data",
-                        select: str = "exact", oversample: int = 128):
+                        select: str = "exact", oversample: int = 128,
+                        query_axis: str | None = None):
     """Builds a jitted exact search over a row-sharded corpus.
 
     Returns fn(x [N, D] sharded, x_sq [N], mask [N], q [B, D] replicated, k)
@@ -52,9 +53,16 @@ def sharded_flat_search(mesh: Mesh, axis: str = "data",
     so only [n_dev, B, k] candidates cross the interconnect either way —
     the collective cost is identical, the per-shard selection drops from
     the batched top_k bottleneck to O(N_local).
+
+    ``query_axis`` (2D mesh) additionally shards the QUERY batch: rows
+    shard over ``axis``, queries over ``query_axis`` (B divisible by its
+    size), results come back query-sharded. Capacity scaling and serving
+    data-parallelism compose on one mesh — the all_gather still runs only
+    over the row axis, so ICI traffic per query is unchanged.
     """
     if select not in ("exact", "approx"):
         raise ValueError(f"select must be exact|approx, got {select}")
+    qspec = P(query_axis) if query_axis else P()
 
     def body(x, x_sq, mask, q, k: int):
         n_local = x.shape[0]
@@ -94,8 +102,8 @@ def sharded_flat_search(mesh: Mesh, axis: str = "data",
         f = jax.shard_map(
             partial(body, k=k),
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P()),
-            out_specs=(P(), P()),
+            in_specs=(P(axis), P(axis), P(axis), qspec),
+            out_specs=(qspec, qspec),
             check_vma=False,  # outputs replicated via all_gather+top_k
         )
         return f(x, x_sq, mask, q)

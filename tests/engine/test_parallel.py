@@ -497,3 +497,31 @@ def test_sharded_assign_clusters_matches_host(rng):
     want = np.argmin(
         ((x[:, None, :] - cents[None]) ** 2).sum(-1), axis=1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_flat_2d_mesh_query_sharding(rng):
+    """2D mesh for the flat regime: rows shard over one axis, queries over
+    the other; results equal the 1D row-sharded search."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices("cpu")[:8]
+    mesh2 = Mesh(np.array(devs).reshape(4, 2), ("data", "query"))
+    n, d, b, k = 512, 16, 4, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    mask = np.ones(n, bool)
+    mask[9] = False
+    x_sq = (x * x).sum(1)
+
+    xd = jax.device_put(x, NamedSharding(mesh2, P("data")))
+    sqd = jax.device_put(x_sq, NamedSharding(mesh2, P("data")))
+    md = jax.device_put(mask, NamedSharding(mesh2, P("data")))
+    qd = jax.device_put(q, NamedSharding(mesh2, P("query")))
+    fn2 = sharded_flat_search(mesh2, query_axis="query")
+    vals2, rows2 = fn2(xd, sqd, md, qd, k)
+
+    ref = sharded_flat_search(cpu_mesh(8))(x, x_sq, mask, q, k)
+    np.testing.assert_array_equal(np.asarray(rows2), np.asarray(ref[1]))
+    np.testing.assert_allclose(np.asarray(vals2), np.asarray(ref[0]),
+                               rtol=1e-5, atol=1e-5)
+    assert 9 not in np.asarray(rows2)
