@@ -767,6 +767,33 @@ class FusedSearcher:
                     and cap > k:
                 from ..utils.padding import bucket
 
+                if limits.bf16_host_refine():
+                    # device cut + exact host refine from the canonical
+                    # f32 rows (the reduced-rank regime's shipped stage-2
+                    # shape): the device rerank is exact only w.r.t. the
+                    # STORED bf16 rows — measured 0.987 recall@10 at 5M
+                    # against the f32 oracle. A wider pool + tiny host
+                    # re-score removes the storage-rounding term and
+                    # restores the exact-score API contract.
+                    ov_k = min(bucket(max(8 * k, 128)), cap)
+                    m = min(bucket(max(32, 4 * k)), ov_k)
+                    vals, rows = flat_search_rerank_kernel(
+                        dev["x"], dev["x_sq"], mask, q, m, ov_k)
+                    store = self.hybrid.store
+
+                    def refine(vals_np, rows_np):
+                        safe = np.maximum(rows_np, 0)
+                        diff = store.data[safe] \
+                            - queries_np[:, None, :]  # [B, m, D] — small
+                        d = np.einsum("bmd,bmd->bm", diff, diff)
+                        d = np.where(rows_np >= 0, d, np.inf)
+                        order = np.argsort(d, axis=1, kind="stable")[:, :k]
+                        return (
+                            np.take_along_axis(d, order, axis=1),
+                            np.take_along_axis(rows_np, order, axis=1),
+                        )
+
+                    return vals, rows, refine
                 ov_k = min(bucket(max(4 * k, 64)), cap)
                 vals, rows = flat_search_rerank_kernel(
                     dev["x"], dev["x_sq"], mask, q, k, ov_k)

@@ -178,6 +178,7 @@ def test_bf16_flat_rerank_restores_exact_ranking(monkeypatch):
     d_exact = ((q[:, None, :] - stored[None]) ** 2).sum(-1)[0]
     want = set(np.argsort(d_exact, kind="stable")[:k].tolist())
 
+    monkeypatch.setenv("FVDB_BF16_REFINE", "0")  # device-only rerank here
     monkeypatch.setenv("FVDB_BF16_RERANK", "0")
     _, rows_raw = idx.search_rows(
         q, k, config=SearchConfig(auto_migrate=False), now=NOW)
@@ -193,6 +194,38 @@ def test_bf16_flat_rerank_restores_exact_ranking(monkeypatch):
     # the raw scan must actually have been broken on this corpus, or the
     # test proves nothing
     assert raw_hits < 1.0, "near-tie corpus no longer trips the raw scan"
+
+
+def test_bf16_host_refine_exact_vs_canonical_f32(monkeypatch):
+    """With FVDB_BF16_REFINE (default on) the bf16 flat regime re-scores
+    the device-cut survivors from the canonical f32 host rows: top-k and
+    distances must match the exact f32 oracle exactly — the storage-
+    rounding recall gap (measured 0.987 at 5M device-only) closes."""
+    rng = np.random.default_rng(4)
+    dim, n, k = 64, 4096, 10
+    base = rng.standard_normal(dim).astype(np.float32) * 2
+    vecs = (base[None, :]
+            + 0.3 * rng.standard_normal((n, dim)).astype(np.float32))
+    idx = HybridIndex(dim, HybridConfig(auto_migrate=False))
+    idx.initialize(vecs[:100])
+    idx.insert_batch([f"v{i}" for i in range(n)], vecs,
+                     np.full(n, NOW - DAY), now=NOW)
+
+    monkeypatch.setenv("FVDB_SERVING_DTYPE", "bfloat16")
+    monkeypatch.setenv("FVDB_BF16_RERANK", "1")
+    monkeypatch.setenv("FVDB_BF16_REFINE", "1")
+
+    q = (base[None, :] + 0.01).astype(np.float32)
+    d_exact = ((q[:, None, :] - vecs[None]) ** 2).sum(-1)[0]
+    order = np.argsort(d_exact, kind="stable")[:k]
+
+    d_got, rows_got = idx.search_rows(
+        q, k, config=SearchConfig(auto_migrate=False), now=NOW)
+    np.testing.assert_array_equal(rows_got[0], order)
+    # scores are exact f32 distances to the canonical rows (search_rows
+    # returns true euclidean)
+    np.testing.assert_allclose(
+        d_got[0], np.sqrt(d_exact[order]), rtol=1e-6, atol=1e-6)
 
 
 def test_reduced_rank_calibration_and_rerank_modes(monkeypatch):
