@@ -74,6 +74,8 @@ def main() -> None:
     ap.add_argument("--recent", type=float, default=0.02)
     ap.add_argument("--efs", type=int, nargs="+", default=[64, 128])
     ap.add_argument("--probes", type=int, nargs="+", default=[16, 32])
+    ap.add_argument("--flat-only", action="store_true",
+                    help="measure only the flat regime (skip pca + pruned)")
     args = ap.parse_args()
 
     from fabstir_vectordb_tpu.utils.compile_cache import enable_persistent_cache
@@ -129,7 +131,12 @@ def main() -> None:
 
     dev = idx.fused._device_state()
     hbm_vec_gb = dev["x"].nbytes / 1e9
+    mirror_rows = int(dev["x"].shape[0])
     log(f"device mirror: {dev['x'].dtype} {dev['x'].shape} = {hbm_vec_gb:.1f} GB")
+    # drop the script's reference: holding this dict pins the full-dim
+    # mirror in HBM across the pca/pruned regime switches below (two
+    # corpus mirrors + the pca state coexisting OOM'd a 5M run)
+    del dev
 
     scale_tag = (f"{n//1_000_000}M" if n >= 1_000_000
                  else f"{n//1000}K")
@@ -171,7 +178,7 @@ def main() -> None:
     # --- regime 1: whatever the dtype-aware threshold picks (bf16 at <=8.4M
     # padded rows: the exact flat scan — matmuls stream at HBM bandwidth) ---
     eff = limits.effective_flat_threshold()
-    flat_now = dev["x"].shape[0] <= eff
+    flat_now = mirror_rows <= eff
     log(f"effective flat threshold {eff} -> "
         f"{'flat-exact' if flat_now else 'pruned'} serving at this scale")
     if flat_now:
@@ -185,6 +192,9 @@ def main() -> None:
                 measure("flat-no-rerank", args.efs[0], args.probes[0])
             finally:
                 os.environ.pop("FVDB_BF16_RERANK", None)
+
+    if args.flat_only:
+        return
 
     # --- regime 2: reduced-rank serving (PCA stage-1 + exact rerank) —
     # the DEFAULT plan past bf16 residency: matmul-bound, 4x less HBM ---
