@@ -62,7 +62,8 @@ def sharded_assign_clusters(mesh: Mesh, axis: str = "data"):
         d = pairwise_distance(x, centroids)
         return jnp.argmin(d, axis=1).astype(jnp.int32)
 
-    return jax.jit(
+    n_dev = mesh.shape[axis]
+    f = jax.jit(
         jax.shard_map(
             body, mesh=mesh,
             in_specs=(P(axis), P()),
@@ -70,6 +71,23 @@ def sharded_assign_clusters(mesh: Mesh, axis: str = "data"):
             check_vma=False,
         )
     )
+
+    def run(x, centroids):
+        n = int(x.shape[0])
+        pad = round_up(n, n_dev) - n
+        if pad == 0:
+            return f(x, centroids)
+        if not isinstance(x, np.ndarray):
+            raise ValueError(
+                f"row count {n} must divide by the {n_dev}-device mesh for "
+                "pre-sharded inputs; pass a host array to get padded "
+                "automatically"
+            )
+        xp = np.concatenate(
+            [x, np.zeros((pad, x.shape[1]), x.dtype)], axis=0)
+        return f(xp, centroids)[:n]
+
+    return run
 
 
 class ShardedBuilder:
@@ -101,11 +119,13 @@ class ShardedBuilder:
         self._x_sq = None
         self._mask = None
         self._n_pad = 0
+        self._corpus_key = None  # (store version, capacity) of the upload
 
     # ------------------------------------------------------------- corpus
     def _upload_corpus(self) -> None:
-        """Shard the store's row prefix over the mesh (one upload per
-        build; the store must hold every row that will be linked)."""
+        """Shard the store's row prefix over the mesh (re-uploaded whenever
+        the store's version changes — rows added between builds must not
+        be scanned as the zeros their slots held at the last upload)."""
         store = self.hnsw.store
         n_pad = round_up(store.capacity, self._n_dev)
         shard = NamedSharding(self.mesh, P(self.axis))
@@ -121,6 +141,7 @@ class ShardedBuilder:
         mask[: len(m)] = m
         self._mask = jax.device_put(mask, shard)
         self._n_pad = n_pad
+        self._corpus_key = (store._version, store.capacity)
 
     # -------------------------------------------------------------- build
     def insert_rows(self, rows: np.ndarray, sub_batch: int = 1024) -> None:
@@ -144,11 +165,16 @@ class ShardedBuilder:
             if rows.size == 0:
                 return
 
-        if self._x is None or self._n_pad < hnsw.store.capacity:
+        store = hnsw.store
+        if (self._x is None
+                or self._corpus_key != (store._version, store.capacity)):
+            # version change covers rows added/overwritten since the last
+            # build — scanning their slots as the stale upload's zeros
+            # would silently link by distance-to-origin
             self._upload_corpus()
         else:
-            # reconcile the device mask to host membership (rows linked by
-            # the bootstrap path above, or since the last build)
+            # same corpus bytes: just reconcile the device mask to host
+            # membership (rows linked by the bootstrap path above)
             m = hnsw._search_mask()
             mask = np.zeros(self._n_pad, bool)
             mask[: len(m)] = m
@@ -156,7 +182,6 @@ class ShardedBuilder:
                 mask, NamedSharding(self.mesh, P(self.axis)))
 
         ef = cfg.ef_construction
-        c_sel = min(ef, 128)  # _HEUR_POOL slice, matches hnsw._kept_host
         for lo in range(0, rows.size, sub_batch):
             batch = rows[lo: lo + sub_batch]
             levels_new = np.array(

@@ -50,6 +50,12 @@ class EncryptedObjectStore(_BaseStore):
         self.allow_plaintext = allow_plaintext
         self._aead = ChaCha20Poly1305(key)
 
+    @property
+    def parallel_fetch(self) -> bool:
+        # forward the wrapped store's IO profile: an AEAD layer over a
+        # network store must keep the chunk loader's full fetch fan-out
+        return getattr(self.inner, "parallel_fetch", False)
+
     def put(self, key: str, data: bytes) -> None:
         nonce = os.urandom(12)
         ct = self._aead.encrypt(nonce, bytes(data), key.encode("utf-8"))

@@ -525,3 +525,43 @@ def test_sharded_flat_2d_mesh_query_sharding(rng):
     np.testing.assert_allclose(np.asarray(vals2), np.asarray(ref[0]),
                                rtol=1e-5, atol=1e-5)
     assert 9 not in np.asarray(rows2)
+
+
+def test_sharded_build_sees_rows_added_between_builds(rng):
+    """A second insert_rows call after new add_batch()es (capacity
+    unchanged) must re-upload the corpus — scanning the new rows' slots
+    as the stale upload's zeros would link by distance-to-origin."""
+    from fabstir_vectordb_tpu.index import HNSWConfig, HNSWIndex, VectorStore
+    from fabstir_vectordb_tpu.parallel import ShardedBuilder
+
+    dim = 16
+    vecs = rng.standard_normal((1024, dim)).astype(np.float32)
+    store = VectorStore(dim, initial_capacity=2048)
+    rows1 = store.add_batch([f"a{i}" for i in range(768)], vecs[:768])
+    hnsw = HNSWIndex(store, HNSWConfig(
+        seed=5, ef_construction=32, bootstrap_threshold=128))
+    builder = ShardedBuilder(hnsw, cpu_mesh(8))
+    builder.insert_rows(rows1, sub_batch=256)
+
+    rows2 = store.add_batch(
+        [f"b{i}" for i in range(256)], vecs[768:])  # capacity unchanged
+    assert store.capacity == 2048
+    builder.insert_rows(rows2, sub_batch=256)
+
+    # the new rows must be findable at their true locations
+    q = vecs[768:784] + 0.001
+    _, got = hnsw.search_rows(q, 1, ef=64)
+    np.testing.assert_array_equal(got[:, 0], rows2[:16])
+
+
+def test_sharded_assign_clusters_pads_uneven_rows(rng):
+    from fabstir_vectordb_tpu.parallel import sharded_assign_clusters
+
+    mesh = cpu_mesh(8)
+    n, d, c = 509, 16, 7  # 509 % 8 != 0
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    cents = rng.standard_normal((c, d)).astype(np.float32)
+    got = np.asarray(sharded_assign_clusters(mesh)(x, cents))
+    assert got.shape == (n,)
+    want = np.argmin(((x[:, None, :] - cents[None]) ** 2).sum(-1), axis=1)
+    np.testing.assert_array_equal(got, want)
