@@ -775,7 +775,8 @@ class FusedSearcher:
                     # against the f32 oracle. A wider pool + tiny host
                     # re-score removes the storage-rounding term and
                     # restores the exact-score API contract.
-                    ov_k = min(bucket(max(8 * k, 128)), cap)
+                    ov_k = min(
+                        bucket(max(8 * k, limits.bf16_oversample())), cap)
                     m = min(bucket(max(32, 4 * k)), ov_k)
                     vals, rows = flat_search_rerank_kernel(
                         dev["x"], dev["x_sq"], mask, q, m, ov_k)

@@ -133,6 +133,15 @@ def bf16_host_refine() -> bool:
     return os.environ.get("FVDB_BF16_REFINE", "1") != "0"
 
 
+def bf16_oversample() -> int:
+    """Exact-pool width floor for the bf16 flat refine
+    (FVDB_BF16_OVERSAMPLE, default 128; the pool is
+    bucket(max(8*k, THIS)) capped at the corpus). Wider pools cost
+    device top-k selection time at batch; narrower pools risk missing
+    true f32 neighbors whose bf16 distances rank past the cut."""
+    return max(32, int(os.environ.get("FVDB_BF16_OVERSAMPLE", 128)))
+
+
 def flat_select() -> str:
     """Flat-regime selection strategy ("exact" | "approx", FVDB_FLAT_SELECT).
 

@@ -76,6 +76,8 @@ def main() -> None:
     ap.add_argument("--probes", type=int, nargs="+", default=[16, 32])
     ap.add_argument("--flat-only", action="store_true",
                     help="measure only the flat regime (skip pca + pruned)")
+    ap.add_argument("--refine-sweep", action="store_true",
+                    help="sweep bf16 refine pool widths + stage-2 placement")
     args = ap.parse_args()
 
     from fabstir_vectordb_tpu.utils.compile_cache import enable_persistent_cache
@@ -184,7 +186,44 @@ def main() -> None:
     if flat_now:
         # with f32 rerank (default): exact near-tie ranking on bf16 mirrors
         measure("flat-exact", args.efs[0], args.probes[0])
+        if args.refine_sweep:
+            # pipelined: the host refine overlaps the NEXT batch's device
+            # program (what the REST coalescer does under load)
+            cfgp = SearchConfig(auto_migrate=False, hnsw_ef=args.efs[0],
+                                ivf_n_probe=args.probes[0])
+            rngq = np.random.default_rng(1)
+            batches = [
+                queries[rngq.integers(0, args.queries, 128)]
+                for _ in range(10)
+            ]
+            idx.search_rows_pipelined(batches[:2], k, config=cfgp, now=NOW)
+            t0 = time.perf_counter()
+            idx.search_rows_pipelined(batches, k, config=cfgp, now=NOW,
+                                      depth=4)
+            qps_pipe = 128 * len(batches) / (time.perf_counter() - t0)
+            log(json.dumps({"path": "flat-exact-pipelined",
+                            "qps": round(qps_pipe, 1)}))
+            print(f"(flat-exact pipelined: {qps_pipe:,.0f} QPS)", flush=True)
         if limits.serving_dtype() == "bfloat16":
+            if args.refine_sweep:
+                # decompose the refine cost: exact-pool width x stage-2
+                # placement (FVDB_BF16_OVERSAMPLE / FVDB_BF16_REFINE)
+                for ov in (64, 128, 256):
+                    os.environ["FVDB_BF16_OVERSAMPLE"] = str(ov)
+                    idx.fused._key = None
+                    try:
+                        measure(f"flat-refine-ov{ov}",
+                                args.efs[0], args.probes[0])
+                    finally:
+                        os.environ.pop("FVDB_BF16_OVERSAMPLE", None)
+                os.environ["FVDB_BF16_REFINE"] = "0"
+                idx.fused._key = None
+                try:
+                    measure("flat-device-rerank",
+                            args.efs[0], args.probes[0])
+                finally:
+                    os.environ.pop("FVDB_BF16_REFINE", None)
+                idx.fused._key = None
             # control: raw bf16 scan — quantifies the rerank's recall gain
             # and its QPS cost (VERDICT r2 #3: target recall 1.000 at <=5%)
             os.environ["FVDB_BF16_RERANK"] = "0"
@@ -192,6 +231,7 @@ def main() -> None:
                 measure("flat-no-rerank", args.efs[0], args.probes[0])
             finally:
                 os.environ.pop("FVDB_BF16_RERANK", None)
+            idx.fused._key = None
 
     if args.flat_only:
         return
