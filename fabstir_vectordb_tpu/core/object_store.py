@@ -65,6 +65,18 @@ class _BaseStore:
             return False
 
 
+class _DecoratorStore(_BaseStore):
+    """Base for stores that wrap an ``inner`` store: forwards the IO
+    profile so a decorator chain over a network store keeps the chunk
+    loader's full fetch fan-out."""
+
+    inner: "ObjectStore"
+
+    @property
+    def parallel_fetch(self) -> bool:
+        return getattr(self.inner, "parallel_fetch", False)
+
+
 class MemoryObjectStore(_BaseStore):
     """In-memory store with per-path call counting (the universal test fake)."""
 
@@ -174,7 +186,7 @@ class CacheStats:
         return self.hits / total if total else 0.0
 
 
-class CachedObjectStore(_BaseStore):
+class CachedObjectStore(_DecoratorStore):
     """Read-through LRU cache with TTL and a memory cap."""
 
     def __init__(
@@ -194,10 +206,6 @@ class CachedObjectStore(_BaseStore):
         self._bytes = 0
         self._lock = threading.Lock()
         self.stats = CacheStats()
-
-    @property
-    def parallel_fetch(self) -> bool:
-        return getattr(self.inner, "parallel_fetch", False)
 
     def get(self, key: str) -> bytes:
         now = self._clock()
@@ -300,7 +308,7 @@ class CircuitBreaker:
                 self._opened_at = self._clock()
 
 
-class RetryObjectStore(_BaseStore):
+class RetryObjectStore(_DecoratorStore):
     """Exponential backoff + jitter retries around every operation."""
 
     def __init__(
@@ -341,10 +349,6 @@ class RetryObjectStore(_BaseStore):
                     self._sleep(delay)
         raise StorageError(f"operation failed after {self.max_retries + 1} attempts") from last_exc
 
-    @property
-    def parallel_fetch(self) -> bool:
-        return getattr(self.inner, "parallel_fetch", False)
-
     def get(self, key: str) -> bytes:
         return self._with_retry(self.inner.get, key)
 
@@ -358,7 +362,7 @@ class RetryObjectStore(_BaseStore):
         return self._with_retry(self.inner.list_keys, prefix)
 
 
-class BatchObjectStore(_BaseStore):
+class BatchObjectStore(_DecoratorStore):
     """Buffers puts/deletes and flushes on size or explicit flush().
 
     A background flusher thread drains the buffer periodically (the
@@ -387,10 +391,6 @@ class BatchObjectStore(_BaseStore):
     def _flusher(self, interval: float) -> None:
         while not self._stop.wait(interval):
             self.flush()
-
-    @property
-    def parallel_fetch(self) -> bool:
-        return getattr(self.inner, "parallel_fetch", False)
 
     def get(self, key: str) -> bytes:
         with self._lock:

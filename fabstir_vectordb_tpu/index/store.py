@@ -60,14 +60,13 @@ class MirrorStager:
     """
 
     def __init__(self, dtype: str = "float32"):
-        import jax
-
         self.dtype = dtype
-        self._put = jax.device_put
         self._slots: dict[int, object] = {}
         self.rows = 0
 
     def add(self, index: int, block: np.ndarray) -> None:
+        import jax
+
         b = np.ascontiguousarray(block, np.float32)
         if b.size == 0:
             return
@@ -75,7 +74,7 @@ class MirrorStager:
             import ml_dtypes
 
             b = b.astype(ml_dtypes.bfloat16)
-        self._slots[index] = self._put(b)  # async: transfer in flight
+        self._slots[index] = jax.device_put(b)  # async: transfer in flight
         self.rows += b.shape[0]
 
     def install(self, store: "VectorStore") -> None:

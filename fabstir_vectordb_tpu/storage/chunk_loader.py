@@ -10,9 +10,10 @@ Parity with the reference ChunkLoader (reference: src/storage/chunk_loader.rs):
 """
 from __future__ import annotations
 
+import os
 import threading
 import time
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ThreadPoolExecutor, as_completed
 
 from ..core.chunk import VectorChunk
 from ..core.chunk_cache import ChunkCache
@@ -47,8 +48,6 @@ class ChunkLoader:
             # chunks on a 1-core host). Network stores (parallel_fetch)
             # keep the full fan-out: their get() blocks in the socket
             # with the GIL released.
-            import os
-
             max_workers = max(1, min(max_workers, os.cpu_count() or 1))
         self._pool = ThreadPoolExecutor(max_workers=max_workers)
         self.fetch_count = 0
@@ -94,8 +93,6 @@ class ChunkLoader:
         (completion order, not input order). Lets callers overlap
         per-chunk work — device uploads, store writes — with the
         remaining fetches instead of waiting for the full set."""
-        from concurrent.futures import as_completed
-
         futures = {
             self._pool.submit(self.load_chunk, key): i
             for i, key in enumerate(keys)

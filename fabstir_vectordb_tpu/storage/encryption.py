@@ -16,7 +16,7 @@ from __future__ import annotations
 import hashlib
 import os
 
-from ..core.object_store import ObjectStore, StorageError, _BaseStore
+from ..core.object_store import ObjectStore, StorageError, _DecoratorStore
 
 try:
     from cryptography.hazmat.primitives.ciphers.aead import ChaCha20Poly1305
@@ -37,7 +37,7 @@ def derive_key(seed_phrase: str, salt: str = "fabstir-vectordb") -> bytes:
     )
 
 
-class EncryptedObjectStore(_BaseStore):
+class EncryptedObjectStore(_DecoratorStore):
     """AEAD encrypt/decrypt decorator around any ObjectStore."""
 
     def __init__(self, inner: ObjectStore, key: bytes,
@@ -49,12 +49,6 @@ class EncryptedObjectStore(_BaseStore):
         self.inner = inner
         self.allow_plaintext = allow_plaintext
         self._aead = ChaCha20Poly1305(key)
-
-    @property
-    def parallel_fetch(self) -> bool:
-        # forward the wrapped store's IO profile: an AEAD layer over a
-        # network store must keep the chunk loader's full fetch fan-out
-        return getattr(self.inner, "parallel_fetch", False)
 
     def put(self, key: str, data: bytes) -> None:
         nonce = os.urandom(12)

@@ -283,3 +283,21 @@ def test_fs_store_rejects_path_traversal(tmp_path):
             store.get(key)
     store.put("ok/nested/key", b"x")  # sane nesting still works
     assert store.get("ok/nested/key") == b"x"
+
+
+def test_parallel_fetch_forwards_through_decorator_chain():
+    """The IO profile survives any decorator stack (an AEAD/cache/retry
+    chain over a network store must keep the chunk loader's fan-out)."""
+    from fabstir_vectordb_tpu.core.object_store import (
+        BatchObjectStore, CachedObjectStore, MemoryObjectStore,
+        RetryObjectStore)
+    from fabstir_vectordb_tpu.storage.encryption import EncryptedObjectStore
+
+    class FakeNet(MemoryObjectStore):
+        parallel_fetch = True
+
+    chain = EncryptedObjectStore(
+        CachedObjectStore(RetryObjectStore(BatchObjectStore(FakeNet()))),
+        b"k" * 32)
+    assert chain.parallel_fetch is True
+    assert CachedObjectStore(MemoryObjectStore()).parallel_fetch is False
