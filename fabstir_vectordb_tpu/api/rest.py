@@ -89,12 +89,24 @@ class AppState:
         """Fan a mutation event to every feed subscriber. Slow-consumer
         policy (the reference stubs these endpoints, rest.rs:679-738, so
         this build defines the contract): a full subscriber queue DROPS
-        the event for that subscriber only, and the subscriber is told —
-        its next delivered message is preceded by
-        ``{"type": "lagged", "dropped": N}`` so clients can resync instead
-        of silently missing mutations. The connection itself stays up;
-        fast consumers never lose events (queue depth 256)."""
+        the event for that subscriber only, and the subscriber is told
+        with a ``{"type": "lagged", "dropped": N}`` marker delivered AT
+        THE GAP POSITION — after every queued pre-gap event and before
+        the first post-gap event — so a client that resyncs on the marker
+        never replays stale pre-gap mutations over its fresh snapshot.
+        The connection itself stays up; fast consumers never lose events
+        (queue depth 256)."""
         for sub in list(self.subscribers):
+            if sub.dropped:
+                # a gap is open: close it with the marker before any
+                # post-gap event may enqueue
+                try:
+                    sub.queue.put_nowait(
+                        {"type": "lagged", "dropped": sub.dropped})
+                    sub.dropped = 0
+                except asyncio.QueueFull:
+                    sub.dropped += 1  # this event extends the gap
+                    continue
             try:
                 sub.queue.put_nowait(event)
             except asyncio.QueueFull:
@@ -109,13 +121,13 @@ class _Subscriber:
         self.dropped = 0
 
     async def next_events(self) -> list:
-        """Next event(s) to deliver: a lagged marker first if this
-        consumer overflowed since its last read."""
-        event = await self.queue.get()
-        if self.dropped:
+        """Next event(s) to deliver. An open gap (drops with no post-gap
+        event enqueued yet) is closed here once the queue drains — the
+        consumer is then exactly at the gap position."""
+        if self.dropped and self.queue.empty():
             n, self.dropped = self.dropped, 0
-            return [{"type": "lagged", "dropped": n}, event]
-        return [event]
+            return [{"type": "lagged", "dropped": n}]
+        return [await self.queue.get()]
 
 
 class SearchCoalescer:

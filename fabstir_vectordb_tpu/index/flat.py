@@ -56,10 +56,10 @@ class FlatIndex:
 
         Euclidean distances are returned as true (non-squared) distances.
         ``dtype`` pins the device-mirror dtype for this call; the default
-        follows the serving regime (FVDB_SERVING_DTYPE). Ground-truth
-        consumers (``recall_at_k``) pass "float32" explicitly so recall is
-        always measured against an exact baseline even when serving is
-        bf16-quantized.
+        follows the serving regime (FVDB_SERVING_DTYPE). Note the mirror
+        slot is shared — pinning a non-serving dtype evicts the serving
+        mirror (``recall_at_k`` streams its own f32 oracle for exactly
+        this reason).
         """
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         mirror = self.store.device(dtype=dtype or limits.serving_dtype())
@@ -106,10 +106,20 @@ def recall_at_k(
 
     Generalization of the reference's evaluate_search_quality recall
     computation (src/ivf/operations.rs:329-391) usable against any engine.
-    The oracle scan is forced to float32 so the baseline stays exact under
-    bf16 serving regimes.
+    The exact-f32 ground truth STREAMS over host tiles
+    (``TieredFlatSearcher``) rather than forcing a f32 device mirror:
+    the store caches exactly one mirror, so a f32 oracle upload under a
+    bf16 serving regime would evict the serving mirror AND transiently
+    double-reside the corpus in HBM (f32 + the still-pinned bf16 arrays —
+    ~11.5 GB at 5M x 384, at exactly the scale bf16 serving exists for).
     """
-    _, exact = oracle.search_rows(queries, k, dtype="float32")
+    from .tiered import TieredFlatSearcher
+
+    store = oracle.store
+    count = store.count
+    members = store.active_mask(count)
+    _, exact = TieredFlatSearcher(store.data[:count], members).search(
+        np.atleast_2d(np.asarray(queries, np.float32)), k)
     hits = 0
     total = 0
     for b in range(exact.shape[0]):

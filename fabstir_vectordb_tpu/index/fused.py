@@ -645,7 +645,14 @@ class FusedSearcher:
             # capacity-sized mask must crop/pad, not broadcast-error)
             mask = mask & self._device_mask(fit_mask(extra_mask, n_rows))
         oversample = limits.pca_oversample() or proj["oversample"]
-        ov_k = min(bucket(k * oversample), int(proj["xp"].shape[0]))
+        # floor the pool at the CALIBRATED width (oversample * _CAL_K): the
+        # probe pass measured recall of exactly that prefix for the true
+        # top-_CAL_K, which contains the true top-k for any k <= _CAL_K —
+        # scaling the pool down with a smaller client k (k=1 -> a 4-wide
+        # approx_min_k pool over 10M rows) would serve a recall the
+        # calibration never measured
+        ov_k = min(bucket(max(k, self._CAL_K) * oversample),
+                   int(proj["xp"].shape[0]))
         qp = (q - proj["mu"]) @ proj["p"]  # [B, rank] on device
         # chunk the query batch so the [B, N] stage-1 distance transient
         # stays bounded (B=512 over 10.5M rows is a 21.5 GB allocation)

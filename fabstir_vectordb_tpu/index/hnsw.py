@@ -891,44 +891,22 @@ class HNSWIndex:
             levels_new = np.concatenate(
                 [levels_new, np.zeros(b_pad - n_real, levels_new.dtype)]
             )
-        q = jnp.asarray(self.store.data[batch])
 
-        # candidate-plan gate: what matters is the MEMBER-occupied prefix the
-        # scan must cover, not the store's total capacity — a 100K-node graph
-        # living in the first rows of an 8M-row store still links via the
-        # exact matmul (measured: capacity-gating this sent a 10K-node build
-        # at a 262K store down the beam path, 961 s vs ~60 s)
-        members = np.nonzero(self.member_mask())[0]
-        member_hi = int(members.max()) + 1 if members.size else 1
-        flat_link_ok = (
-            min(bucket(member_hi, minimum=1024), self.store.capacity)
-            <= limits.effective_flat_threshold()
-        )
+        # candidate-plan gate lives in _flat_plan: what matters is the
+        # MEMBER-occupied prefix the scan must cover, not the store's
+        # total capacity — a 100K-node graph living in the first rows of
+        # an 8M-row store still links via the exact matmul (measured:
+        # capacity-gating this sent a 10K-node build at a 262K store down
+        # the beam path, 961 s vs ~60 s)
+        flat_link_ok, n_pad, kernel = self._flat_plan()
         if cfg.link_mode == "auto" and flat_link_ok:
             # near-exact candidates: one MXU matmul over the member-occupied
             # prefix beats beam traversal (gather-bound) by ~50x and links
-            # better; the static prefix bound keeps the mask dense for
-            # approx_min_k (see _flat_candidates_kernel)
-            hi = member_hi
-            n_pad = min(bucket(hi, minimum=1024), self.store.capacity)
-            if n_pad > _CAND_CHUNK:
-                n_pad = ((n_pad + _CAND_CHUNK - 1) // _CAND_CHUNK) * _CAND_CHUNK
-                n_pad = min(n_pad, self.store.capacity)
-                kernel = _flat_candidates_chunked
-            else:
-                kernel = _flat_candidates_kernel
-            vals, ids = kernel(
-                mirror.x, mirror.x_sq, mask, q, cfg.ef_construction, n_pad
-            )
-            c_sel = min(cfg.ef_construction, _HEUR_POOL)
-            keptj = heuristic_kept_kernel(
-                mirror.x, ids[:, :c_sel], vals[:, :c_sel], cfg.m0
-            )
-            vals, ids, kept_sl = jax.device_get((vals, ids, keptj))
-            kept = np.zeros(ids.shape, bool)
-            kept[:, :c_sel] = kept_sl
-            return {"mode": "exact", "ids": ids, "dists": vals, "kept": kept}
+            # better (same plan/dispatch as the pipelined build path)
+            return self._flat_finalize(
+                self._flat_dispatch(batch, mask, n_pad, kernel))
 
+        q = jnp.asarray(self.store.data[batch])
         if cfg.link_mode in ("layer0", "auto"):
             # greedy all the way down, one ef_construction beam at layer 0;
             # upper layers link from the same pool filtered by node level

@@ -71,16 +71,21 @@ def save_sharded_flat(
     """Persist a row-sharded flat corpus (as consumed by
     ``sharded_flat_search``): one ``shards/shard-%04d.cbor`` per device
     slice + manifest."""
+    # slice x_sq/mask per addressable shard too — np.asarray on the full
+    # sharded array would materialize the global corpus on this host (and
+    # raise outright on a multi-host mesh where it is not fully
+    # addressable), defeating the per-shard memory bound this format
+    # exists for
     slices = _shard_slices(x)
-    sq = np.asarray(x_sq)
-    mk = np.asarray(mask)
+    sq_by_lo = {lo: b for lo, _, b in _shard_slices(x_sq)}
+    mk_by_lo = {lo: b for lo, _, b in _shard_slices(mask)}
     shards = []
     for i, (lo, hi, block) in enumerate(slices):
         key = f"{prefix}/shards/shard-{i:04d}.cbor"
         store.put(key, codec.dumps({
             "x": block.astype(np.float32),
-            "x_sq": sq[lo:hi].astype(np.float32),
-            "mask": mk[lo:hi].astype(np.uint8),
+            "x_sq": sq_by_lo[lo].astype(np.float32),
+            "mask": mk_by_lo[lo].astype(np.uint8),
         }))
         shards.append({"key": key, "lo": int(lo), "hi": int(hi)})
     store.put(f"{prefix}/sharded_manifest.json", json.dumps({

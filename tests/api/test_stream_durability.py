@@ -129,13 +129,40 @@ async def test_slow_consumer_gets_lagged_marker_not_silent_loss(client):
         assert sub.queue.qsize() == 256
         assert sub.dropped == n_events - 256
 
+        # pre-gap events deliver first, in order — the marker sits AT the
+        # gap (a resyncing client must not replay stale pre-gap mutations
+        # over its fresh snapshot)
         first = await sub.next_events()
-        assert first[0]["type"] == "lagged"
-        assert first[0]["dropped"] == n_events - 256
-        assert first[1] == {"type": "insert", "id": "e0"}
-        # subsequent reads flow normally, no repeated marker
+        assert first == [{"type": "insert", "id": "e0"}]
+        for i in range(1, 256):
+            got = await sub.next_events()
+            assert got == [{"type": "insert", "id": f"e{i}"}]
+        marker = await sub.next_events()
+        assert marker == [{"type": "lagged", "dropped": n_events - 256}]
+        # a post-gap event flows normally, no repeated marker
+        app_state.publish({"type": "insert", "id": "post"})
         nxt = await sub.next_events()
-        assert nxt == [{"type": "insert", "id": "e1"}]
+        assert nxt == [{"type": "insert", "id": "post"}]
+
+        # and when a post-gap event arrives BEFORE the consumer drains,
+        # publish() itself closes the gap in-queue at the right position
+        sub2 = _Subscriber()
+        sub2.queue = __import__("asyncio").Queue(maxsize=2)
+        app_state.subscribers.append(sub2)
+        try:
+            for i in range(4):  # q0, q1 queued; q2, q3 dropped
+                app_state.publish({"type": "insert", "id": f"q{i}"})
+            assert (await sub2.next_events()) == [
+                {"type": "insert", "id": "q0"}]
+            assert (await sub2.next_events()) == [
+                {"type": "insert", "id": "q1"}]
+            app_state.publish({"type": "insert", "id": "q4"})  # post-gap
+            assert (await sub2.next_events()) == [
+                {"type": "lagged", "dropped": 2}]
+            assert (await sub2.next_events()) == [
+                {"type": "insert", "id": "q4"}]
+        finally:
+            app_state.subscribers.remove(sub2)
     finally:
         app_state.subscribers.remove(sub)
 
