@@ -125,6 +125,17 @@ async def test_statistics(client):
     assert body["index"]["vectorCount"] == 20
 
 
+async def test_metrics_before_initialization(client):
+    """/metrics must serve (build info + stream/coalescer counters) even
+    before the first vector initializes the index."""
+    resp = await client.get("/metrics")
+    assert resp.status == 200
+    text = await resp.text()
+    assert 'fvdb_build_info{version="' in text
+    assert "fvdb_stream_subscribers 0" in text
+    assert "fvdb_vectors" not in text  # no index yet
+
+
 async def test_metrics_prometheus_exposition(client):
     """/metrics serves Prometheus text format with the live counters
     (beyond reference parity: the reference has no Prometheus surface)."""

@@ -317,6 +317,22 @@ class TestPersistenceRoundtrip:
         assert got["bool"] is True
         assert got["null"] is None
 
+    def test_invalid_filter_typed_errors(self):
+        """Twin of the reference's invalid-filter error handling
+        (reference: bindings/node/test/search-filter.test.js:531-586):
+        unsupported operators and malformed ranges produce typed errors
+        that name the problem."""
+        s = make_session()
+        s.add_vectors(vec_inputs(5, meta=lambda i: {"value": i}))
+        q = [0.0] * 8
+        with pytest.raises(VectorDBError) as e:
+            s.search(q, 3, {"filter": {"$invalid": "test"}})
+        assert e.value.code == "INVALID_INPUT"
+        assert "Unsupported" in str(e.value) or "invalid" in str(e.value)
+        with pytest.raises(VectorDBError) as e:
+            s.search(q, 3, {"filter": {"value": {}}})  # empty range object
+        assert e.value.code == "INVALID_INPUT"
+
     def test_load_missing_cid_fails(self):
         s = make_session()
         with pytest.raises(VectorDBError) as e:
