@@ -34,7 +34,7 @@ import numpy as np
 from .. import cbor
 from ..core.columnar import ColumnarMetadata
 from ..core.metadata_filter import FilterError, MetadataFilter
-from ..core.object_store import ObjectStore
+from ..core.object_store import NotFoundError, ObjectStore
 from ..core.schema import MetadataSchema, SchemaError
 from ..core.types import VectorId, distance_to_score
 from ..index.hybrid import HybridConfig, HybridIndex
@@ -218,13 +218,18 @@ class VectorDBSession:
             return
         ids, vecs, metas = [], [], []
         for v in vectors:
+            if not isinstance(v, dict):
+                raise VectorDBError(
+                    "each vector entry must be an object with id/vector",
+                    INVALID_INPUT)
             vid = v.get("id")
             emb = v.get("vector")
             if not vid or not isinstance(vid, str):
                 raise VectorDBError("vector id must be a non-empty string",
                                     INVALID_INPUT)
-            if emb is None or len(emb) == 0:
-                raise VectorDBError(f"vector for {vid!r} is empty", INVALID_INPUT)
+            if emb is None or not hasattr(emb, "__len__") or len(emb) == 0:
+                raise VectorDBError(f"vector for {vid!r} is empty or not a "
+                                    "list", INVALID_INPUT)
             try:
                 arr_v = np.asarray(emb, np.float32)
             except (TypeError, ValueError) as e:
@@ -240,27 +245,25 @@ class VectorDBSession:
             vecs.append(arr_v)
             metas.append(v.get("metadata"))
 
+        if len(set(ids)) != len(ids):
+            raise VectorDBError("duplicate ids within batch", INVALID_INPUT)
+
         # dimension capture / enforcement
         dims = {v.shape[0] for v in vecs}
         if len(dims) != 1:
             raise VectorDBError(f"inconsistent vector dimensions {sorted(dims)}",
                                 INVALID_INPUT)
-        d = dims.pop()
-        if self.dim is None:
-            self.dim = int(d)
-        elif d != self.dim:
+        d = int(dims.pop())
+        if self.dim is not None and d != self.dim:
             raise VectorDBError(
                 f"vector dimension {d} does not match index dimension {self.dim}",
                 INVALID_INPUT,
             )
         arr = np.stack(vecs)
 
-        # lazy first-batch init: first IVF_TRAINING_BATCH vectors train IVF
-        if self.index is None:
-            self.index = HybridIndex(self.dim, self.config.hybrid)
-            self.index.initialize(arr[:IVF_TRAINING_BATCH])
-
-        # schema validation before any mutation
+        # schema validation BEFORE creating or mutating the index: a
+        # rejected first batch must not leave a permanently-initialized
+        # empty index with a pinned dimension
         if self.schema is not None:
             for vid, meta in zip(ids, metas):
                 try:
@@ -270,10 +273,23 @@ class VectorDBSession:
                         f"schema validation failed for {vid!r}: {e}", INVALID_DATA
                     ) from e
 
+        # lazy first-batch init: first IVF_TRAINING_BATCH vectors train IVF.
+        # Dimension pinning happens HERE, after all validation — a rejected
+        # batch must not pin the session's dimension
+        created_here = self.index is None
+        if created_here:
+            self.dim = d
+            self.index = HybridIndex(self.dim, self.config.hybrid)
+            self.index.initialize(arr[:IVF_TRAINING_BATCH])
+
         internal = [self._internal_id(vid) for vid in ids]
         try:
             rows = self.index.insert_batch(internal, arr)
         except DuplicateIdError as e:
+            if created_here and self.index.store.count == 0:
+                # roll the failed first batch back entirely
+                self.index = None
+                self.dim = None
             raise VectorDBError(str(e), INVALID_INPUT) from e
 
         for vid, iid, meta, row in zip(ids, internal, metas, rows):
@@ -333,6 +349,43 @@ class VectorDBSession:
         raise VectorDBError(f"vector {user_id!r} not found", INVALID_INPUT)
 
     # ---------------------------------------------------------------- search
+    @staticmethod
+    def _validate_k(k) -> None:
+        if not isinstance(k, (int, np.integer)) or isinstance(k, bool) \
+                or k < 1 or k > 16_384:
+            raise VectorDBError(
+                f"k must be an integer in [1, 16384], got {k!r}",
+                INVALID_INPUT)
+
+    @staticmethod
+    def _parse_filter(filter_json) -> "MetadataFilter":
+        try:
+            return MetadataFilter.from_json(filter_json)
+        except FilterError as e:
+            raise VectorDBError(f"invalid filter: {e}", INVALID_INPUT) from e
+
+    def _validate_query(self, query_vector, batched: bool = False):
+        """Typed validation of a query (or [B, D] batch). The dimension
+        check applies only once the session has a pinned dimension."""
+        try:
+            q = np.asarray(query_vector, np.float32)
+            if batched:
+                q = np.atleast_2d(q)
+        except (TypeError, ValueError) as e:
+            raise VectorDBError("query vector contains non-numeric values",
+                                INVALID_INPUT) from e
+        if not np.isfinite(q).all():
+            raise VectorDBError("query vector must contain finite numbers",
+                                INVALID_INPUT)
+        want_ndim = 2 if batched else 1
+        if q.ndim != want_ndim or (
+                self.dim is not None and q.shape[-1] != self.dim):
+            raise VectorDBError(
+                f"query dimension {q.shape} does not match index "
+                f"dimension {self.dim}", INVALID_INPUT,
+            )
+        return q
+
     def search(self, query_vector, k: int, options: SearchOptions | dict | None = None) -> list:
         self._check_alive()
         if isinstance(options, dict):
@@ -342,32 +395,17 @@ class VectorDBSession:
                 filter=options.get("filter"),
             )
         options = options or SearchOptions()
-        if not isinstance(k, (int, np.integer)) or isinstance(k, bool) \
-                or k < 1 or k > 16_384:
-            raise VectorDBError(
-                f"k must be an integer in [1, 16384], got {k!r}",
-                INVALID_INPUT)
+        self._validate_k(k)
+        # validate query + filter BEFORE the empty-index early return: the
+        # error surface must not flip from silent-[] to INVALID_INPUT on
+        # the session's first insert
+        q = self._validate_query(query_vector)
+        flt = (self._parse_filter(options.filter)
+               if options.filter is not None else None)
         if self.index is None:
             return []
-        try:
-            q = np.asarray(query_vector, np.float32)
-        except (TypeError, ValueError) as e:
-            raise VectorDBError("query vector contains non-numeric values",
-                                INVALID_INPUT) from e
-        if not np.isfinite(q).all():
-            raise VectorDBError("query vector must contain finite numbers",
-                                INVALID_INPUT)
-        if q.ndim != 1 or q.shape[0] != self.dim:
-            raise VectorDBError(
-                f"query dimension {q.shape} does not match index dimension {self.dim}",
-                INVALID_INPUT,
-            )
         t0 = time.perf_counter()
-        if options.filter is not None:
-            try:
-                flt = MetadataFilter.from_json(options.filter)
-            except FilterError as e:
-                raise VectorDBError(f"invalid filter: {e}", INVALID_INPUT) from e
+        if flt is not None:
             mask = self._filter_mask(options.filter, flt)
             if mask is not None:
                 pairs = self.index.search_with_filter(q, k, flt, row_mask=mask)
@@ -411,26 +449,17 @@ class VectorDBSession:
         it serially (pipelined serving).
         """
         self._check_alive()
-        if not isinstance(k, (int, np.integer)) or isinstance(k, bool) \
-                or k < 1 or k > 16_384:
-            raise VectorDBError(
-                f"k must be an integer in [1, 16384], got {k!r}",
-                INVALID_INPUT)
+        self._validate_k(k)
+        q = self._validate_query(queries, batched=True)
+        flt = (self._parse_filter(filter_json)
+               if filter_json is not None else None)
         if self.index is None:
             return lambda: [[] for _ in range(len(queries))]
-        try:
-            q = np.atleast_2d(np.asarray(queries, np.float32))
-        except (TypeError, ValueError) as e:
-            raise VectorDBError("query vector contains non-numeric values",
-                                INVALID_INPUT) from e
-        if not np.isfinite(q).all():
-            raise VectorDBError("query vectors must contain finite numbers",
-                                INVALID_INPUT)
-        if q.shape[1] != self.dim:
-            raise VectorDBError(
-                f"query dimension {q.shape[1]} does not match index "
-                f"dimension {self.dim}", INVALID_INPUT,
-            )
+        # capture the index for the closures below: the coalescer
+        # deliberately interleaves other session ops (e.g. /session/load
+        # swapping self.index) between dispatch and finalize — row indices
+        # from THIS device program must map through THIS store
+        idx = self.index
         n_real = q.shape[0]
         # pad the batch to a power-of-two bucket: every distinct B otherwise
         # compiles a fresh kernel variant (compiles cost 20-60s over a
@@ -441,63 +470,79 @@ class VectorDBSession:
         if b_pad > n_real:
             q = np.concatenate([q, np.repeat(q[:1], b_pad - n_real, axis=0)])
         t0 = time.perf_counter()
-        flt = None
-        if filter_json is not None:
-            try:
-                flt = MetadataFilter.from_json(filter_json)
-            except FilterError as e:
-                raise VectorDBError(f"invalid filter: {e}", INVALID_INPUT) from e
         if flt is None:
-            fin = self.index.search_rows_dispatch(q, k)
+            fin = idx.search_rows_dispatch(q, k)
 
             def per_query_fn():
                 d, rows = fin()
+                # pad rows [n_real:] are duplicates — never post-process them
                 return [
-                    self.index._rows_to_results(d[i], rows[i])
-                    for i in range(q.shape[0])
+                    idx._rows_to_results(d[i], rows[i])
+                    for i in range(n_real)
                 ]
         else:
             mask = self._filter_mask(filter_json, flt)
             if mask is not None:
-                full = np.zeros(self.index.store.capacity, bool)
-                full[: len(mask)] = mask[: self.index.store.capacity]
-                fin = self.index.search_rows_dispatch(q, k * 3, extra_mask=full)
+                full = np.zeros(idx.store.capacity, bool)
+                full[: len(mask)] = mask[: idx.store.capacity]
+                fin = idx.search_rows_dispatch(q, k * 3, extra_mask=full)
 
                 def per_query_fn():
                     d, rows = fin()
                     per_query = []
-                    for i in range(q.shape[0]):
-                        res = self.index._rows_to_results(d[i], rows[i])
+                    for i in range(n_real):
+                        res = idx._rows_to_results(d[i], rows[i])
                         res = [
                             (vid, dist) for vid, dist in res
-                            if full[self.index.store.row_of(vid)]
+                            if full[idx.store.row_of(vid)]
                         ]
                         per_query.append(res[:k])
                     return per_query
             else:
                 pred = self._row_predicate(flt)
-                fin = self.index.search_rows_dispatch(q, k * 3)
+                fin = idx.search_rows_dispatch(q, k * 3)
 
                 def per_query_fn():
                     d, rows = fin()
                     return [
                         [(vid, dist)
                          for vid, dist in
-                         self.index._rows_to_results(d[i], rows[i])
+                         idx._rows_to_results(d[i], rows[i])
                          if pred(vid)][:k]
-                        for i in range(q.shape[0])
+                        for i in range(n_real)
                     ]
 
+        # the metadata map object is swapped (not mutated) by session load;
+        # capture it so finalize resolves ids against the dispatched state
+        mmap = self.metadata_map
+
+        def _orig_id(iid: str) -> str:
+            meta = mmap.get(iid)
+            if isinstance(meta, dict) and "_originalId" in meta:
+                return meta["_originalId"]
+            return iid
+
+        def _user_meta(iid: str):
+            meta = mmap.get(iid)
+            if meta is None:
+                return {}
+            out = dict(meta) if isinstance(meta, dict) else meta
+            if isinstance(out, dict):
+                out.pop("_originalId", None)
+                if "_userMetadata" in out:
+                    return out["_userMetadata"]
+            return out
+
         def finalize() -> list:
-            per_query = per_query_fn()[:n_real]
+            per_query = per_query_fn()
             elapsed = (time.perf_counter() - t0) * 1000.0
             out = []
             for pairs in per_query:
                 items = [
                     {
-                        "id": self._original_id(iid),
+                        "id": _orig_id(iid),
                         "score": distance_to_score(dist),
-                        "metadata": self._user_metadata(iid),
+                        "metadata": _user_meta(iid),
                         "_iid": iid,
                     }
                     for iid, dist in pairs
@@ -533,16 +578,6 @@ class VectorDBSession:
             return flt.matches(meta if meta is not None else {})
         return pred
 
-    def _metadata_by_row(self) -> list:
-        s = self.index.store
-        rows = [None] * s.count
-        for r in range(s.count):
-            iid = s.row_to_id[r]
-            if iid is not None:
-                meta = self.metadata_map.get(iid)
-                rows[r] = self._filterable_view(meta)
-        return rows
-
     def _rebuild_columnar(self) -> None:
         """Re-project every row's metadata (load / bulk-replace paths)."""
         self.columnar = ColumnarMetadata(capacity=self.index.store.capacity)
@@ -574,12 +609,9 @@ class VectorDBSession:
         """Delete all vectors whose metadata matches (equality/array/dot
         semantics via the full filter language)."""
         self._check_alive()
+        flt = self._parse_filter(filter_obj)
         if self.index is None:
             return DeleteResult(0, [])
-        try:
-            flt = MetadataFilter.from_json(filter_obj)
-        except FilterError as e:
-            raise VectorDBError(f"invalid filter: {e}", INVALID_INPUT) from e
         deleted = []
         s = self.index.store
         mask = self._filter_mask(filter_obj, flt)
@@ -631,6 +663,13 @@ class VectorDBSession:
                     f"{sid}/schema.json",
                     json.dumps(self.schema.to_json()).encode(),
                 )
+            else:
+                # a cleared schema must not be resurrected by the load
+                # fallback from a stale schema.json of an earlier save
+                try:
+                    self.object_store.delete(f"{sid}/schema.json")
+                except Exception:  # noqa: BLE001 - absent is fine
+                    pass
         except VectorDBError:
             raise
         except Exception as e:  # noqa: BLE001
@@ -700,20 +739,32 @@ class VectorDBSession:
             manifest = json.loads(
                 self.object_store.get(f"{cid}/metadata/meta-manifest.json")
             )
+        except NotFoundError:
+            manifest = None  # pre-shard save: fall through to legacy blob
+        if manifest is not None:
+            # a present manifest promises its shards: a transient GET
+            # failure must RAISE, not silently return {} — the session
+            # would serve internal ids / empty metadata and the next
+            # save_to_s5 would persist the loss permanently
             out: dict = {}
             for si in range(int(manifest.get("n_shards", 0))):
-                out.update(cbor.loads(
-                    self.object_store.get(f"{cid}/metadata/meta-{si}.cbor")
-                ))
+                try:
+                    out.update(cbor.loads(
+                        self.object_store.get(
+                            f"{cid}/metadata/meta-{si}.cbor")
+                    ))
+                except Exception as e:  # noqa: BLE001
+                    raise VectorDBError(
+                        f"metadata shard {si} of "
+                        f"{manifest.get('n_shards')} failed to load: {e}",
+                        STORAGE_ERROR) from e
             return out
-        except Exception:
-            pass
         try:  # legacy monolithic blob
             return cbor.loads(
                 self.object_store.get(f"{cid}/metadata_map.cbor")
             )
-        except Exception:
-            return {}
+        except NotFoundError:
+            return {}  # a save genuinely without metadata
 
     # ----------------------------------------------------------------- misc
     def prewarm(self) -> float:

@@ -35,14 +35,31 @@ class SearchRecord:
 
 @dataclass
 class PerfMonitor:
-    """Records per-search latency and computes total/avg/p50/p99 stats."""
+    """Records per-search latency and computes total/avg/p50/p99 stats.
 
-    records: list = field(default_factory=list)
+    The record buffer is a BOUNDED window (default 10K searches): a
+    long-running server at serving QPS would otherwise retain one record
+    per query forever (an unbounded leak, plus an O(n log n) sort on
+    every /statistics scrape). ``total`` stays a monotonic lifetime
+    counter — the /metrics counter contract — while quantiles describe
+    the recent window.
+    """
+
+    window: int = 10_000
+    records: "deque" = None  # set in __post_init__ (needs self.window)
+    total: int = 0
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def __post_init__(self) -> None:
+        from collections import deque
+
+        if self.records is None:
+            self.records = deque(maxlen=self.window)
 
     def record(self, latency_ms: float, num_results: int = 0, indices_used=()) -> None:
         with self._lock:
             self.records.append(SearchRecord(latency_ms, num_results, tuple(indices_used)))
+            self.total += 1
 
     def time(self):
         """Context manager measuring a search."""
@@ -70,7 +87,7 @@ class PerfMonitor:
             return lats[idx]
 
         return {
-            "total_searches": len(lats),
+            "total_searches": self.total,
             "avg_ms": sum(lats) / len(lats),
             "p50_ms": pct(50),
             "p99_ms": pct(99),
@@ -79,3 +96,4 @@ class PerfMonitor:
     def reset(self) -> None:
         with self._lock:
             self.records.clear()
+            self.total = 0

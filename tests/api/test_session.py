@@ -767,3 +767,81 @@ class TestInputValidation:
         with pytest.raises(VectorDBError):
             s.search([1.0, "x", 0, 0], 1)
         assert s.search([1, 0, 0, 0], 1)[0]["id"] == "ok"
+
+
+class TestSessionRobustness:
+    """Regressions for review findings: silent metadata loss, schema
+    resurrection, failed-first-batch index pinning, bounded perf window."""
+
+    def test_metadata_shard_failure_raises_not_empty(self):
+        """A present meta-manifest promises its shards: a failing shard GET
+        must raise STORAGE_ERROR — silently returning {} loses every
+        vector's metadata and the next save persists the loss."""
+        store = MemoryObjectStore()
+        s = make_session("sess-ms", store)
+        s.add_vectors(vec_inputs(20, meta=lambda i: {"i": i}))
+        cid = s.save_to_s5()
+
+        store.fail_on[f"{cid}/metadata/meta-0.cbor"] = 99
+        s2 = make_session("sess-ms-2", store)
+        with pytest.raises(VectorDBError) as e:
+            s2.load_user_vectors(cid)
+        assert e.value.code == "STORAGE_ERROR"
+
+    def test_cleared_schema_stays_cleared_after_resave(self):
+        store = MemoryObjectStore()
+        s = make_session("sess-sc", store)
+        s.add_vectors(vec_inputs(12, meta=lambda i: {"n": i}))
+        s.set_schema({"fields": {"n": {"type": "number"}}, "required": []})
+        s.save_to_s5()
+        s.set_schema(None)
+        cid = s.save_to_s5()
+
+        s2 = make_session("sess-sc-2", store)
+        s2.load_user_vectors(cid)
+        assert s2.schema is None
+        # metadata the old schema would reject now inserts fine
+        s2.add_vectors([{"id": "free", "vector": [0.5] * 8,
+                         "metadata": {"n": "not-a-number"}}])
+
+    def test_failed_first_batch_does_not_pin_index(self):
+        s = make_session()
+        with pytest.raises(VectorDBError):
+            s.add_vectors([
+                {"id": "dup", "vector": [0.1] * 16, "metadata": {}},
+                {"id": "dup", "vector": [0.2] * 16, "metadata": {}},
+            ])
+        assert s.index is None and s.dim is None
+        # retry with a DIFFERENT dimension succeeds
+        s.add_vectors([{"id": "ok", "vector": [0.1] * 8, "metadata": {}}])
+        assert s.get_stats().vector_count == 1
+
+    def test_malformed_items_raise_typed_errors(self):
+        s = make_session()
+        for bad in (["not-a-dict"],
+                    [{"id": "a", "vector": 5}],
+                    [{"id": "a"}]):
+            with pytest.raises(VectorDBError) as e:
+                s.add_vectors(bad)
+            assert e.value.code == "INVALID_INPUT"
+
+    def test_empty_session_validates_before_empty_result(self):
+        """Validation must not flip from silent-[] to INVALID_INPUT on the
+        first insert: invalid inputs are typed errors even pre-init."""
+        s = make_session()
+        with pytest.raises(VectorDBError):
+            s.search([0.0] * 8, 3, {"filter": {"$invalid": 1}})
+        with pytest.raises(VectorDBError):
+            s.search([float("nan")] * 8, 3)
+        assert s.search([0.0] * 8, 3) == []
+
+    def test_perf_monitor_window_bounded_total_monotonic(self):
+        from fabstir_vectordb_tpu.utils.tracing import PerfMonitor
+
+        m = PerfMonitor(window=100)
+        for i in range(250):
+            m.record(float(i))
+        assert len(m.records) == 100
+        st = m.stats()
+        assert st["total_searches"] == 250
+        assert st["p50_ms"] >= 150  # quantiles describe the recent window
