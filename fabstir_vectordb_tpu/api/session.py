@@ -483,20 +483,22 @@ class VectorDBSession:
         else:
             mask = self._filter_mask(filter_json, flt)
             if mask is not None:
-                full = np.zeros(idx.store.capacity, bool)
-                full[: len(mask)] = mask[: idx.store.capacity]
+                from ..utils.padding import fit_mask
+
+                full = fit_mask(np.asarray(mask, bool), idx.store.capacity)
                 fin = idx.search_rows_dispatch(q, k * 3, extra_mask=full)
 
                 def per_query_fn():
                     d, rows = fin()
                     per_query = []
                     for i in range(n_real):
-                        res = idx._rows_to_results(d[i], rows[i])
-                        res = [
-                            (vid, dist) for vid, dist in res
-                            if full[idx.store.row_of(vid)]
-                        ]
-                        per_query.append(res[:k])
+                        # enforce on the ROW array from the search snapshot
+                        # (id->row re-resolution races vacuum / reinsert)
+                        keep = (rows[i] >= 0) & full[np.maximum(rows[i], 0)]
+                        di = np.where(keep, d[i], np.inf)
+                        ri = np.where(keep, rows[i], -1)
+                        per_query.append(
+                            idx._rows_to_results(di, ri)[:k])
                     return per_query
             else:
                 pred = self._row_predicate(flt)

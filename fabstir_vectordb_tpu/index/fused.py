@@ -294,7 +294,10 @@ class FusedSearcher:
             n = int(mirror.x.shape[0])
             active = h.store.active_mask(n)
             hnsw_mask = active & h.hnsw.member_mask(n)
-            ivf_mask = active & h.ivf.member_mask(n)
+            # a migration batch mid-flight (inserted into IVF, not yet
+            # removed from HNSW) must not occupy two result slots: HNSW
+            # wins when both engines claim a row
+            ivf_mask = active & h.ivf.member_mask(n) & ~hnsw_mask
             has_ivf = h.ivf.trained and bool(ivf_mask.any())
             self._dev = {
                 "x": mirror.x,

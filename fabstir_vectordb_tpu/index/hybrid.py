@@ -100,6 +100,11 @@ class HybridIndex:
         # in testing). Readers stay lock-free: searches snapshot versioned
         # device state and tolerate pre-/post-write host views.
         self._write_lock = threading.RLock()
+        # earliest `now` at which any HNSW member could age out; None =
+        # unknown (scan on next call). auto_migrate runs on EVERY search:
+        # without this the hot path pays an O(N) member/age scan (plus
+        # the write lock) per query even when nothing is migratable
+        self._migration_due: float | None = None
 
     # ------------------------------------------------------------ lifecycle
     def begin_materialize(self, event) -> None:
@@ -165,6 +170,16 @@ class HybridIndex:
             ts = np.full(vectors.shape[0], now, np.float64)
         else:
             ts = np.asarray(timestamps, np.float64)
+            if ts.ndim == 0:
+                ts = np.full(vectors.shape[0], float(ts), np.float64)
+            # validate BEFORE mutating the store: a short timestamps list
+            # broadcasts fine into add_batch but blows up at the routing
+            # index below, leaving ids orphaned in store rows that no
+            # engine will ever serve (and unrecoverable: re-insert is a
+            # DuplicateIdError)
+            if ts.shape != (vectors.shape[0],):
+                raise ValueError(
+                    f"timestamps shape {ts.shape} != ({vectors.shape[0]},)")
         rows = self.store.add_batch(ids, vectors, ts)
         age = now - ts
         recent = age < self.config.recent_threshold_secs
@@ -172,6 +187,12 @@ class HybridIndex:
             recent[:] = True  # HNSW-only mode
         if recent.any():
             self.hnsw.insert_rows(rows[recent])
+            # new HNSW members may age out earlier than anything cached
+            due_new = float(ts[recent].min()) \
+                + self.config.recent_threshold_secs
+            cur = self._migration_due
+            if cur is not None and due_new < cur:
+                self._migration_due = due_new
         if (~recent).any():
             self.ivf.insert_rows(rows[~recent])
         return rows
@@ -200,8 +221,10 @@ class HybridIndex:
         if auto:
             self.migrate_old_vectors(now=now)
 
-        recent_k = cfg.recent_k or k
-        historical_k = cfg.historical_k or k
+        # `x if x is not None else default`: 0 is a VALID value (skip that
+        # engine), which `or` would silently coerce back to the default
+        recent_k = k if cfg.recent_k is None else cfg.recent_k
+        historical_k = k if cfg.historical_k is None else cfg.historical_k
 
         # fast path: default per-engine k -> one fused device program
         if recent_k == k and historical_k == k:
@@ -214,20 +237,22 @@ class HybridIndex:
                 queries,
                 k=k_eff,
                 ef=bucket(max(cfg.hnsw_ef, k)),
-                n_probe=cfg.ivf_n_probe or self.config.ivf.n_probe,
+                n_probe=(self.config.ivf.n_probe if cfg.ivf_n_probe is None
+                         else cfg.ivf_n_probe),
                 extra_mask=extra_mask,
             )
             return self._finalize_fast(vals, rows, k)
 
         parts_d, parts_r = [], []
-        if self.hnsw.num_nodes > 0:
+        if recent_k > 0 and self.hnsw.num_nodes > 0:
             d1, r1 = self.hnsw.search_rows(
                 queries, recent_k, ef=max(cfg.hnsw_ef, recent_k),
                 extra_mask=extra_mask,
             )
             parts_d.append(d1)
             parts_r.append(r1)
-        if self.ivf.trained and self.ivf.member_rows().size > 0:
+        if (historical_k > 0 and self.ivf.trained
+                and self.ivf.member_rows().size > 0):
             d2, r2 = self.ivf.search_rows(
                 queries, historical_k, n_probe=cfg.ivf_n_probe,
                 extra_mask=extra_mask,
@@ -240,9 +265,23 @@ class HybridIndex:
         d = np.concatenate(parts_d, axis=1)
         r = np.concatenate(parts_r, axis=1)
         d = np.where(r >= 0, d, np.inf)
-        order = np.argsort(d, axis=1)[:, :k]
-        out_d = np.take_along_axis(d, order, axis=1)
-        out_r = np.take_along_axis(r, order, axis=1)
+        # dedup rows across engines before the merge: a migration batch
+        # mid-flight (inserted into IVF, not yet removed from HNSW) may
+        # surface in BOTH engines' results for a lock-free reader — keep
+        # the best-scoring copy, never two result slots for one row
+        order_all = np.argsort(d, axis=1, kind="stable")
+        d_sorted = np.take_along_axis(d, order_all, axis=1)
+        r_sorted = np.take_along_axis(r, order_all, axis=1)
+        for i in range(r_sorted.shape[0]):
+            _, first = np.unique(r_sorted[i], return_index=True)
+            dup = np.ones(r_sorted.shape[1], bool)
+            dup[first] = False
+            dup &= r_sorted[i] >= 0
+            d_sorted[i, dup] = np.inf
+            r_sorted[i, dup] = -1
+        order = np.argsort(d_sorted, axis=1, kind="stable")[:, :k]
+        out_d = np.take_along_axis(d_sorted, order, axis=1)
+        out_r = np.take_along_axis(r_sorted, order, axis=1)
         out_r = np.where(np.isfinite(out_d), out_r, -1)
         if out_d.shape[1] < k:
             pad = k - out_d.shape[1]
@@ -359,24 +398,26 @@ class HybridIndex:
             return self._rows_to_results(d[0], rows[0])
         if isinstance(filter, dict):
             filter = MetadataFilter.from_json(filter)
-        mask = np.zeros(self.store.capacity, bool)
         if row_mask is None:
             if metadata_rows is None:
                 raise ValueError("need row_mask or metadata_rows")
             row_mask = filter.compile_mask(metadata_rows)  # indexed by row
-        mask[: len(row_mask)] = row_mask[: self.store.capacity]
+        from ..utils.padding import fit_mask
+
+        mask = fit_mask(np.asarray(row_mask, bool), self.store.capacity)
         # oversample to k*oversample; masks are fused where engines allow
         d, rows = self.search_rows(
             np.atleast_2d(query), k * oversample, extra_mask=mask, now=now
         )
-        results = self._rows_to_results(d[0], rows[0])
         # HNSW can't fuse the mask into traversal results reliably when the
-        # predicate is extremely selective; enforce it here (post-filter).
-        results = [
-            (vid, dist) for vid, dist in results
-            if mask[self.store.row_of(vid)]
-        ]
-        return results[:k]
+        # predicate is extremely selective; enforce it here — on the ROW
+        # array from the search snapshot, never by re-resolving ids back
+        # to rows (a concurrent vacuum drops id mappings -> UnknownIdError,
+        # and delete-then-reinsert remaps the id to a different row)
+        keep = (rows[0] >= 0) & mask[np.maximum(rows[0], 0)]
+        d0 = np.where(keep, d[0], np.inf)
+        r0 = np.where(keep, rows[0], -1)
+        return self._rows_to_results(d0, r0)[:k]
 
     def search_oversampled_post_filter(
         self,
@@ -410,22 +451,32 @@ class HybridIndex:
         """Move aged-out HNSW rows to IVF. Returns number migrated."""
         if not self.ivf.trained:
             return 0
+        now_eff = time.time() if now is None else now
+        due = self._migration_due
+        if due is not None and now_eff < due:
+            return 0  # nothing can be old yet: skip the scan AND the lock
         self.wait_ready()
         with self._write_lock:
-            return self._migrate_locked(batch_size, now)
+            return self._migrate_locked(batch_size, now_eff)
 
     def _migrate_locked(self, batch_size, now) -> int:
-        now = time.time() if now is None else now
-        batch_size = batch_size or self.config.migration_batch_size
+        if batch_size is None:
+            batch_size = self.config.migration_batch_size
         m = self.hnsw.member_mask()[: self.store.count]
         act = ~self.store.deleted[: self.store.count]
         age = now - self.store.timestamps[: self.store.count]
         old = np.nonzero(m & act & (age >= self.config.recent_threshold_secs))[0]
         if old.size == 0:
+            live = m & act
+            member_ts = self.store.timestamps[: self.store.count][live]
+            self._migration_due = (
+                float(member_ts.min()) + self.config.recent_threshold_secs
+                if member_ts.size else float("inf"))
             return 0
         batch = old[:batch_size]
         self.ivf.insert_rows(batch)
         self.hnsw.remove_rows(batch)
+        self._migration_due = None  # more may remain: re-scan next call
         return int(batch.size)
 
     def migrate_all(self, now: float | None = None) -> int:
@@ -443,14 +494,18 @@ class HybridIndex:
             return self.store.mark_deleted(vid)
 
     def batch_delete(self, ids: list) -> int:
-        n = 0
-        for vid in ids:
-            try:
-                if self.store.mark_deleted(vid):
-                    n += 1
-            except UnknownIdError:
-                pass
-        return n
+        # under the write lock like delete(): a batch racing vacuum() could
+        # otherwise mark rows between the engine vacuums and the store
+        # vacuum, leaving a delete that no manifest ever records
+        with self._write_lock:
+            n = 0
+            for vid in ids:
+                try:
+                    if self.store.mark_deleted(vid):
+                        n += 1
+                except UnknownIdError:
+                    pass
+            return n
 
     def vacuum(self) -> dict:
         """Physically remove soft-deleted vectors from both engines."""
@@ -502,7 +557,11 @@ class HybridIndex:
         now = time.time() if now is None else now
         n = self.store.count
         act = ~self.store.deleted[:n]
-        age_days = (now - self.store.timestamps[:n]) / SECONDS_PER_DAY
+        # clamp: future timestamps (client clock skew) land in "0-1d"
+        # rather than vanishing from every bucket (buckets must sum to
+        # the active count)
+        age_days = np.maximum(
+            now - self.store.timestamps[:n], 0.0) / SECONDS_PER_DAY
         buckets = {"0-1d": (0, 1), "1-7d": (1, 7), "7-30d": (7, 30),
                    "30d+": (30, np.inf)}
         dist = {

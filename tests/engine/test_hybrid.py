@@ -675,3 +675,86 @@ def test_search_oversampled_post_filter_matches_reference_strategy():
     assert res and res[0][0] == "v11"
     assert all(int(vid[1:]) % 2 == 1 for vid, _ in res)
     assert len(res) <= 5
+
+
+class TestRouterRobustness:
+    """Regressions for review findings on the hybrid router."""
+
+    def test_bad_timestamps_shape_rejected_before_mutation(self):
+        """A short timestamps list must raise BEFORE the store mutates —
+        otherwise the ids orphan in rows no engine serves, and re-insert
+        is a DuplicateIdError."""
+        idx = HybridIndex(16, HybridConfig(ivf=IVFConfig(n_clusters=4,
+                                                         n_probe=4)))
+        vecs = rand_vecs(3)
+        idx.initialize(rand_vecs(20, seed=1))
+        with pytest.raises(ValueError):
+            idx.insert_batch(["a", "b", "c"], vecs,
+                             timestamps=[NOW - DAY], now=NOW)
+        assert not idx.store.contains("a")
+        # retry with correct shapes succeeds
+        idx.insert_batch(["a", "b", "c"], vecs,
+                         timestamps=np.full(3, NOW - DAY), now=NOW)
+        assert idx.stats(now=NOW).total_vectors == 3
+
+    def test_no_duplicate_results_when_row_in_both_engines(self):
+        """A migration batch mid-flight (in IVF, not yet removed from
+        HNSW) must occupy ONE result slot, not two."""
+        idx, vecs = make_hybrid(n_recent=30, n_old=100)
+        # forge the mid-migration state: row 5 is an HNSW member; also
+        # assign it into IVF without removing it from the graph
+        idx.ivf.insert_rows(np.array([5]))
+        assert idx.hnsw.member_mask()[5] and idx.ivf.member_mask()[5]
+        d, rows = idx.search_rows(
+            vecs[5][None], 10, config=SearchConfig(auto_migrate=False),
+            now=NOW)
+        hits = [int(r) for r in rows[0] if r >= 0]
+        assert hits.count(5) == 1, f"row 5 duplicated: {hits}"
+        # non-fast path (per-engine k) must dedup too
+        d2, rows2 = idx.search_rows(
+            vecs[5][None], 10,
+            config=SearchConfig(auto_migrate=False, recent_k=10,
+                                historical_k=8), now=NOW)
+        hits2 = [int(r) for r in rows2[0] if r >= 0]
+        assert hits2.count(5) == 1, f"row 5 duplicated (split): {hits2}"
+
+    def test_recent_k_zero_skips_engine(self):
+        """recent_k=0 / historical_k=0 are valid 'skip this engine'
+        values, not falsy stand-ins for the default."""
+        idx, vecs = make_hybrid(n_recent=30, n_old=100)
+        # query targets a RECENT row; with recent_k=0 it must not surface
+        d, rows = idx.search_rows(
+            vecs[3][None], 5,
+            config=SearchConfig(auto_migrate=False, recent_k=0,
+                                historical_k=5), now=NOW)
+        assert 3 not in rows[0]
+        assert (rows[0] >= 30).all() or (rows[0] == -1).any()
+
+    def test_migration_due_cache_still_migrates(self):
+        """The due-time fast path must not stop real migrations."""
+        idx, vecs = make_hybrid(n_recent=20, n_old=50)
+        assert idx.stats(now=NOW).recent_vectors == 20
+        # nothing old yet: first call scans and caches the due time
+        assert idx.migrate_old_vectors(now=NOW) == 0
+        assert idx.migrate_old_vectors(now=NOW) == 0  # cached skip
+        # advance past the threshold: the cache must let the scan run
+        later = NOW + 8 * DAY
+        moved = 0
+        while True:
+            n = idx.migrate_old_vectors(now=later)
+            if n == 0:
+                break
+            moved += n
+        assert moved == 20
+        assert idx.stats(now=later).recent_vectors == 0
+
+    def test_age_buckets_sum_with_future_timestamps(self):
+        idx = HybridIndex(16, HybridConfig(ivf=IVFConfig(n_clusters=4,
+                                                         n_probe=4)))
+        idx.initialize(rand_vecs(20, seed=2))
+        vecs = rand_vecs(4, seed=3)
+        ts = np.array([NOW + DAY, NOW - DAY, NOW - 10 * DAY,
+                       NOW - 40 * DAY])
+        idx.insert_batch(["f", "r", "m", "o"], vecs, ts, now=NOW)
+        s = idx.stats(now=NOW)
+        assert sum(s.age_distribution.values()) == s.total_vectors == 4
