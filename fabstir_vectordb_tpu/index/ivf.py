@@ -97,7 +97,11 @@ def ivf_search_kernel(
     def body(carry, probe_col):  # probe_col: [B] cluster id at this probe rank
         vals, idx = carry
         cand = list_ids[probe_col]  # [B, L_pad]
-        valid = cand >= 0
+        # clamp to the mirror's row count: tiles built after the mirror
+        # snapshot may reference rows a concurrent insert appended — an
+        # out-of-range gather would silently clamp to row n-1 and return
+        # its distance under the new row's id
+        valid = (cand >= 0) & (cand < x.shape[0])
         safe = jnp.where(valid, cand, 0)
         xs = x[safe]  # [B, L_pad, D] gather
         if metric == "euclidean":
@@ -143,6 +147,12 @@ class IVFIndex:
         self._tiles: tuple | None = None  # (list_ids np [C, L_pad], version)
         self._tiles_version = -1
         self._version = 0
+        # device-resident (base mask, centroids, tiles) for the standalone
+        # search path, version-keyed like the store mirror: without it
+        # every search re-uploads tens of MB of tiles/centroids that have
+        # not changed
+        self._dev_search: dict | None = None
+        self._dev_search_key = None
 
     # ------------------------------------------------------------- training
     def train(self, vectors: np.ndarray) -> TrainStats:
@@ -167,7 +177,15 @@ class IVFIndex:
         # that costs 60s+ per compile on remote-compile targets — without
         # bucketing every distinct sample size pays that compile
         n_pad = bucket(n, minimum=min(1024, n))
-        sample = vectors[:n]
+        if vectors.shape[0] > n:
+            # seeded RANDOM sample: taking the first train_size rows biases
+            # the quantizer toward the head of ordered/grouped corpora
+            # (rows sorted by category would train on one category only)
+            sel = np.random.default_rng(self.config.seed).choice(
+                vectors.shape[0], n, replace=False)
+            sample = vectors[np.sort(sel)]
+        else:
+            sample = vectors[:n]
         if n_pad > n:
             sample = np.concatenate(
                 [sample, np.zeros((n_pad - n, sample.shape[1]), np.float32)]
@@ -191,10 +209,20 @@ class IVFIndex:
 
     def set_trained(self, centroids: np.ndarray) -> None:
         """Install centroids directly (load path / tests), like the
-        reference's set_trained used by persistence + scale tests."""
-        self.centroids = np.asarray(centroids, np.float32)
-        if self.centroids.ndim != 2 or self.centroids.shape[1] != self.store.dim:
+        reference's set_trained used by persistence + scale tests.
+
+        Validates BEFORE mutating any state (a malformed call must not
+        leave a trained index with unusable centroids), and drops
+        assignments pointing past the new cluster count — a shrinking
+        import would otherwise crash the next tile build. Assignments
+        within range are kept (the load path restores them right after);
+        callers changing the centroid BASIS should reassign via
+        insert_rows/retrain."""
+        cents = np.asarray(centroids, np.float32)
+        if cents.ndim != 2 or cents.shape[1] != self.store.dim:
             raise TrainingError("centroids must be [C, dim]")
+        self.centroids = cents
+        self.assignments[self.assignments >= cents.shape[0]] = -1
         self.trained = True
         self._version += 1
 
@@ -287,12 +315,25 @@ class IVFIndex:
     def _build_tiles(self) -> np.ndarray:
         """Pack assignments into padded [C, L_pad] row-id tiles."""
         c = self.config.n_clusters if self.centroids is None else self.centroids.shape[0]
-        members = self.member_rows()
+        # ONE snapshot of the assignments array, then filter: member_rows()
+        # followed by a second read raced concurrent remove/vacuum (-1
+        # landing between the two reads crashed np.bincount)
+        assign_arr = self.assignments
+        members = np.nonzero(assign_arr >= 0)[0]
         if members.size == 0:
             return np.full((c, 128), -1, np.int32)
-        assign = self.assignments[members]
+        assign = assign_arr[members]
+        ok = (assign >= 0) & (assign < c)
+        members, assign = members[ok], assign[ok]
+        if members.size == 0:
+            return np.full((c, 128), -1, np.int32)
         counts = np.bincount(assign, minlength=c)
-        l_pad = max(128, round_up(int(counts.max()), 128))
+        # power-of-two tile width: rounding to the next 128 recompiles the
+        # search kernel every time the largest list grows by 128 rows
+        # (60s+/compile on remote-compile targets); bucketing bounds the
+        # distinct widths to O(log L). compact_clusters() still repacks
+        # minimally on demand.
+        l_pad = max(128, bucket(int(counts.max()), minimum=128))
         tiles = np.full((c, l_pad), -1, np.int32)
         order = np.argsort(assign, kind="stable")
         sorted_rows = members[order]
@@ -325,22 +366,36 @@ class IVFIndex:
         if not self.trained:
             raise NotTrainedError("IVF index is not trained")
         queries = np.atleast_2d(np.asarray(queries, np.float32))
-        n_probe = n_probe or self.config.n_probe
+        n_probe = n_probe if n_probe is not None else self.config.n_probe
         mirror = self.store.device(dtype=limits.serving_dtype())
         # masks reconciled to the mirror's row count: concurrent capacity
         # growth must not feed the kernel mismatched shapes
         n = int(mirror.x.shape[0])
-        mask = self.store.active_mask(n) & self.member_mask(n)
+        key = (self._version, self.store._version, n)
+        dev = self._dev_search
+        if dev is None or self._dev_search_key != key:
+            dev = {
+                "mask": jnp.asarray(
+                    self.store.active_mask(n) & self.member_mask(n)),
+                "centroids": jnp.asarray(self.centroids),
+                "tiles": jnp.asarray(self.tiles()),
+            }
+            self._dev_search = dev
+            self._dev_search_key = key
+        mask_dev = dev["mask"]
         if extra_mask is not None:
-            mask = mask & fit_mask(extra_mask, n)
+            # per-call filter: combine on host against a fresh snapshot
+            mask_dev = jnp.asarray(
+                self.store.active_mask(n) & self.member_mask(n)
+                & fit_mask(extra_mask, n))
         # bucket k so jit kernels are shared across k values
         k_eff = bucket(k)
         vals, rows, _ = ivf_search_kernel(
             mirror.x,
             mirror.x_sq,
-            jnp.asarray(mask),
-            jnp.asarray(self.centroids),
-            jnp.asarray(self.tiles()),
+            mask_dev,
+            dev["centroids"],
+            dev["tiles"],
             jnp.asarray(queries),
             k_eff,
             min(n_probe, self.centroids.shape[0]),
@@ -359,10 +414,13 @@ class IVFIndex:
         members = self.member_rows()
         act = self.store.active_mask()
         members = members[act[members]]
-        if new_config is not None:
-            self.config = new_config
-        if members.size < self.config.n_clusters:
+        # validate BEFORE installing the new config: a failed retrain must
+        # not leave config (n_clusters etc.) disagreeing with the installed
+        # centroids — persistence writes the config into the manifest
+        cfg = new_config if new_config is not None else self.config
+        if members.size < cfg.n_clusters:
             raise TrainingError("not enough active members to retrain")
+        self.config = cfg
         stats = self.train(self.store.data[members])
         self.assignments[:] = -1
         self.insert_rows(members)
@@ -374,6 +432,8 @@ class IVFIndex:
         if not self.trained:
             raise NotTrainedError("IVF index is not trained")
         members = self.member_rows()
+        act = self.store.active_mask()
+        members = members[act[members]]  # a deleted outlier must not seed
         if members.size == 0:
             raise TrainingError("no members to derive new clusters from")
         vecs = self.store.data[members]
@@ -409,9 +469,11 @@ class IVFIndex:
             diffs = self.store.data[members] - self.centroids[self.assignments[members]]
             sq = (diffs * diffs).sum(axis=1)
             np.add.at(variances, self.assignments[members], sq)
-            variances = np.divide(
-                variances, np.maximum(sizes, 1), where=sizes > 0
-            )
+            # NO where=: np.divide(..., where=) without out= leaves the
+            # masked slots as uninitialized memory — empty clusters must
+            # report variance 0.0, not garbage (denominator is already
+            # clamped to 1)
+            variances = variances / np.maximum(sizes, 1)
         return ClusterStats(
             sizes=sizes.tolist(),
             variances=variances.tolist(),

@@ -215,3 +215,81 @@ def test_cosine_and_dot_metrics_match_flat_oracle():
         _, irows = ivf.search_rows(q, 5, n_probe=8, metric=metric)
         top1_agree = (irows[:, 0] == orows[:, 0]).mean()
         assert top1_agree >= 0.9, (metric, top1_agree)
+
+
+class TestIVFRobustness:
+    """Regressions for review findings on the IVF engine."""
+
+    def test_cluster_stats_empty_cluster_variance_is_zero(self):
+        """np.divide(..., where=) without out= leaves masked slots as
+        uninitialized memory — empty clusters must report 0.0."""
+        store, ivf, vecs = make_index(n_clusters=8, per=40)
+        # force an empty cluster: move every member of cluster 0 elsewhere
+        rows0 = np.nonzero(ivf.assignments == 0)[0]
+        ivf.assignments[rows0] = 1
+        ivf._version += 1
+        stats = ivf.cluster_stats()
+        assert stats.sizes[0] == 0
+        assert stats.variances[0] == 0.0
+
+    def test_shrinking_centroid_import_keeps_index_servable(self):
+        """Importing FEWER centroids than assignments reference must not
+        crash the next tile build — out-of-range assignments drop."""
+        store, ivf, vecs = make_index(n_clusters=8, per=40)
+        ivf.import_centroids(ivf.export_centroids()[:4])
+        assert (ivf.assignments < 4).all()
+        d, rows = ivf.search_rows(vecs[:2], 3, n_probe=4)
+        assert (rows >= -1).all()
+        # reassignment restores full membership
+        live = np.nonzero(ivf.member_mask()[: store.count])[0]
+        ivf.insert_rows(np.arange(store.count))
+        assert ivf.member_mask()[: store.count].all()
+
+    def test_set_trained_invalid_shape_preserves_state(self):
+        store, ivf, vecs = make_index()
+        good = ivf.export_centroids()
+        with pytest.raises(TrainingError):
+            ivf.set_trained(np.zeros(16, np.float32))  # 1-D: invalid
+        assert ivf.trained and ivf.centroids.shape == good.shape
+        ivf.search_rows(vecs[:1], 3)  # still servable
+
+    def test_retrain_failure_preserves_config(self):
+        store, ivf, vecs = make_index(n_clusters=8, per=40)
+        old_c = ivf.config.n_clusters
+        with pytest.raises(TrainingError):
+            ivf.retrain(IVFConfig(n_clusters=100_000))
+        assert ivf.config.n_clusters == old_c
+        assert ivf.centroids.shape[0] == old_c
+
+    def test_train_samples_randomly_from_ordered_corpus(self):
+        """train_size smaller than the corpus must sample across the whole
+        corpus, not the (possibly single-category) head."""
+        rng = np.random.default_rng(0)
+        # two well-separated categories, ORDERED: category A first
+        a = rng.standard_normal((600, 8)).astype(np.float32)
+        b = rng.standard_normal((600, 8)).astype(np.float32) + 50.0
+        vecs = np.concatenate([a, b])
+        store = VectorStore(8)
+        ivf = IVFIndex(store, IVFConfig(
+            n_clusters=4, n_probe=4, train_size=500, seed=0))
+        ivf.train(vecs)
+        # at least one centroid must land near category B (mean ~50)
+        assert (ivf.centroids.mean(axis=1) > 20).any()
+
+    def test_add_clusters_ignores_deleted_outliers(self):
+        store, ivf, vecs = make_index(n_clusters=4, per=40)
+        outlier = np.full((1, 16), 1e3, np.float32)
+        store.add_batch(["outlier"], outlier)
+        ivf.insert_rows(np.array([store.count - 1]))
+        store.mark_deleted("outlier")
+        ivf.add_clusters(1)
+        # the new centroid must NOT sit at the deleted outlier
+        assert not np.allclose(ivf.centroids[-1], outlier[0], atol=1.0)
+
+    def test_search_device_cache_invalidated_by_mutation(self):
+        store, ivf, vecs = make_index(n_clusters=4, per=40)
+        d1, r1 = ivf.search_rows(vecs[:1], 3)
+        assert ivf._dev_search is not None
+        store.mark_deleted("v0")
+        d2, r2 = ivf.search_rows(vecs[:1], 3)
+        assert 0 not in r2  # deleted row gone -> cache was refreshed
