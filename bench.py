@@ -1,17 +1,31 @@
 """Headline benchmark: warm-cache search latency + scale story.
 
-Reference baselines (BASELINE.md; reference README.md:26,
+Reference baselines (BASELINE.md; reference README.md:24-26,
 docs/PERFORMANCE_TUNING.md:146,243-248,594):
   - 58 ms warm-cache single search at 100K x 384, k=10;
+  - 685 ms index load, ~1 s cold first search (1.685 s to first answer);
   - filtered search: base + <5 ms (selective) ... 30-50 ms;
   - no published 1M latency (north star: sub-5 ms p50 at 1M x 384).
 
-Phases (all in one process so the persistent compile cache amortizes):
-  1. 100K x 384: build production-shaped hybrid (10% recent -> HNSW, 90%
-     historical -> IVF 256/16), measure warm p50/p99, filtered p50 (columnar
-     bitmask pushdown, ~10% selectivity), batched QPS;
-  2. 1M x 384 (skip with FVDB_BENCH_SKIP_1M=1): same shape with 2% recent,
-     warm p50 + batched QPS.
+Artifact-integrity rules (VERDICT r3 #1: round 3 blew the driver time
+budget and lost its headline + all 10M metrics):
+  - a wall-clock budget (FVDB_BENCH_BUDGET_S, default 1500 s) is checked
+    before every phase and between the 10M sub-steps; a phase that does
+    not fit is SKIPPED with a log line, never started;
+  - the 100K headline is emitted immediately after phase 1 AND re-emitted
+    as the guaranteed final JSON line (try/finally);
+  - the 10M phase reuses an on-disk corpus + oracle cache so repeat runs
+    fit comfortably.
+
+Phases (one process, persistent compile cache):
+  1. 100K x 384 production-shaped hybrid: warm p50/p99, filtered p50,
+     batched QPS  -> headline emitted here;
+  2. 1M x 384: warm p50, QPS, device-only p50, pruned-regime checkpoint,
+     turbo flat selection, reduced-rank (PCA) checkpoint;
+  3. cold start at 1M: lazy serve-ready (on-demand cold serving) and
+     eager bf16 load;
+  4. 10M x 384 beyond bf16 residency: reduced-rank serving p50/QPS +
+     measured recall vs a cached exact oracle.
 
 Emits one JSON line per metric; the FINAL line is the headline
 warm_search_p50_100k (same key as round 1 for comparability).
@@ -29,12 +43,30 @@ import numpy as np
 BASELINE_MS = 58.0
 BASELINE_FILTERED_MS = 63.0  # 58 warm + ~5 selective-filter overhead
 BASELINE_QPS = 1000.0 / BASELINE_MS  # reference serializes: 1/p50
+BASELINE_COLD_S = 1.685  # 685 ms load + ~1 s cold first search (100K)
 NOW = 1_700_000_000.0
 DAY = 86_400.0
+
+BUDGET_S = float(os.environ.get("FVDB_BENCH_BUDGET_S", "1500"))
+_T0 = time.monotonic()
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def remaining_s() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def budget_allows(name: str, est_s: float) -> bool:
+    left = remaining_s()
+    if left < est_s:
+        log(f"BUDGET: skipping {name} (needs ~{est_s:.0f}s, "
+            f"{left:.0f}s left of {BUDGET_S:.0f}s)")
+        return False
+    log(f"BUDGET: {name} starting ({left:.0f}s left, est {est_s:.0f}s)")
+    return True
 
 
 def emit(metric: str, value: float, unit: str, vs: float) -> None:
@@ -98,7 +130,7 @@ def measure_p50(idx, queries, k, cfg, label):
     return p50
 
 
-def measure_qps(idx, rng, dim, k, cfg, batch=128, reps=10):
+def measure_qps(idx, rng, dim, k, cfg, batch=128, reps=10, big_batch=True):
     bq = rng.standard_normal((batch, dim)).astype(np.float32)
     idx.search_rows(bq, k, config=cfg, now=NOW)  # compile
     t0 = time.perf_counter()
@@ -117,14 +149,15 @@ def measure_qps(idx, rng, dim, k, cfg, batch=128, reps=10):
     idx.search_rows_pipelined(batches, k, config=cfg, now=NOW, depth=4)
     qps_pipe = batch * len(batches) / (time.perf_counter() - t0)
     log(f"pipelined throughput: {qps_pipe:,.0f} QPS (batch={batch}, depth=4)")
-    # larger batches amortize the dispatch/tunnel RTT further (informational)
-    bq512 = rng.standard_normal((512, dim)).astype(np.float32)
-    idx.search_rows(bq512, k, config=cfg, now=NOW)  # compile
-    t0 = time.perf_counter()
-    for _ in range(max(reps // 2, 3)):
-        idx.search_rows(bq512, k, config=cfg, now=NOW)
-    qps512 = 512 * max(reps // 2, 3) / (time.perf_counter() - t0)
-    log(f"batched throughput: {qps512:,.0f} QPS (batch=512)")
+    if big_batch:
+        # larger batches amortize the dispatch/tunnel RTT (informational)
+        bq512 = rng.standard_normal((512, dim)).astype(np.float32)
+        idx.search_rows(bq512, k, config=cfg, now=NOW)  # compile
+        t0 = time.perf_counter()
+        for _ in range(max(reps // 2, 3)):
+            idx.search_rows(bq512, k, config=cfg, now=NOW)
+        qps512 = 512 * max(reps // 2, 3) / (time.perf_counter() - t0)
+        log(f"batched throughput: {qps512:,.0f} QPS (batch=512)")
     return qps, qps_pipe
 
 
@@ -186,15 +219,93 @@ def measure_device_p50(idx, queries, k, tag):
     return per
 
 
-def bench_cold_serve(idx, tag):
-    """Serve-ready time of a warm restart: persist the index to a
-    filesystem store, drop every device buffer AND jax's in-memory
-    executable cache (``jax.clear_caches()`` — so compiles go through the
-    PERSISTENT cache exactly like a fresh process), then time
-    load + prewarm + first answered query. Measured in-process because a
-    second concurrent device client is not safe on a tunneled single
-    chip. VERDICT r2 #5: budget cold start (process/runtime init is
-    environment cost, not index cost, and is excluded)."""
+def bench_pruned(idx, queries, k, cfg, dim, tag):
+    """Pruned-regime checkpoint (VERDICT r3 #5): force the HNSW-beam +
+    IVF-nprobe device program — the signature hybrid machinery (reference:
+    src/hybrid/core.rs:425-486) — by dropping the flat threshold with
+    reduced-rank serving off, and record p50 + recall so the kernels have
+    a round-over-round regression tripwire."""
+    from fabstir_vectordb_tpu.index import FlatIndex
+    from fabstir_vectordb_tpu.index.flat import recall_at_k
+    from fabstir_vectordb_tpu.utils import limits
+
+    old = limits.FLAT_THRESHOLD
+    os.environ["FVDB_PCA_SERVE"] = "0"
+    try:
+        limits.FLAT_THRESHOLD = 0
+        os.environ["FVDB_FLAT_THRESHOLD"] = "0"
+        idx.fused._key = None
+        t0 = time.perf_counter()
+        idx.search_rows(queries[0], k, config=cfg, now=NOW)
+        log(f"pruned graph/tile upload + compile: "
+            f"{time.perf_counter()-t0:.1f}s")
+        p50 = measure_p50(idx, queries[:100], k, cfg, f"pruned {tag}")
+        sample = queries[:32]
+        _, rows = idx.search_rows(sample, k, config=cfg, now=NOW)
+        rec = recall_at_k(FlatIndex(idx.store), rows, sample, k)
+        log(f"pruned recall@{k} vs exact: {rec:.4f}")
+        return p50, rec
+    finally:
+        limits.FLAT_THRESHOLD = old
+        os.environ.pop("FVDB_FLAT_THRESHOLD", None)
+        os.environ.pop("FVDB_PCA_SERVE", None)
+        idx.fused._key = None
+
+
+def bench_pca(idx, queries, k, cfg, rng, dim, tag):
+    """Reduced-rank checkpoint on the 1M index (beyond-bf16-residency plan
+    forced by dropping the threshold). Stage-2 rerank is PINNED to device
+    and QPS is the median of 3 runs (VERDICT r3 #4: r2->r3 regression was
+    indistinguishable from a tunnel stall in a single-run artifact)."""
+    from fabstir_vectordb_tpu.utils import limits
+
+    old = limits.FLAT_THRESHOLD
+    os.environ["FVDB_PCA_RERANK"] = "device"
+    try:
+        limits.FLAT_THRESHOLD = 0
+        os.environ["FVDB_FLAT_THRESHOLD"] = "0"
+        idx.fused._key = None
+        t0 = time.perf_counter()
+        idx.search_rows(queries[0], k, config=cfg, now=NOW)
+        log(f"pca mirror build + compile: {time.perf_counter()-t0:.1f}s")
+        log(f"serving info: {idx.fused.serving_info()}")
+        p50 = measure_p50(idx, queries[:100], k, cfg, f"pca {tag}")
+        qs, qps_pipes = [], []
+        for rep in range(3):
+            q1, q2 = measure_qps(idx, rng, dim, k, cfg, reps=5,
+                                 big_batch=(rep == 0))
+            qs.append(q1)
+            qps_pipes.append(q2)
+        qps = float(np.median(qs))
+        log(f"pca batched QPS median of 3: {qps:,.0f} "
+            f"(min {min(qs):,.0f} max {max(qs):,.0f}); "
+            f"pipelined median {np.median(qps_pipes):,.0f}")
+        return p50, qps
+    finally:
+        limits.FLAT_THRESHOLD = old
+        os.environ.pop("FVDB_FLAT_THRESHOLD", None)
+        os.environ.pop("FVDB_PCA_RERANK", None)
+        idx.fused._key = None
+        idx.fused._release_proj()
+
+
+def bench_cold_serve(idx, vecs, dim, tag):
+    """Cold-start story at 1M (VERDICT r3 #2), both shipped paths:
+
+    A. LAZY (the session default): load returns after sidecars; the first
+       search is answered by on-demand chunk fetches (index/cold.py) while
+       the corpus materializes in the background. Measures
+       time-to-first-correct-search and background-materialize completion.
+    B. EAGER with a bf16-staged mirror (FVDB_SERVING_DTYPE=bfloat16):
+       halves the corpus upload through the host<->device tunnel vs f32;
+       the bf16 flat regime's exact host refine keeps results correct.
+
+    Device buffers AND jax's in-memory executable cache are dropped first
+    (compiles go through the PERSISTENT cache like a fresh process).
+    Measured in-process because a second concurrent device client is not
+    safe on a tunneled single chip. Reference bar: 685 ms lazy load +
+    ~1 s cold search at 100K (reference: src/hybrid/persistence.rs:497-570,
+    README.md:24-26)."""
     import gc
     import shutil
     import tempfile
@@ -202,9 +313,13 @@ def bench_cold_serve(idx, tag):
     import jax
 
     from fabstir_vectordb_tpu.core.object_store import FileSystemObjectStore
+    from fabstir_vectordb_tpu.index import SearchConfig
     from fabstir_vectordb_tpu.storage.persistence import HybridPersister
 
     root = tempfile.mkdtemp(prefix="fvdb_cold_")
+    cfg = SearchConfig(auto_migrate=False)
+    out = {}
+    os.environ["FVDB_SERVING_DTYPE"] = "bfloat16"
     try:
         store = FileSystemObjectStore(root)
         t0 = time.perf_counter()
@@ -212,34 +327,69 @@ def bench_cold_serve(idx, tag):
         log(f"save for cold-serve test ({tag}): "
             f"{time.perf_counter()-t0:.1f}s")
 
-        # drop all warm state: device mirrors, fused caches, compiled fns
-        idx.store.release_mirror()
-        idx.fused._dev = None
-        idx.fused._key = None
-        idx.fused._release_proj()
-        gc.collect()
-        jax.clear_caches()
+        def drop_warm_state():
+            idx.store.release_mirror()
+            idx.fused._dev = None
+            idx.fused._key = None
+            idx.fused._release_proj()
+            gc.collect()
+            jax.clear_caches()
 
+        # ---- A: lazy + on-demand cold serving ----
+        drop_warm_state()
         t0 = time.perf_counter()
-        idx2, _manifest = HybridPersister(store).load_index_chunked(
-            "cold", lazy=False)
-        t_load = time.perf_counter() - t0
+        idx2, _m = HybridPersister(store).load_index_chunked("cold", lazy=True)
+        t_sidecar = time.perf_counter() - t0
+        # first search: an exact historical corpus vector — its own row
+        # must come back at distance ~0 or the cold answer is wrong
+        probe_id = int(0.6 * len(vecs))
         t0 = time.perf_counter()
-        idx2.fused.prewarm()
-        idx2.search_rows(np.zeros((1, idx2.store.dim), np.float32), 10)
-        t_serve = time.perf_counter() - t0
-        log(f"cold serve-ready {tag}: load={t_load:.2f}s "
-            f"prewarm+first-search={t_serve:.2f}s")
-        # free the duplicate before returning to the caller's index
+        d, rows = idx2.search_rows(vecs[probe_id], 10, config=cfg, now=NOW)
+        t_first = time.perf_counter() - t0
+        ok = (rows[0, 0] == idx2.store.row_of(f"v{probe_id}")
+              and d[0, 0] < 1e-2)
+        cold_stats = idx2._cold.stats() if idx2._cold else {}
+        log(f"lazy serve-ready {tag}: sidecars={t_sidecar:.2f}s "
+            f"first-search={t_first:.2f}s correct={ok} {cold_stats}")
+        t0 = time.perf_counter()
+        d, _ = idx2.search_rows(vecs[probe_id + 1], 10, config=cfg, now=NOW)
+        log(f"second cold search: {(time.perf_counter()-t0)*1e3:.1f} ms")
+        t0 = time.perf_counter()
+        idx2.wait_ready()
+        t_mat = time.perf_counter() - t0
+        log(f"background materialize (remaining): {t_mat:.2f}s")
+        if ok:
+            out["lazy_serve_ready"] = t_sidecar + t_first
+            out["lazy_materialize"] = t_sidecar + t_first + t_mat
         idx2.store.release_mirror()
         del idx2
         gc.collect()
-        # (t_load now INCLUDES the corpus upload: load stages per-chunk
-        # device transfers as blocks decode, so prewarm pays only
-        # graph/tile upload + compile — the breakdown metric records how
-        # much of serve-ready is host+transfer vs compile)
-        return t_load, t_serve
+
+        # ---- B: eager, bf16-staged mirror ----
+        drop_warm_state()
+        t0 = time.perf_counter()
+        idx3, _m = HybridPersister(store).load_index_chunked(
+            "cold", lazy=False)
+        t_load = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        idx3.fused.prewarm()
+        idx3.search_rows(np.zeros((1, dim), np.float32), 10)
+        t_serve = time.perf_counter() - t0
+        log(f"cold serve-ready {tag} (eager bf16): load={t_load:.2f}s "
+            f"prewarm+first-search={t_serve:.2f}s")
+        # correctness spot-check of the bf16+refine path on exact vectors
+        d3, rows3 = idx3.search_rows(vecs[probe_id], 10, config=cfg, now=NOW)
+        ok3 = (rows3[0, 0] == idx3.store.row_of(f"v{probe_id}")
+               and d3[0, 0] < 1e-2)
+        log(f"eager bf16 top-1 self-hit: {ok3}")
+        out["cold_load"] = t_load
+        out["cold_serve_ready"] = t_load + t_serve
+        idx3.store.release_mirror()
+        del idx3
+        gc.collect()
+        return out
     finally:
+        os.environ.pop("FVDB_SERVING_DTYPE", None)
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -249,15 +399,19 @@ def bench_10m(dim, k, rng):
     pads to a 16.8M-row store (past the 8,388,608-row bf16 flat boundary);
     serving runs the reduced-rank ladder: PCA stage-1 over a count-padded
     bf16 mirror + f32 rerank (on device when the HBM budget fits). Recall
-    is measured against a streamed exact-f32 oracle (TieredFlatSearcher).
+    is measured against an exact-f32 oracle (TieredFlatSearcher), cached
+    on disk alongside the corpus so repeat runs skip the streamed pass.
     Index state is constructed directly (device-assigned IVF membership),
     like the reference's scale tests (reference:
-    tests/integration/large_dataset_tests.rs:41-130)."""
+    tests/integration/large_dataset_tests.rs:41-130).
+
+    Queries come from a DEDICATED rng stream so they are stable across
+    bench-code edits — the oracle cache stays valid as long as the corpus
+    cache does."""
     import jax.numpy as jnp
 
     from fabstir_vectordb_tpu.index import (
         HybridConfig, HybridIndex, IVFConfig, SearchConfig)
-    from fabstir_vectordb_tpu.index.tiered import TieredFlatSearcher
     from fabstir_vectordb_tpu.ops.kmeans import assign_clusters
 
     n = int(os.environ.get("FVDB_BENCH_10M_N", 10_000_000))
@@ -267,8 +421,7 @@ def bench_10m(dim, k, rng):
     # the documented 10M operating point (docs/PERFORMANCE.md): device
     # stage-2 needs the bf16 full-dim mirror next to the rank-192 stage-1
     # mirror (12.1 GB resident), so raise the budget and halve the
-    # stage-1 transient. Measured v5e: 1,608 QPS batched / 2,470
-    # pipelined at recall 0.997 vs 352 QPS host-bound at defaults.
+    # stage-1 transient.
     os.environ.setdefault("FVDB_HBM_BUDGET_GB", "14.5")
     os.environ.setdefault("FVDB_STAGE1_TRANSIENT_GB", "2")
 
@@ -279,7 +432,7 @@ def bench_10m(dim, k, rng):
         auto_migrate=False))
     store = idx.store
     ids = [f"v{i}" for i in range(n)]
-    rows = store.register_rows(ids, timestamps=NOW - 30 * DAY)
+    store.register_rows(ids, timestamps=NOW - 30 * DAY)
     log(f"registered {n} rows (capacity {store.capacity}) "
         f"in {time.perf_counter()-t0:.1f}s")
 
@@ -287,13 +440,13 @@ def bench_10m(dim, k, rng):
 
     # corpus cache (FVDB_BENCH_10M_CACHE=/path/prefix, ""=off): generation
     # is tunnel-upload bound (~16 min at 10M even with bf16 uplink), so
-    # repeat runs load the corpus from disk instead (~2 min of sequential
-    # reads). Safe to reuse across invocations: queries and the recall
-    # oracle both derive from the loaded store.data, so any cached corpus
-    # is self-consistent with its own measurements.
+    # repeat runs load the corpus from disk instead. Safe to reuse across
+    # invocations: queries and the recall oracle both derive from the
+    # loaded store.data, so any cached corpus is self-consistent.
     cache = os.environ.get("FVDB_BENCH_10M_CACHE", "/tmp/fvdb_bench10m")
     data_path = f"{cache}.data.npy" if cache else None
     meta_path = f"{cache}.meta.npz" if cache else None
+    oracle_path = f"{cache}.oracle.npz" if cache else None
     t0 = time.perf_counter()
     cache_hit = bool(
         cache and os.path.exists(data_path) and os.path.exists(meta_path))
@@ -311,7 +464,9 @@ def bench_10m(dim, k, rng):
     if cache_hit:
         for lo in range(0, n, blk_rows):
             hi = min(lo + blk_rows, n)
-            store.fill_rows(lo, np.ascontiguousarray(cached[lo:hi]))
+            # fill straight from the mmap window: ONE copy into the store
+            # (the old ascontiguousarray staged a second corpus-sized pass)
+            store.fill_rows(lo, cached[lo:hi])
         idx.initialize(np.ascontiguousarray(cached[:10_000]))
         idx.ivf.centroids = meta["centroids"].copy()
         idx.ivf._ensure_capacity()
@@ -319,6 +474,10 @@ def bench_10m(dim, k, rng):
         log(f"loaded cached corpus + assignments "
             f"in {time.perf_counter()-t0:.1f}s")
     else:
+        if not budget_allows("10M corpus generation", 1100):
+            return False
+        if oracle_path and os.path.exists(oracle_path):
+            os.remove(oracle_path)  # oracle is only valid for ITS corpus
         trained = False
         cj16 = None
         for lo in range(0, n, blk_rows):
@@ -354,10 +513,14 @@ def bench_10m(dim, k, rng):
 
     cfg = SearchConfig(auto_migrate=False)
     n_q = 100
-    seeds = rng.integers(0, n, n_q)
-    queries = store.data[seeds] + 0.1 * rng.standard_normal(
-        (n_q, dim), dtype=np.float32)
+    # dedicated, pinned query stream (oracle-cache validity)
+    rng10 = np.random.default_rng(707)
+    seeds = rng10.integers(0, n, n_q)
+    queries = store.data[seeds] + 0.1 * rng10.standard_normal(
+        (n_q, dim)).astype(np.float32)
 
+    if not budget_allows("10M mirror build + measurements", 420):
+        return False
     t0 = time.perf_counter()
     idx.search_rows(queries[0], k, config=cfg, now=NOW)
     log(f"10M mirror build + calibration + first search: "
@@ -367,16 +530,36 @@ def bench_10m(dim, k, rng):
     p50 = measure_p50(idx, queries, k, cfg, "beyond-flat 10m")
     qps, qps_pipe = measure_qps(idx, rng, dim, k, cfg, reps=5)
 
-    # recall vs streamed exact-f32 oracle (one pass over the host corpus)
+    emit(f"scale_beyond_flat_p50_{n//1000}k_{dim}d_k{k}", p50, "ms",
+         BASELINE_MS / p50)
+    emit(f"scale_beyond_flat_qps_{n//1000}k_{dim}d_k{k}", qps, "qps",
+         qps / BASELINE_QPS)
+
+    # ---- recall vs exact-f32 oracle (cached once per corpus) ----
     sample = queries[:32]
+    exact_rows = None
+    if oracle_path and os.path.exists(oracle_path):
+        oc = np.load(oracle_path)
+        if (oc["queries"].shape == sample.shape
+                and np.allclose(oc["queries"], sample)):
+            exact_rows = oc["rows"]
+            log("oracle cache hit (exact top-k reused)")
+    if exact_rows is None:
+        if not budget_allows("10M exact oracle pass", 170):
+            return True  # p50/qps are in the artifact; recall next run
+        from fabstir_vectordb_tpu.index.tiered import TieredFlatSearcher
+
+        cap = store.capacity
+        members = store.active_mask()[:n] & (
+            idx.hnsw.member_mask()[:cap][:n]
+            | idx.ivf.member_mask()[:cap][:n])
+        t0 = time.perf_counter()
+        oracle = TieredFlatSearcher(store.data[:n], members)
+        _, exact_rows = oracle.search(sample, k)
+        log(f"exact streamed oracle pass: {time.perf_counter()-t0:.1f}s")
+        if oracle_path:
+            np.savez(oracle_path, queries=sample, rows=exact_rows)
     _, got_rows = idx.search_rows(sample, k, config=cfg, now=NOW)
-    cap = store.capacity
-    members = store.active_mask()[:n] & (
-        idx.hnsw.member_mask()[:cap][:n] | idx.ivf.member_mask()[:cap][:n])
-    t0 = time.perf_counter()
-    oracle = TieredFlatSearcher(store.data[:n], members)
-    _, exact_rows = oracle.search(sample, k)
-    log(f"exact streamed oracle pass: {time.perf_counter()-t0:.1f}s")
     hits = total = 0
     for b in range(sample.shape[0]):
         truth = set(int(r) for r in exact_rows[b] if r >= 0)
@@ -384,15 +567,11 @@ def bench_10m(dim, k, rng):
         hits += len(truth & got)
         total += len(truth)
     rec = hits / max(total, 1)
-    log(f"recall@{k} vs exact f32 at 10M: {rec:.3f}")
-
-    emit(f"scale_beyond_flat_p50_{n//1000}k_{dim}d_k{k}", p50, "ms",
-         BASELINE_MS / p50)
-    emit(f"scale_beyond_flat_qps_{n//1000}k_{dim}d_k{k}", qps, "qps",
-         qps / BASELINE_QPS)
+    log(f"recall@{k} vs exact f32 at 10M: {rec:.4f}")
     emit(f"scale_beyond_flat_recall_{n//1000}k_{dim}d_k{k}", rec, "recall@10",
          rec / 1.0)
     del idx, store, queries
+    return True
 
 
 def bench_filtered(idx, vecs, queries, cfg, k, tag):
@@ -438,6 +617,7 @@ def main() -> None:
 
     enable_persistent_cache()
     log(f"devices: {jax.devices()}")
+    log(f"budget: {BUDGET_S:.0f}s")
     rng = np.random.default_rng(0)
 
     # ---- phase 1: 100K ----
@@ -445,123 +625,140 @@ def main() -> None:
     idx, vecs, queries, cfg, p50_100k, qps_100k, qpipe_100k = bench_scale(
         n1, dim, k, n_queries, rng, recent_frac=0.10, tag="100k"
     )
-    p50_filt = bench_filtered(idx, vecs, queries, cfg, k, "100k")
-    del idx, vecs, queries
-
-    emit(f"batched_qps_{n1//1000}k_{dim}d_k{k}", qps_100k, "qps",
-         qps_100k / BASELINE_QPS)
-    emit(f"pipelined_qps_{n1//1000}k_{dim}d_k{k}", qpipe_100k, "qps",
-         qpipe_100k / BASELINE_QPS)
-    emit(f"filtered_search_p50_{n1//1000}k_{dim}d_k{k}", p50_filt, "ms",
-         BASELINE_FILTERED_MS / p50_filt)
-
-    # ---- phase 2: 1M ----
-    if os.environ.get("FVDB_BENCH_SKIP_1M", "0") != "1" and n1 <= 500_000:
-        n2 = 1_000_000
-        idx, vecs, queries, cfg, p50_1m, qps_1m, qpipe_1m = bench_scale(
-            n2, dim, k, min(n_queries, 100), rng, recent_frac=0.02, tag="1m"
-        )
-        emit(f"warm_search_p50_1000k_{dim}d_k{k}", p50_1m, "ms",
-             BASELINE_MS / p50_1m)
-        emit(f"batched_qps_1000k_{dim}d_k{k}", qps_1m, "qps",
-             qps_1m / BASELINE_QPS)
-        emit(f"pipelined_qps_1000k_{dim}d_k{k}", qpipe_1m, "qps",
-             qpipe_1m / BASELINE_QPS)
-        # reference has no ingest-rate number — vs_baseline 1.0 sets the bar
-        emit(f"ingest_qps_1000k_{dim}d", idx.bench_ingest_qps,
-             "vectors/s", 1.0)
-
-        # ---- device-only p50 (the north-star artifact) ----
-        try:
-            dev_p50 = measure_device_p50(idx, queries, k, "1m")
-            emit(f"device_p50_1000k_{dim}d_k{k}", dev_p50, "ms",
-                 BASELINE_MS / dev_p50)
-        except Exception as e:  # noqa: BLE001
-            log(f"device p50 failed: {e}")
-
-        # ---- turbo flat selection (FVDB_FLAT_SELECT=approx) ----
-        # approx_min_k wide pool + fused exact f32 refine: trades the exact
-        # top_k's batched selection cost for a measured-recall operating
-        # point (docs/PERFORMANCE.md turbo table)
-        if os.environ.get("FVDB_BENCH_SKIP_TURBO", "0") != "1":
-            try:
-                from fabstir_vectordb_tpu.index import FlatIndex
-                from fabstir_vectordb_tpu.index.flat import recall_at_k
-
-                os.environ["FVDB_FLAT_SELECT"] = "approx"
-                idx.search_rows(queries[0], k, config=cfg, now=NOW)  # compile
-                qps_t, qps_t_pipe = measure_qps(idx, rng, dim, k, cfg, reps=5)
-                sample = queries[:32]
-                _, rows_t = idx.search_rows(sample, k, config=cfg, now=NOW)
-                rec_t = recall_at_k(FlatIndex(idx.store), rows_t, sample, k)
-                log(f"turbo recall@{k} vs exact: {rec_t:.4f}")
-                emit(f"turbo_batched_qps_1000k_{dim}d_k{k}", qps_t, "qps",
-                     qps_t / BASELINE_QPS)
-                emit(f"turbo_pipelined_qps_1000k_{dim}d_k{k}", qps_t_pipe,
-                     "qps", qps_t_pipe / BASELINE_QPS)
-                emit(f"turbo_recall_1000k_{dim}d_k{k}", rec_t, "recall@10",
-                     rec_t / 1.0)
-            except Exception as e:  # noqa: BLE001
-                log(f"turbo bench failed: {e}")
-            finally:
-                os.environ.pop("FVDB_FLAT_SELECT", None)
-
-        # ---- cold serve-ready from a fresh process ----
-        if os.environ.get("FVDB_BENCH_SKIP_COLD", "0") != "1":
-            try:
-                t_load, t_serve = bench_cold_serve(idx, "1m")
-                cold = t_load + t_serve
-                # reference full cold path ~1.685 s (685 ms load +
-                # ~1 s cold search, BASELINE.md)
-                emit(f"cold_serve_ready_1000k_{dim}d", cold, "s",
-                     1.685 / cold)
-                emit(f"cold_load_1000k_{dim}d", t_load, "s",
-                     0.685 / t_load)
-            except Exception as e:  # noqa: BLE001
-                log(f"cold-serve bench failed: {e}")
-
-        # ---- phase 2b: reduced-rank regime on the same 1M index ----
-        # (the beyond-bf16-residency plan: PCA-96 stage-1 + exact rerank;
-        # forced here by dropping the threshold so the driver artifact
-        # records it at every round)
-        if os.environ.get("FVDB_BENCH_SKIP_PCA", "0") != "1":
-            from fabstir_vectordb_tpu.utils import limits
-
-            old = limits.FLAT_THRESHOLD
-            try:
-                limits.FLAT_THRESHOLD = 0
-                os.environ["FVDB_FLAT_THRESHOLD"] = "0"
-                idx.fused._key = None
-                t0 = time.perf_counter()
-                idx.search_rows(queries[0], k, config=cfg, now=NOW)
-                log(f"pca mirror build + compile: {time.perf_counter()-t0:.1f}s")
-                p50_pca = measure_p50(idx, queries[:100], k, cfg, "pca 1m")
-                qps_pca, _ = measure_qps(idx, rng, dim, k, cfg, reps=5)
-                emit(f"pca_search_p50_1000k_{dim}d_k{k}", p50_pca, "ms",
-                     BASELINE_MS / p50_pca)
-                emit(f"pca_batched_qps_1000k_{dim}d_k{k}", qps_pca, "qps",
-                     qps_pca / BASELINE_QPS)
-            finally:
-                limits.FLAT_THRESHOLD = old
-                os.environ.pop("FVDB_FLAT_THRESHOLD", None)
-                idx.fused._key = None
+    headline = (f"warm_search_p50_{n1//1000}k_{dim}d_k{k}", p50_100k, "ms",
+                BASELINE_MS / p50_100k)
+    # headline out IMMEDIATELY (and re-emitted as the final line below):
+    # a later phase overrunning must never cost the round its headline
+    emit(*headline)
+    try:
+        p50_filt = bench_filtered(idx, vecs, queries, cfg, k, "100k")
         del idx, vecs, queries
 
-    # ---- phase 3: 10M beyond bf16 residency ----
-    if (os.environ.get("FVDB_BENCH_SKIP_10M", "0") != "1"
-            and n1 <= 500_000
-            and os.environ.get("FVDB_BENCH_SKIP_1M", "0") != "1"):
-        try:
-            bench_10m(dim, k, rng)
-        except Exception as e:  # noqa: BLE001
-            log(f"10M phase failed: {e}")
-            import traceback
+        emit(f"batched_qps_{n1//1000}k_{dim}d_k{k}", qps_100k, "qps",
+             qps_100k / BASELINE_QPS)
+        emit(f"pipelined_qps_{n1//1000}k_{dim}d_k{k}", qpipe_100k, "qps",
+             qpipe_100k / BASELINE_QPS)
+        emit(f"filtered_search_p50_{n1//1000}k_{dim}d_k{k}", p50_filt, "ms",
+             BASELINE_FILTERED_MS / p50_filt)
 
-            traceback.print_exc(file=sys.stderr)
+        # ---- phase 2: 1M ----
+        if (os.environ.get("FVDB_BENCH_SKIP_1M", "0") != "1"
+                and n1 <= 500_000 and budget_allows("1M phase", 220)):
+            n2 = 1_000_000
+            idx, vecs, queries, cfg, p50_1m, qps_1m, qpipe_1m = bench_scale(
+                n2, dim, k, min(n_queries, 100), rng, recent_frac=0.02,
+                tag="1m")
+            emit(f"warm_search_p50_1000k_{dim}d_k{k}", p50_1m, "ms",
+                 BASELINE_MS / p50_1m)
+            emit(f"batched_qps_1000k_{dim}d_k{k}", qps_1m, "qps",
+                 qps_1m / BASELINE_QPS)
+            emit(f"pipelined_qps_1000k_{dim}d_k{k}", qpipe_1m, "qps",
+                 qpipe_1m / BASELINE_QPS)
+            # reference has no ingest-rate number — vs_baseline 1.0 = the bar
+            emit(f"ingest_qps_1000k_{dim}d", idx.bench_ingest_qps,
+                 "vectors/s", 1.0)
 
-    # headline LAST (driver parses the final JSON line; key matches round 1)
-    emit(f"warm_search_p50_{n1//1000}k_{dim}d_k{k}", p50_100k, "ms",
-         BASELINE_MS / p50_100k)
+            # ---- device-only p50 (the north-star artifact) ----
+            try:
+                dev_p50 = measure_device_p50(idx, queries, k, "1m")
+                emit(f"device_p50_1000k_{dim}d_k{k}", dev_p50, "ms",
+                     BASELINE_MS / dev_p50)
+            except Exception as e:  # noqa: BLE001
+                log(f"device p50 failed: {e}")
+
+            # ---- pruned-regime checkpoint (graph+IVF device kernels) ----
+            if (os.environ.get("FVDB_BENCH_SKIP_PRUNED", "0") != "1"
+                    and budget_allows("pruned checkpoint", 90)):
+                try:
+                    p50_pr, rec_pr = bench_pruned(
+                        idx, queries, k, cfg, dim, "1m")
+                    emit(f"pruned_p50_1000k_{dim}d_k{k}", p50_pr, "ms",
+                         BASELINE_MS / p50_pr)
+                    emit(f"pruned_recall_1000k_{dim}d_k{k}", rec_pr,
+                         "recall@10", rec_pr / 1.0)
+                except Exception as e:  # noqa: BLE001
+                    log(f"pruned bench failed: {e}")
+
+            # ---- turbo flat selection (FVDB_FLAT_SELECT=approx) ----
+            if (os.environ.get("FVDB_BENCH_SKIP_TURBO", "0") != "1"
+                    and budget_allows("turbo", 60)):
+                try:
+                    from fabstir_vectordb_tpu.index import FlatIndex
+                    from fabstir_vectordb_tpu.index.flat import recall_at_k
+
+                    os.environ["FVDB_FLAT_SELECT"] = "approx"
+                    idx.search_rows(queries[0], k, config=cfg, now=NOW)
+                    qps_t, qps_t_pipe = measure_qps(
+                        idx, rng, dim, k, cfg, reps=5)
+                    sample = queries[:32]
+                    _, rows_t = idx.search_rows(sample, k, config=cfg,
+                                                now=NOW)
+                    rec_t = recall_at_k(FlatIndex(idx.store), rows_t,
+                                        sample, k)
+                    log(f"turbo recall@{k} vs exact: {rec_t:.4f}")
+                    emit(f"turbo_batched_qps_1000k_{dim}d_k{k}", qps_t,
+                         "qps", qps_t / BASELINE_QPS)
+                    emit(f"turbo_pipelined_qps_1000k_{dim}d_k{k}",
+                         qps_t_pipe, "qps", qps_t_pipe / BASELINE_QPS)
+                    emit(f"turbo_recall_1000k_{dim}d_k{k}", rec_t,
+                         "recall@10", rec_t / 1.0)
+                except Exception as e:  # noqa: BLE001
+                    log(f"turbo bench failed: {e}")
+                finally:
+                    os.environ.pop("FVDB_FLAT_SELECT", None)
+
+            # ---- reduced-rank checkpoint on the same 1M index ----
+            if (os.environ.get("FVDB_BENCH_SKIP_PCA", "0") != "1"
+                    and budget_allows("pca checkpoint", 150)):
+                try:
+                    p50_pca, qps_pca = bench_pca(
+                        idx, queries, k, cfg, rng, dim, "1m")
+                    emit(f"pca_search_p50_1000k_{dim}d_k{k}", p50_pca, "ms",
+                         BASELINE_MS / p50_pca)
+                    emit(f"pca_batched_qps_1000k_{dim}d_k{k}", qps_pca,
+                         "qps", qps_pca / BASELINE_QPS)
+                except Exception as e:  # noqa: BLE001
+                    log(f"pca bench failed: {e}")
+
+            # ---- cold start: lazy on-demand + eager bf16 ----
+            if (os.environ.get("FVDB_BENCH_SKIP_COLD", "0") != "1"
+                    and budget_allows("cold start", 170)):
+                try:
+                    res = bench_cold_serve(idx, vecs, dim, "1m")
+                    if "lazy_serve_ready" in res:
+                        emit(f"lazy_serve_ready_1000k_{dim}d",
+                             res["lazy_serve_ready"], "s",
+                             BASELINE_COLD_S / res["lazy_serve_ready"])
+                        emit(f"lazy_materialize_1000k_{dim}d",
+                             res["lazy_materialize"], "s", 1.0)
+                    if "cold_serve_ready" in res:
+                        emit(f"cold_serve_ready_1000k_{dim}d",
+                             res["cold_serve_ready"], "s",
+                             BASELINE_COLD_S / res["cold_serve_ready"])
+                        emit(f"cold_load_1000k_{dim}d", res["cold_load"],
+                             "s", 0.685 / res["cold_load"])
+                except Exception as e:  # noqa: BLE001
+                    log(f"cold-serve bench failed: {e}")
+            del idx, vecs, queries
+
+        # ---- phase 3: 10M beyond bf16 residency ----
+        if (os.environ.get("FVDB_BENCH_SKIP_10M", "0") != "1"
+                and n1 <= 500_000
+                and os.environ.get("FVDB_BENCH_SKIP_1M", "0") != "1"
+                and budget_allows("10M phase", 520)):
+            try:
+                bench_10m(dim, k, rng)
+            except Exception as e:  # noqa: BLE001
+                log(f"10M phase failed: {e}")
+                import traceback
+
+                traceback.print_exc(file=sys.stderr)
+    finally:
+        # headline LAST, guaranteed (driver parses the final JSON line;
+        # key matches round 1)
+        emit(*headline)
+        log(f"bench wall time: {time.monotonic()-_T0:.0f}s "
+            f"of {BUDGET_S:.0f}s budget")
 
 
 if __name__ == "__main__":

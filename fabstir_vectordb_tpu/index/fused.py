@@ -217,6 +217,14 @@ def _oracle_step(blk, m, q, base, vals, rows, k: int):
     return merge_topk(vals, rows, tv, tr, k)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _xp_write(xp, blk, lo):
+    """Write one projected block into the device mirror IN PLACE (donated
+    buffer): ``.at[].set`` / un-donated dynamic_update_slice copy the whole
+    [N, rank] mirror per chunk — 3.8 GB per block at 10M rows."""
+    return jax.lax.dynamic_update_slice(xp, blk, (lo, 0))
+
+
 @jax.jit
 def _bf16_row_norms(xp):
     """Squared row norms of a bf16 matrix, f32 accumulation, fused (the
@@ -420,14 +428,55 @@ class FusedSearcher:
         else:
             probe_rows = np.zeros(0, np.int64)
 
+        # stage-2 placement decided BEFORE the mirror build: device mode
+        # keeps a full-dim bf16 mirror resident, and the projection + probe-
+        # oracle passes then read the corpus FROM that resident mirror —
+        # zero further host->device traffic. The previous order (stream-
+        # project from host, then upload the rerank mirror) moved ~23 GB
+        # through the tunnel at 10M (upload per-chunk bf16 blocks + download
+        # the projected mirror + re-upload it + upload the rerank mirror);
+        # this order moves 7.7 GB once (measured: the difference between a
+        # 988 s and a ~350 s 10M mirror build on a ~30 MB/s-tunnel rig).
+        # In auto mode the device switch also requires scale: small corpora
+        # keep the all-host rerank. Device mode cuts the wide pool on the
+        # MXU, then the host exactly re-scores just the few survivors (see
+        # _projected_dispatch) — final scores are exact f32 in both modes
+        # (measured at 10M: 352 QPS host-bound vs 1,804 device, batch=128).
+        mode = limits.pca_rerank_mode()
+
+        def want_device_rerank(r: int) -> bool:
+            if mode == "host":
+                return False
+            used = n_rows * r * 2 + n_rows * 4 + n_rows
+            need = n_rows * dim * 2
+            # reserve room for the stage-1 [B, N] distance transient (its
+            # cap is a knob — deployments trade it against mirror residency)
+            head = max(1 << 30, limits.stage1_transient_bytes())
+            fits = used + need + head <= limits.hbm_budget_bytes()
+            return mode == "device" or (fits and count >= 2_000_000)
+
+        rerank_x = None
         oracle_rows = None
         attempt = 0
         while True:
+            if want_device_rerank(rank):
+                if rerank_x is None:
+                    import ml_dtypes
+
+                    rx_host = np.empty((n_rows, dim), ml_dtypes.bfloat16)
+                    for lo in range(0, n_rows, self._PROJ_CHUNK):
+                        hi = min(lo + self._PROJ_CHUNK, n_rows)
+                        rx_host[lo:hi] = data[lo:hi]
+                    rerank_x = jnp.asarray(rx_host)
+                    del rx_host
+            else:
+                rerank_x = None  # auto-rank retry may outgrow the budget
             p_d = jnp.asarray(
                 np.ascontiguousarray(evecs[:, ::-1][:, :rank], np.float32)
             )
             xp, xp_sq, oracle_rows = self._build_proj_mirror(
-                data, n_rows, mu_d, p_d, members_np, probe_rows, oracle_rows
+                data, n_rows, mu_d, p_d, members_np, probe_rows, oracle_rows,
+                src=rerank_x,
             )
             oversample, achieved = self._calibrate_oversample(
                 xp, xp_sq, members_np[:n_rows], data, probe_rows,
@@ -441,34 +490,6 @@ class FusedSearcher:
             attempt += 1
         if pinned:
             achieved = None  # not measured — the probe pass was skipped
-
-        # stage-2 placement: device rerank mirror when it fits the budget.
-        # In auto mode the switch also requires scale: small corpora keep
-        # the all-host rerank. Device mode cuts the wide pool on the MXU,
-        # then the host exactly re-scores just the few survivors (see
-        # _projected_dispatch) — final scores are exact f32 in both modes;
-        # the trade is HBM for the mirror vs host BLAS over the full pool,
-        # worth making when the 1-core host becomes the serving bottleneck
-        # (measured at 10M: 352 QPS host-bound vs 1,804 device, batch=128).
-        mode = limits.pca_rerank_mode()
-        rerank_x = None
-        if mode != "host":
-            used = n_rows * rank * 2 + n_rows * 4 + n_rows
-            need = n_rows * dim * 2
-            # reserve room for the stage-1 [B, N] distance transient (its
-            # cap is a knob — deployments trade it against mirror residency)
-            head = max(1 << 30, limits.stage1_transient_bytes())
-            fits = used + need + head <= limits.hbm_budget_bytes()
-            big = count >= 2_000_000
-            if mode == "device" or (fits and big):
-                import ml_dtypes
-
-                rx_host = np.empty((n_rows, dim), ml_dtypes.bfloat16)
-                for lo in range(0, n_rows, self._PROJ_CHUNK):
-                    hi = min(lo + self._PROJ_CHUNK, n_rows)
-                    rx_host[lo:hi] = data[lo:hi]
-                rerank_x = jnp.asarray(rx_host)
-                del rx_host
 
         self._proj = {
             "mu": mu_d,
@@ -484,11 +505,19 @@ class FusedSearcher:
         return self._proj
 
     def _build_proj_mirror(self, data, n_rows, mu_d, p_d, members_np,
-                           probe_rows, oracle_rows):
-        """One streaming pass: project every corpus block into the bf16
-        mirror and (first pass only) accumulate the probes' exact top-k."""
-        import ml_dtypes
+                           probe_rows, oracle_rows, src=None):
+        """One pass: project every corpus block into a device-resident bf16
+        mirror and (first pass only) accumulate the probes' exact top-k.
 
+        ``src`` (the resident full-dim bf16 rerank mirror, when stage 2 is
+        on device) makes the pass read corpus blocks from HBM — no per-
+        chunk host->device upload. Without it, blocks upload as bf16 from
+        host ``data``. Either way the projected mirror is assembled in
+        place on device (donated dynamic_update_slice — see ``_xp_write``),
+        never round-tripped through the host: the old host-side assembly
+        downloaded AND re-uploaded the whole [N, rank] mirror through the
+        tunnel.
+        """
         rank = int(p_d.shape[1])
         want_oracle = oracle_rows is None and probe_rows.size > 0
         if want_oracle:
@@ -497,13 +526,19 @@ class FusedSearcher:
                              jnp.inf, jnp.float32)
             orows = jnp.full((len(probe_rows), self._CAL_K + 1),
                              -1, jnp.int32)
-        # assemble host-side and upload ONCE: device-side .at[].set
-        # assembly copies the whole [n_rows, rank] buffer per chunk
-        xp_host = np.empty((n_rows, rank), ml_dtypes.bfloat16)
-        for lo in range(0, n_rows, self._PROJ_CHUNK):
-            hi = min(lo + self._PROJ_CHUNK, n_rows)
-            blk = jnp.asarray(data[lo:hi], jnp.bfloat16)
-            xp_host[lo:hi] = np.asarray(_project_chunk(blk, mu_d, p_d))
+        # resident source: shrink the chunk so the per-chunk slice copy +
+        # f32 upcast transients stay small next to the extra full-dim
+        # mirror (peak HBM at 10M: 7.7 GB rerank + 3.8 GB xp + transients)
+        step = (max(262_144, self._PROJ_CHUNK // 4) if src is not None
+                else self._PROJ_CHUNK)
+        xp = jnp.zeros((n_rows, rank), jnp.bfloat16)
+        for lo in range(0, n_rows, step):
+            hi = min(lo + step, n_rows)
+            if src is not None:
+                blk = jax.lax.slice_in_dim(src, lo, hi, axis=0)
+            else:
+                blk = jnp.asarray(data[lo:hi], jnp.bfloat16)
+            xp = _xp_write(xp, _project_chunk(blk, mu_d, p_d), jnp.int32(lo))
             if want_oracle:
                 m = jnp.asarray(members_np[lo:hi])
                 ovals, orows = _oracle_step(
@@ -520,8 +555,6 @@ class FusedSearcher:
                 r = r[(r >= 0) & (r != pr)][: self._CAL_K]
                 out[j, : len(r)] = r
             oracle_rows = out
-        xp = jnp.asarray(xp_host)
-        del xp_host
         xp_sq = _bf16_row_norms(xp)  # fused: no [N, r] f32 transient
         return xp, xp_sq, oracle_rows
 

@@ -94,6 +94,7 @@ class HybridIndex:
         self.initialized = False
         self._materialize_event = None  # set during lazy loads
         self._load_error: Exception | None = None
+        self._cold = None  # ColdServing during lazy loads (serve-on-demand)
         # serializes MUTATIONS (insert/delete/vacuum/migrate): the engines'
         # multi-step link/assign sequences are not safe under concurrent
         # writers (a capacity grow mid-link raced a second writer's insert
@@ -112,6 +113,18 @@ class HybridIndex:
         wait_ready() until the background materializer signals ``event``."""
         self._materialize_event = event
 
+    def attach_cold(self, cold) -> None:
+        """Install a ColdServing context: searches during the lazy load are
+        answered from on-demand chunk fetches instead of blocking."""
+        self._cold = cold
+
+    def _cold_active(self, cfg) -> bool:
+        from ..utils import limits
+
+        return (not self.ready and self._cold is not None
+                and limits.cold_serve()
+                and cfg.recent_k is None and cfg.historical_k is None)
+
     def wait_ready(self, timeout: float | None = None) -> None:
         """Block until lazily loaded vector data is resident (no-op for
         eager loads). Raises the materializer's error if loading failed."""
@@ -123,6 +136,7 @@ class HybridIndex:
         if self._load_error is not None:
             raise self._load_error
         self._materialize_event = None
+        self._cold = None  # fully resident: cold serving retires
 
     @property
     def ready(self) -> bool:
@@ -213,8 +227,17 @@ class HybridIndex:
         now: float | None = None,
     ):
         """Batched dual-engine search. Returns (dists [B,k], rows [B,k])."""
-        self.wait_ready()
         cfg = config or SearchConfig()
+        if self._cold_active(cfg):
+            cold = self._cold
+            if cold is not None:  # materializer may retire it concurrently
+                return cold.search_rows(
+                    queries, k,
+                    n_probe=(self.config.ivf.n_probe
+                             if cfg.ivf_n_probe is None else cfg.ivf_n_probe),
+                    extra_mask=extra_mask,
+                )
+        self.wait_ready()
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         b = queries.shape[0]
         auto = self.config.auto_migrate if cfg.auto_migrate is None else cfg.auto_migrate
@@ -320,7 +343,7 @@ class HybridIndex:
         cfg = config or SearchConfig()
         recent_k = cfg.recent_k or k
         historical_k = cfg.historical_k or k
-        if recent_k != k or historical_k != k:
+        if recent_k != k or historical_k != k or self._cold_active(cfg):
             d, r = self.search_rows(queries, k, config, extra_mask, now=now)
             return lambda: (d, r)
 

@@ -155,12 +155,45 @@ class HybridPersister:
         # effect, so grow explicitly before the row-indexed reads below
         index.hnsw._ensure_capacity()
         index.ivf._ensure_capacity()
-        # global save order: allocated rows with live ids (tombstones skipped)
+        # global save order: allocated rows with live ids (tombstones
+        # skipped), grouped for CHUNK LOCALITY — HNSW members first, then
+        # IVF members grouped by cluster, then unindexed rows. A cluster's
+        # rows land in a contiguous span of chunks, so a cold (lazy-load)
+        # search can serve by fetching only the chunks its probe list
+        # touches — the on-demand access pattern the reference's
+        # ChunkLoader exists for (reference: src/storage/chunk_loader.rs,
+        # src/hybrid/persistence.rs:497-570), instead of reading 1/n_probe
+        # of EVERY chunk. Row-order saves (any permutation) load
+        # identically; the layout below is recorded for cold serving.
         order = np.array(
             [r for r in range(s.count) if s.row_to_id[r] is not None], np.int64
         )
-        ids = [s.row_to_id[r] for r in order]
         n = order.size
+        n_clusters = (index.ivf.centroids.shape[0]
+                      if index.ivf.trained else 0)
+        hnsw_m = index.hnsw.member_mask()[order] if n else np.zeros(0, bool)
+        assign0 = (index.ivf.assignments[order] if index.ivf.trained
+                   else np.full(n, -1, np.int32))
+        # composite group key: HNSW -> -1 (first), IVF -> cluster id,
+        # neither -> n_clusters (last); stable sort keeps row order inside
+        # each group
+        group = np.where(hnsw_m, -1,
+                         np.where(assign0 >= 0, assign0, n_clusters))
+        perm = np.argsort(group, kind="stable")
+        order = order[perm]
+        group = group[perm]
+        ids = [s.row_to_id[r] for r in order]
+        # contiguous position spans per group (for manifest.extra["layout"])
+        hnsw_count = int(hnsw_m.sum())
+        cluster_spans: dict = {}
+        if n:
+            bounds = np.flatnonzero(np.diff(group)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [n]))
+            for st, en in zip(starts, ends):
+                g = int(group[st])
+                if 0 <= g < n_clusters:
+                    cluster_spans[str(g)] = [int(st), int(en)]
 
         prev_hashes: dict = {}
         prev_chunk_ids: list = []
@@ -261,6 +294,13 @@ class HybridPersister:
             "chunk_hashes": chunk_hashes,
             "graph_saved": bool(member_pos.size),
             "chunks_skipped_incremental": skipped,
+            # cluster-local save layout (position spans) — lets a lazy load
+            # answer queries before materialization by fetching only the
+            # chunks covering the HNSW members + probed clusters
+            "layout": {
+                "hnsw_span": [0, hnsw_count],
+                "cluster_spans": cluster_spans,
+            },
         }
         manifest.validate()
         self.store.put(
@@ -474,6 +514,22 @@ class HybridPersister:
         if deferred and n:
             import threading
 
+            # serve-before-resident: searches during materialization fetch
+            # only the chunks their probe plan touches (index/cold.py) —
+            # requires a layout-recording save (round-4+ format; older
+            # saves simply block on wait_ready as before)
+            layout = manifest.extra.get("layout")
+            cold = None
+            if layout:
+                from ..index.cold import ColdServing
+
+                cold = ColdServing(
+                    idx, self.loader, keys, manifest.chunk_size,
+                    layout.get("hnsw_span") or [0, 0],
+                    layout.get("cluster_spans") or {}, n,
+                )
+                idx.attach_cold(cold)
+
             event = threading.Event()
             idx.begin_materialize(event)
             loader = self.loader
@@ -487,6 +543,8 @@ class HybridPersister:
                     # stages its device transfer immediately
                     for i, chunk in loader.load_chunks_iter(keys):
                         store.fill_rows(chunk.start_idx, chunk.data)
+                        if cold is not None:
+                            cold.mark_filled(i)
                         if lazy_stager is not None and chunk.data.shape[0]:
                             lazy_stager.add(i, chunk.data)
                     store.bump_version()

@@ -203,6 +203,13 @@ def stage1_transient_bytes() -> int:
     return int(gb * (1 << 30))
 
 
+def cold_serve() -> bool:
+    """Answer searches during a lazy load via on-demand chunk fetches
+    (FVDB_COLD_SERVE, default on). Off: searches block on wait_ready()
+    until the background materializer finishes (pre-round-4 behavior)."""
+    return os.environ.get("FVDB_COLD_SERVE", "1") != "0"
+
+
 def serving_dtype() -> str:
     """Device-resident corpus dtype ("float32" | "bfloat16").
 

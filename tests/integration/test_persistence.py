@@ -348,16 +348,179 @@ class TestLazyLoad:
         t = threading.Thread(target=do_search)
         t.start()
         t.join(0.5)
-        assert t.is_alive()  # search is blocked on materialization
+        # search is blocked on the store gate (its on-demand chunk fetches
+        # can't complete until GETs unblock)
+        assert t.is_alive()
         gate.set()
         t.join(30)
         assert not t.is_alive()
+        loaded.wait_ready(timeout=30)  # background materializer completes
         assert loaded.ready
 
         _, rows = results["out"]
         oracle = FlatIndex(loaded.store)
         _, want = oracle.search_rows(vecs[:4] + 0.001, k)
+        # n_probe == n_clusters: the cold candidate set covers everything,
+        # so the served-during-load results are exactly the flat oracle's
         np.testing.assert_array_equal(rows, want)
+
+    def test_cold_search_fetches_only_probed_chunks(self, rng):
+        """During a lazy load, a search is answered on demand from the
+        chunks its plan touches (HNSW span + probed cluster spans) — not by
+        blocking on full materialization, and not by fetching everything."""
+        import threading
+
+        from fabstir_vectordb_tpu.core import MemoryObjectStore
+        from fabstir_vectordb_tpu.index import (
+            HybridConfig, HybridIndex, IVFConfig, SearchConfig,
+        )
+        from fabstir_vectordb_tpu.storage.persistence import HybridPersister
+
+        n, dim, k = 800, 16, 5
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HybridIndex(dim, HybridConfig(
+            ivf=IVFConfig(n_clusters=16, n_probe=2, seed=0),
+            auto_migrate=False))
+        idx.initialize(vecs[:200])
+        ts = np.full(n, NOW - 30 * DAY)
+        ts[:100] = NOW - DAY  # 100 recent -> HNSW
+        idx.insert_batch([f"v{i}" for i in range(n)], vecs, ts, now=NOW)
+
+        inner = MemoryObjectStore()
+        HybridPersister(inner).save_index_chunked(idx, "cold", chunk_size=50)
+
+        gate = threading.Event()
+
+        class MaterializerGatedStore:
+            """Blocks chunk GETs from the background materializer thread
+            only; on-demand (search-thread) fetches pass through."""
+            def __init__(self, store): self._s = store
+            def get(self, key):
+                if ("/chunks/" in key and
+                        threading.current_thread().name == "fvdb-materialize"):
+                    assert gate.wait(30), "gate never opened"
+                return self._s.get(key)
+            def __getattr__(self, name): return getattr(self._s, name)
+
+        p = HybridPersister(MaterializerGatedStore(inner))
+        loaded, manifest = p.load_index_chunked("cold", lazy=True)
+        assert not loaded.ready
+        n_chunks = manifest.num_chunks
+
+        # queries = exact historical corpus vectors: each one's own row is
+        # in its probed clusters (nearest centroid = its own), so top-1
+        # must be that row at distance 0
+        probe_ids = [300, 500, 700]
+        q = vecs[probe_ids]
+        d, rows = loaded.search_rows(
+            q, k, config=SearchConfig(auto_migrate=False), now=NOW)
+        assert not loaded.ready  # answered WITHOUT materialization
+        stats = loaded._cold.stats()
+        assert 0 < stats["chunks_fetched_on_demand"] < n_chunks
+        for j, pid in enumerate(probe_ids):
+            assert rows[j, 0] == loaded.store.row_of(f"v{pid}")
+            assert d[j, 0] < 1e-3
+            # distances ascending and exact for every returned row
+            finite = d[j][np.isfinite(d[j])]
+            assert (np.diff(finite) >= -1e-6).all()
+
+        gate.set()
+        loaded.wait_ready(timeout=60)
+        assert loaded._cold is None  # cold serving retires once resident
+        # warm path agrees on the top hit
+        d2, rows2 = loaded.search_rows(
+            q, k, config=SearchConfig(auto_migrate=False), now=NOW)
+        np.testing.assert_array_equal(rows[:, 0], rows2[:, 0])
+
+    def test_cold_serve_env_disabled_blocks(self, rng, monkeypatch):
+        """FVDB_COLD_SERVE=0 restores blocking-on-materialization."""
+        import threading
+
+        from fabstir_vectordb_tpu.core import MemoryObjectStore
+        from fabstir_vectordb_tpu.index import (
+            HybridConfig, HybridIndex, IVFConfig, SearchConfig,
+        )
+        from fabstir_vectordb_tpu.storage.persistence import HybridPersister
+
+        monkeypatch.setenv("FVDB_COLD_SERVE", "0")
+        n, dim = 300, 8
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HybridIndex(dim, HybridConfig(
+            ivf=IVFConfig(n_clusters=4, n_probe=4, seed=0),
+            auto_migrate=False))
+        idx.initialize(vecs[:100])
+        idx.insert_batch([f"v{i}" for i in range(n)], vecs,
+                         np.full(n, NOW - 30 * DAY), now=NOW)
+        inner = MemoryObjectStore()
+        HybridPersister(inner).save_index_chunked(idx, "s", chunk_size=50)
+
+        gate = threading.Event()
+
+        class GatedStore:
+            def __init__(self, store): self._s = store
+            def get(self, key):
+                if "/chunks/" in key:
+                    assert gate.wait(30)
+                return self._s.get(key)
+            def __getattr__(self, name): return getattr(self._s, name)
+
+        loaded, _ = HybridPersister(GatedStore(inner)).load_index_chunked(
+            "s", lazy=True)
+        done = threading.Event()
+
+        def do_search():
+            loaded.search_rows(vecs[:2], 3,
+                               config=SearchConfig(auto_migrate=False),
+                               now=NOW)
+            done.set()
+
+        t = threading.Thread(target=do_search)
+        t.start()
+        assert not done.wait(0.5)  # blocked: cold serving disabled
+        gate.set()
+        assert done.wait(30)
+        t.join(5)
+
+    def test_save_layout_spans_partition_positions(self, rng):
+        """The recorded layout is a true partition of save positions:
+        HNSW members first, IVF rows cluster-contiguous after."""
+        from fabstir_vectordb_tpu.core import MemoryObjectStore
+        from fabstir_vectordb_tpu.index import (
+            HybridConfig, HybridIndex, IVFConfig,
+        )
+        from fabstir_vectordb_tpu.storage.persistence import HybridPersister
+
+        n, dim = 400, 8
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HybridIndex(dim, HybridConfig(
+            ivf=IVFConfig(n_clusters=8, n_probe=4, seed=0),
+            auto_migrate=False))
+        idx.initialize(vecs[:100])
+        ts = np.full(n, NOW - 30 * DAY)
+        ts[:60] = NOW - DAY
+        idx.insert_batch([f"v{i}" for i in range(n)], vecs, ts, now=NOW)
+
+        store = MemoryObjectStore()
+        manifest = HybridPersister(store).save_index_chunked(
+            idx, "s", chunk_size=64)
+        layout = manifest.extra["layout"]
+        lo, hi = layout["hnsw_span"]
+        assert (lo, hi) == (0, 60)
+        spans = sorted(
+            (int(a), int(b)) for a, b in layout["cluster_spans"].values())
+        # cluster spans tile [60, n) without gaps or overlaps
+        cur = hi
+        for a, b in spans:
+            assert a == cur and b > a
+            cur = b
+        assert cur == n
+
+        # loading the grouped layout reproduces cluster membership: every
+        # span's rows share one IVF assignment
+        loaded, _ = HybridPersister(store).load_index_chunked("s")
+        for cid, (a, b) in layout["cluster_spans"].items():
+            got = loaded.ivf.assignments[np.arange(a, b)]
+            assert (got == int(cid)).all()
 
     def test_lazy_falls_back_to_eager_for_v1_state(self, rng):
         """Saves without packed ids (older format) load eagerly under
