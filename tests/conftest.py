@@ -41,3 +41,44 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Per-run skip inventory (VERDICT r3 weak #7: env-gated skips must be named
+# in round artifacts so a silently-growing skip list can't rot unnoticed).
+# Every full run writes tests/TESTS_LATEST.json with counts + each skip's
+# location and reason; commit a copy as TESTS_r0N.json per round.
+# ---------------------------------------------------------------------------
+_skips: list = []
+_counts = {"passed": 0, "failed": 0, "skipped": 0}
+
+
+def pytest_runtest_logreport(report):
+    if report.when == "call" and report.passed:
+        _counts["passed"] += 1
+    elif report.failed:
+        _counts["failed"] += 1
+    elif report.skipped:
+        _counts["skipped"] += 1
+        reason = ""
+        if isinstance(report.longrepr, tuple):
+            reason = report.longrepr[2]
+        _skips.append({"test": report.nodeid, "reason": reason})
+
+
+def pytest_sessionfinish(session, exitstatus):
+    import json
+
+    out = {
+        "exit_status": int(exitstatus),
+        # scoped runs understate totals — the args record the scope
+        "args": list(session.config.invocation_params.args),
+        **_counts,
+        "skips": _skips,
+    }
+    path = os.path.join(os.path.dirname(__file__), "TESTS_LATEST.json")
+    try:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
