@@ -491,12 +491,15 @@ def bench_10m(dim, k, rng):
                 cj16 = jnp.asarray(idx.ivf.centroids, jnp.bfloat16)
                 trained = True
             # direct IVF state construction: device-assign this block. The
-            # upload rides the tunnel — bf16 halves the bytes, and nearest-
-            # centroid assignment is insensitive to the rounding (it only
-            # shapes the synthetic IVF lists)
+            # upload rides the tunnel via the u16-view bf16 fast path
+            # (utils/transfer.py: ml_dtypes bf16 device_put measured 22x
+            # slower than the same bits as uint16), and nearest-centroid
+            # assignment is insensitive to the rounding (it only shapes
+            # the synthetic IVF lists)
+            from fabstir_vectordb_tpu.utils.transfer import put_bf16
+
             idx.ivf._ensure_capacity()
-            assign, _ = assign_clusters(
-                jnp.asarray(block.astype(ml_dtypes.bfloat16)), cj16)
+            assign, _ = assign_clusters(put_bf16(block), cj16)
             idx.ivf.assignments[lo:hi] = np.asarray(assign, np.int32)
             del block
         log(f"generated + filled + device-assigned {n} rows "

@@ -27,6 +27,7 @@ thread pool and the scan is one matmul.
 from __future__ import annotations
 
 import threading
+import time
 
 import numpy as np
 
@@ -55,12 +56,43 @@ class ColdServing:
         self.filled = np.zeros(len(keys), bool)
         self._lock = threading.Lock()
         self.on_demand_fetches = 0
+        self._pending = 0  # live on-demand fetch loops (materializer yields)
 
     # ------------------------------------------------------------- tracking
     def mark_filled(self, chunk_idx: int) -> None:
         """Materializer callback: chunk ``chunk_idx``'s rows are resident."""
         with self._lock:
             self.filled[chunk_idx] = True
+
+    def is_filled(self, chunk_idx: int) -> bool:
+        with self._lock:
+            return bool(self.filled[chunk_idx])
+
+    def hold_materializer(self) -> None:
+        """Park the background materializer at its next between-chunks
+        yield point, where it holds NO locks (unlike mid-fetch, where it
+        holds the loader's in-flight dedup lock for the chunk). Pairs
+        with :meth:`release_materializer`. Lets admin/throttling code —
+        and deterministic tests — stop background IO without stalling
+        on-demand serving."""
+        with self._lock:
+            self._pending += 1
+
+    def release_materializer(self) -> None:
+        with self._lock:
+            self._pending -= 1
+
+    def yield_to_searches(self) -> None:
+        """Materializer callback between chunks: on a few-core host the
+        background fill and an on-demand fetch contend for the same CPU
+        (reads, CBOR decode, memcpy), roughly doubling time-to-first-
+        search; sleeping while a search's fetch loop is live hands it the
+        core. Measured at 1M/100 chunks: first search 53 s -> seconds."""
+        while True:
+            with self._lock:
+                if self._pending == 0:
+                    return
+            time.sleep(0.01)
 
     def stats(self) -> dict:
         with self._lock:
@@ -96,22 +128,33 @@ class ColdServing:
         store = self.hybrid.store
 
         def _fill(i: int) -> None:
+            if self.is_filled(i):  # materializer got there first
+                return
             chunk = self.loader.load_chunk(self.keys[i])
-            if chunk.data.shape[0]:
-                store.fill_rows(chunk.start_idx, chunk.data)
             with self._lock:
+                if self.filled[i]:
+                    return
+                if chunk.data.shape[0]:
+                    store.fill_rows(chunk.start_idx, chunk.data)
                 self.filled[i] = True
                 self.on_demand_fetches += 1
 
-        if getattr(self.loader.store, "parallel_fetch", False) \
-                and len(missing) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        with self._lock:
+            self._pending += 1  # materializer yields until we finish
+        try:
+            if getattr(self.loader.store, "parallel_fetch", False) \
+                    and len(missing) > 1:
+                from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(8, len(missing))) as ex:
-                list(ex.map(_fill, missing))
-        else:
-            for i in missing:
-                _fill(i)
+                with ThreadPoolExecutor(
+                        max_workers=min(8, len(missing))) as ex:
+                    list(ex.map(_fill, missing))
+            else:
+                for i in missing:
+                    _fill(i)
+        finally:
+            with self._lock:
+                self._pending -= 1
 
     def _probe_spans(self, queries: np.ndarray, n_probe: int) -> list:
         """Position spans for the batch's candidate set: the HNSW span plus

@@ -463,11 +463,13 @@ class FusedSearcher:
                 if rerank_x is None:
                     import ml_dtypes
 
+                    from ..utils.transfer import put_bf16
+
                     rx_host = np.empty((n_rows, dim), ml_dtypes.bfloat16)
                     for lo in range(0, n_rows, self._PROJ_CHUNK):
                         hi = min(lo + self._PROJ_CHUNK, n_rows)
                         rx_host[lo:hi] = data[lo:hi]
-                    rerank_x = jnp.asarray(rx_host)
+                    rerank_x = put_bf16(rx_host)  # u16 fast path: 22x
                     del rx_host
             else:
                 rerank_x = None  # auto-rank retry may outgrow the budget
@@ -537,7 +539,9 @@ class FusedSearcher:
             if src is not None:
                 blk = jax.lax.slice_in_dim(src, lo, hi, axis=0)
             else:
-                blk = jnp.asarray(data[lo:hi], jnp.bfloat16)
+                from ..utils.transfer import put_bf16
+
+                blk = put_bf16(data[lo:hi])  # u16 fast path (transfer.py)
             xp = _xp_write(xp, _project_chunk(blk, mu_d, p_d), jnp.int32(lo))
             if want_oracle:
                 m = jnp.asarray(members_np[lo:hi])

@@ -535,18 +535,44 @@ class HybridPersister:
             loader = self.loader
             store = idx.store
 
+            chunk_size = manifest.chunk_size
+            serial = (cold is not None
+                      and not getattr(self.store, "parallel_fetch", False))
+
             def _materialize() -> None:
                 try:
                     lazy_stager = _maybe_stager(n, store.dim)
-                    # completion-order streaming: each chunk fills its
-                    # recorded row range (start_idx == save-order row) and
-                    # stages its device transfer immediately
-                    for i, chunk in loader.load_chunks_iter(keys):
-                        store.fill_rows(chunk.start_idx, chunk.data)
-                        if cold is not None:
+                    if serial:
+                        # few-core host + local store: fetch one chunk at a
+                        # time in THIS thread so the loop can (a) yield the
+                        # core to an on-demand search fetch between chunks
+                        # and (b) skip chunks the search already filled
+                        # (their rows read back from the store for the
+                        # stager — no double fetch/decode)
+                        for i, key in enumerate(keys):
+                            cold.yield_to_searches()
+                            if cold.is_filled(i):
+                                if lazy_stager is not None:
+                                    lo = i * chunk_size
+                                    hi = min(lo + chunk_size, n)
+                                    lazy_stager.add(i, store.data[lo:hi])
+                                continue
+                            chunk = loader.load_chunk(key)
+                            store.fill_rows(chunk.start_idx, chunk.data)
                             cold.mark_filled(i)
-                        if lazy_stager is not None and chunk.data.shape[0]:
-                            lazy_stager.add(i, chunk.data)
+                            if lazy_stager is not None and chunk.data.shape[0]:
+                                lazy_stager.add(i, chunk.data)
+                    else:
+                        # completion-order streaming through the loader
+                        # pool: each chunk fills its recorded row range
+                        # (start_idx == save-order row) and stages its
+                        # device transfer immediately
+                        for i, chunk in loader.load_chunks_iter(keys):
+                            store.fill_rows(chunk.start_idx, chunk.data)
+                            if cold is not None:
+                                cold.mark_filled(i)
+                            if lazy_stager is not None and chunk.data.shape[0]:
+                                lazy_stager.add(i, chunk.data)
                     store.bump_version()
                     if lazy_stager is not None and lazy_stager.rows == n:
                         # first search after wait_ready() pays no corpus

@@ -393,12 +393,16 @@ class TestLazyLoad:
 
         class MaterializerGatedStore:
             """Blocks chunk GETs from the background materializer thread
-            only; on-demand (search-thread) fetches pass through."""
+            only; on-demand (search-thread) fetches pass through. Only
+            bridges the gap until hold_materializer() is placed below —
+            a chunk GET holds the loader's in-flight dedup lock, so the
+            gate must NOT stay closed once searches start (an on-demand
+            fetch of the same chunk coalesces into the held fetch)."""
             def __init__(self, store): self._s = store
             def get(self, key):
                 if ("/chunks/" in key and
                         threading.current_thread().name == "fvdb-materialize"):
-                    assert gate.wait(30), "gate never opened"
+                    assert gate.wait(60), "gate never opened"
                 return self._s.get(key)
             def __getattr__(self, name): return getattr(self._s, name)
 
@@ -406,6 +410,11 @@ class TestLazyLoad:
         loaded, manifest = p.load_index_chunked("cold", lazy=True)
         assert not loaded.ready
         n_chunks = manifest.num_chunks
+        # park the materializer at its lock-free yield point (it checks
+        # between every chunk), then open the gate: at most one chunk gets
+        # materialized; everything else the search must fetch itself
+        loaded._cold.hold_materializer()
+        gate.set()
 
         # queries = exact historical corpus vectors: each one's own row is
         # in its probed clusters (nearest centroid = its own), so top-1
@@ -424,7 +433,7 @@ class TestLazyLoad:
             finite = d[j][np.isfinite(d[j])]
             assert (np.diff(finite) >= -1e-6).all()
 
-        gate.set()
+        loaded._cold.release_materializer()
         loaded.wait_ready(timeout=60)
         assert loaded._cold is None  # cold serving retires once resident
         # warm path agrees on the top hit

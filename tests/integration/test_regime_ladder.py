@@ -112,10 +112,11 @@ def test_pinned_knobs_skip_calibration_pass(ladder_index, monkeypatch):
     calls = []
     orig = idx.fused._build_proj_mirror
 
-    def spy(data, n_rows, mu_d, p_d, members_np, probe_rows, oracle_rows):
+    def spy(data, n_rows, mu_d, p_d, members_np, probe_rows, oracle_rows,
+            **kw):
         calls.append(len(probe_rows))
         return orig(data, n_rows, mu_d, p_d, members_np, probe_rows,
-                    oracle_rows)
+                    oracle_rows, **kw)
 
     monkeypatch.setattr(idx.fused, "_build_proj_mirror", spy)
     q = vecs[::97] + 0.001
