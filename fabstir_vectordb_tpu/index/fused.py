@@ -371,7 +371,24 @@ class FusedSearcher:
         with self._state_lock:
             return self._proj_state_locked(key, rank_req)
 
+    @staticmethod
+    def _stage_log(label: str, t0: float) -> float:
+        """Mirror-build stage timing to stderr when FVDB_TIMING=1 (the build
+        is minutes-long at 10M; operators need to see where)."""
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        t1 = _time.perf_counter()
+        if _os.environ.get("FVDB_TIMING", "0") == "1":
+            print(f"[fvdb-timing] {label}: {t1 - t0:.1f}s",
+                  file=_sys.stderr, flush=True)
+        return t1
+
     def _proj_state_locked(self, key, rank_req: int) -> dict:
+        import time as _time
+
+        _t = _time.perf_counter()
         h = self.hybrid
         if self._proj is not None and self._proj_key == key:
             return self._proj  # another thread built it while we waited
@@ -395,6 +412,7 @@ class FusedSearcher:
         xc = sample - mu_d
         cov = np.asarray(jax.device_get(xc.T @ xc), np.float64)
         evals, evecs = np.linalg.eigh(cov)
+        _t = self._stage_log("pca fit (sample cov + eigh)", _t)
         rank = rank_req
         if rank < 0:  # auto: smallest rank capturing pca_var() variance
             ev = np.maximum(evals[::-1], 0.0)
@@ -469,8 +487,11 @@ class FusedSearcher:
                     for lo in range(0, n_rows, self._PROJ_CHUNK):
                         hi = min(lo + self._PROJ_CHUNK, n_rows)
                         rx_host[lo:hi] = data[lo:hi]
+                    _t = self._stage_log("rerank mirror host bf16 cast", _t)
                     rerank_x = put_bf16(rx_host)  # u16 fast path: 22x
+                    jax.block_until_ready(rerank_x)
                     del rx_host
+                    _t = self._stage_log("rerank mirror upload", _t)
             else:
                 rerank_x = None  # auto-rank retry may outgrow the budget
             p_d = jnp.asarray(
@@ -480,10 +501,12 @@ class FusedSearcher:
                 data, n_rows, mu_d, p_d, members_np, probe_rows, oracle_rows,
                 src=rerank_x,
             )
+            _t = self._stage_log("projection pass (+probe oracle)", _t)
             oversample, achieved = self._calibrate_oversample(
                 xp, xp_sq, members_np[:n_rows], data, probe_rows,
                 mu_d, p_d, oracle_rows,
             )
+            _t = self._stage_log("oversample calibration", _t)
             if (achieved >= limits.pca_target() or rank_req >= 0
                     or attempt >= 1 or rank >= dim):
                 break
