@@ -17,15 +17,16 @@ budget and lost its headline + all 10M metrics):
   - the 10M phase reuses an on-disk corpus + oracle cache so repeat runs
     fit comfortably.
 
-Phases (one process, persistent compile cache):
+Phases (one process, persistent compile cache), ordered by criticality —
+round done-criteria metrics run before nice-to-have checkpoints:
   1. 100K x 384 production-shaped hybrid: warm p50/p99, filtered p50,
      batched QPS  -> headline emitted here;
-  2. 1M x 384: warm p50, QPS, device-only p50, pruned-regime checkpoint,
-     turbo flat selection, reduced-rank (PCA) checkpoint;
-  3. cold start at 1M: lazy serve-ready (on-demand cold serving) and
-     eager bf16 load;
-  4. 10M x 384 beyond bf16 residency: reduced-rank serving p50/QPS +
-     measured recall vs a cached exact oracle.
+  2. 10M x 384 beyond bf16 residency: reduced-rank serving p50/QPS +
+     measured recall vs a cached exact oracle (gated on a MEASURED
+     tunnel bulk rate: the corpus upload swings 12-620 MB/s by night);
+  3. cold start at 100K (reference scale): lazy + eager serve-ready;
+  4. 1M x 384: warm p50, QPS, device-only p50, pruned-regime checkpoint,
+     turbo flat selection, reduced-rank (PCA) checkpoint, cold start.
 
 Emits one JSON line per metric; the FINAL line is the headline
 warm_search_p50_100k (same key as round 1 for comparability).
@@ -542,7 +543,26 @@ def bench_10m(dim, k, rng):
     queries = store.data[seeds] + 0.1 * rng10.standard_normal(
         (n_q, dim)).astype(np.float32)
 
-    if not budget_allows("10M mirror build + measurements", 420):
+    # the mirror build ships the corpus through the tunnel ONCE (7.7 GB
+    # bf16 at 10M) and the tunnel's bulk rate swings 12-620 MB/s night to
+    # night (measured r4: a 26 s upload and a 631 s upload in the same
+    # 24 h) — so estimate from a measured probe transfer, not a constant
+    from fabstir_vectordb_tpu.utils.transfer import put_bf16 as _put
+
+    import jax as _jax
+
+    probe_mb = 64
+    probe_rows_n = int(probe_mb * 1e6 / (dim * 2))
+    t0 = time.perf_counter()
+    _jax.block_until_ready(_put(store.data[:probe_rows_n]))
+    rate_mbps = probe_mb / max(time.perf_counter() - t0, 1e-6)
+    # upload = the full-dim bf16 rerank mirror; the projected mirror is
+    # assembled on device FROM it (no further host->device traffic)
+    mirror_bytes = 1.05 * n * dim * 2
+    est = 75 + mirror_bytes / (rate_mbps * 1e6) + 60
+    log(f"measured bf16 upload rate: {rate_mbps:.0f} MB/s "
+        f"-> mirror build est {est:.0f}s")
+    if not budget_allows("10M mirror build + measurements", est):
         return False
     t0 = time.perf_counter()
     idx.search_rows(queries[0], k, config=cfg, now=NOW)
@@ -593,7 +613,14 @@ def bench_10m(dim, k, rng):
     log(f"recall@{k} vs exact f32 at 10M: {rec:.4f}")
     emit(f"scale_beyond_flat_recall_{n//1000}k_{dim}d_k{k}", rec, "recall@10",
          rec / 1.0)
+    # free ~12 GB of HBM mirrors + the 25.8 GB host store before the
+    # later phases build their own state
+    idx.fused._release_proj()
+    idx.store.release_mirror()
     del idx, store, queries
+    import gc
+
+    gc.collect()
     return True
 
 
@@ -653,10 +680,23 @@ def main() -> None:
     # headline out IMMEDIATELY (and re-emitted as the final line below):
     # a later phase overrunning must never cost the round its headline
     emit(*headline)
+    # a driver timeout kill (SIGTERM) must still leave the headline as the
+    # artifact's final JSON line — finally: does not run on an unhandled
+    # SIGTERM (VERDICT r3 #1: the round-3 kill left a phase metric parsed
+    # as the headline)
+    import signal
+
+    def _emit_headline_and_die(signum, frame):  # noqa: ARG001
+        emit(*headline)
+        log(f"bench killed by signal {signum} at "
+            f"{time.monotonic()-_T0:.0f}s; headline re-emitted")
+        sys.stdout.flush()
+        os._exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _emit_headline_and_die)
+    signal.signal(signal.SIGINT, _emit_headline_and_die)
     try:
         p50_filt = bench_filtered(idx, vecs, queries, cfg, k, "100k")
-        del idx, vecs, queries
-
         emit(f"batched_qps_{n1//1000}k_{dim}d_k{k}", qps_100k, "qps",
              qps_100k / BASELINE_QPS)
         emit(f"pipelined_qps_{n1//1000}k_{dim}d_k{k}", qpipe_100k, "qps",
@@ -664,9 +704,57 @@ def main() -> None:
         emit(f"filtered_search_p50_{n1//1000}k_{dim}d_k{k}", p50_filt, "ms",
              BASELINE_FILTERED_MS / p50_filt)
 
+        # ---- 10M beyond bf16 residency, FIRST among the big phases: its
+        # three scale_beyond_flat_* metrics are round done-criteria
+        # (VERDICT r3 #1/#3), so they get the budget before the 1M extras.
+        # Phase-1's device mirrors are released first (the 10M phase plans
+        # against a 14.5 GB HBM budget on a 16 GB chip). ----
+        if (os.environ.get("FVDB_BENCH_SKIP_10M", "0") != "1"
+                and n1 <= 500_000 and budget_allows("10M phase", 250)):
+            idx.store.release_mirror()
+            idx.fused._dev = None
+            idx.fused._key = None
+            # bench_10m setdefaults its HBM/PCA operating point; those
+            # knobs must not leak into the later 1M pca/pruned phases
+            # (VERDICT r3 weak #6: global env as bench state)
+            _pin_keys = ("FVDB_PCA_RANK", "FVDB_PCA_OVERSAMPLE",
+                         "FVDB_HBM_BUDGET_GB", "FVDB_STAGE1_TRANSIENT_GB")
+            _saved = {kk: os.environ.get(kk) for kk in _pin_keys}
+            try:
+                bench_10m(dim, k, rng)
+            except Exception as e:  # noqa: BLE001
+                log(f"10M phase failed: {e}")
+                import traceback
+
+                traceback.print_exc(file=sys.stderr)
+            finally:
+                for kk, vv in _saved.items():
+                    if vv is None:
+                        os.environ.pop(kk, None)
+                    else:
+                        os.environ[kk] = vv
+
+        # ---- cold start at the REFERENCE's scale (100K): apples-to-apples
+        # with its 685 ms lazy load + ~1 s cold first search ----
+        if (os.environ.get("FVDB_BENCH_SKIP_COLD", "0") != "1"
+                and n1 == 100_000 and budget_allows("cold start 100k", 90)):
+            try:
+                res = bench_cold_serve(idx, vecs, dim, "100k")
+                if "lazy_serve_ready" in res:
+                    emit(f"lazy_serve_ready_{n1//1000}k_{dim}d",
+                         res["lazy_serve_ready"], "s",
+                         BASELINE_COLD_S / res["lazy_serve_ready"])
+                if "cold_serve_ready" in res:
+                    emit(f"cold_serve_ready_{n1//1000}k_{dim}d",
+                         res["cold_serve_ready"], "s",
+                         BASELINE_COLD_S / res["cold_serve_ready"])
+            except Exception as e:  # noqa: BLE001
+                log(f"cold-serve 100k bench failed: {e}")
+        del idx, vecs, queries
+
         # ---- phase 2: 1M ----
         if (os.environ.get("FVDB_BENCH_SKIP_1M", "0") != "1"
-                and n1 <= 500_000 and budget_allows("1M phase", 220)):
+                and n1 <= 500_000 and budget_allows("1M phase", 330)):
             n2 = 1_000_000
             idx, vecs, queries, cfg, p50_1m, qps_1m, qpipe_1m = bench_scale(
                 n2, dim, k, min(n_queries, 100), rng, recent_frac=0.02,
@@ -691,7 +779,7 @@ def main() -> None:
 
             # ---- pruned-regime checkpoint (graph+IVF device kernels) ----
             if (os.environ.get("FVDB_BENCH_SKIP_PRUNED", "0") != "1"
-                    and budget_allows("pruned checkpoint", 90)):
+                    and budget_allows("pruned checkpoint", 140)):
                 try:
                     p50_pr, rec_pr = bench_pruned(
                         idx, queries, k, cfg, dim, "1m")
@@ -704,7 +792,7 @@ def main() -> None:
 
             # ---- turbo flat selection (FVDB_FLAT_SELECT=approx) ----
             if (os.environ.get("FVDB_BENCH_SKIP_TURBO", "0") != "1"
-                    and budget_allows("turbo", 60)):
+                    and budget_allows("turbo", 130)):
                 try:
                     from fabstir_vectordb_tpu.index import FlatIndex
                     from fabstir_vectordb_tpu.index.flat import recall_at_k
@@ -763,19 +851,6 @@ def main() -> None:
                 except Exception as e:  # noqa: BLE001
                     log(f"cold-serve bench failed: {e}")
             del idx, vecs, queries
-
-        # ---- phase 3: 10M beyond bf16 residency ----
-        if (os.environ.get("FVDB_BENCH_SKIP_10M", "0") != "1"
-                and n1 <= 500_000
-                and os.environ.get("FVDB_BENCH_SKIP_1M", "0") != "1"
-                and budget_allows("10M phase", 520)):
-            try:
-                bench_10m(dim, k, rng)
-            except Exception as e:  # noqa: BLE001
-                log(f"10M phase failed: {e}")
-                import traceback
-
-                traceback.print_exc(file=sys.stderr)
     finally:
         # headline LAST, guaranteed (driver parses the final JSON line;
         # key matches round 1)
