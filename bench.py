@@ -666,6 +666,10 @@ def main() -> None:
     from fabstir_vectordb_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    # stage timings for the minutes-long mirror builds belong in the
+    # driver artifact (they are how the r4 upload-weather swings were
+    # diagnosed); FVDB_TIMING=0 silences
+    os.environ.setdefault("FVDB_TIMING", "1")
     log(f"devices: {jax.devices()}")
     log(f"budget: {BUDGET_S:.0f}s")
     rng = np.random.default_rng(0)
