@@ -495,7 +495,8 @@ def bench_10m(dim, k, rng):
         log(f"loaded cached corpus + assignments "
             f"in {time.perf_counter()-t0:.1f}s")
     else:
-        if not budget_allows("10M corpus generation", 1100):
+        if not budget_allows(f"{n//1000}k corpus generation",
+                             1100 * n / 10_000_000):
             return False
         if oracle_path and os.path.exists(oracle_path):
             os.remove(oracle_path)  # oracle is only valid for ITS corpus
@@ -588,7 +589,8 @@ def bench_10m(dim, k, rng):
             exact_rows = oc["rows"]
             log("oracle cache hit (exact top-k reused)")
     if exact_rows is None:
-        if not budget_allows("10M exact oracle pass", 170):
+        if not budget_allows(f"{n//1000}k exact oracle pass",
+                             170 * n / 10_000_000):
             return True  # p50/qps are in the artifact; recall next run
         from fabstir_vectordb_tpu.index.tiered import TieredFlatSearcher
 
