@@ -383,6 +383,9 @@ class FusedSearcher:
         if _os.environ.get("FVDB_TIMING", "0") == "1":
             print(f"[fvdb-timing] {label}: {t1 - t0:.1f}s",
                   file=_sys.stderr, flush=True)
+        from fabstir_vectordb_tpu.utils import progress
+
+        progress.mark()  # stall-watchdog heartbeat between build stages
         return t1
 
     def _proj_state_locked(self, key, rank_req: int) -> dict:

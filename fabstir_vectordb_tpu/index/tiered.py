@@ -77,12 +77,15 @@ class TieredFlatSearcher:
         return x, m, lo
 
     def search(self, queries: np.ndarray, k: int,
-               extra_mask: np.ndarray | None = None):
+               extra_mask: np.ndarray | None = None,
+               progress=None):
         """Returns (sq-dists [B, k], rows [B, k]); exact over active rows."""
-        return jax.device_get(self.search_async(queries, k, extra_mask))
+        return jax.device_get(
+            self.search_async(queries, k, extra_mask, progress=progress))
 
     def search_async(self, queries: np.ndarray, k: int,
-                     extra_mask: np.ndarray | None = None):
+                     extra_mask: np.ndarray | None = None,
+                     progress=None):
         """Like search() but returns device arrays without blocking — all
         tile transfers/compute are dispatched; callers running several
         searchers (e.g. one per device) overlap them by deferring the get."""
@@ -104,6 +107,12 @@ class TieredFlatSearcher:
                 vals, rows = _tile_step(
                     x_tile, m_tile, q, jnp.int32(base), vals, rows, k
                 )
+                if progress is not None:
+                    # dispatch-side marker (transfer backpressure keeps it
+                    # roughly in step with real device progress) — lets
+                    # callers with a stall watchdog distinguish a slow
+                    # streamed pass from a lost backend RPC
+                    progress(t)
         finally:
             self.mask = old_mask
         return vals, rows

@@ -33,8 +33,11 @@ os.environ.setdefault(
 # 10M driver phase uses) — bench_10m setdefaults, so pre-set wins
 os.environ.setdefault("FVDB_PCA_RANK", "192")
 os.environ.setdefault("FVDB_PCA_OVERSAMPLE", "auto")
-# this is a manual documentation run, not a driver run: give it room
+# this is a manual documentation run, not a driver run: give it room,
+# and stretch the post-headline stall limit to cover the single
+# monolithic 15.4 GB mirror transfer on a slow-tunnel night
 os.environ.setdefault("FVDB_BENCH_BUDGET_S", "5400")
+os.environ.setdefault("FVDB_BENCH_STALL_POST_S", "1800")
 
 import numpy as np  # noqa: E402
 

@@ -123,7 +123,9 @@ class TestTieredFlatSearcher:
 
         tiered = TieredFlatSearcher(x, mask, tile_rows=1024)  # 5 tiles, ragged tail
         assert tiered.n_tiles == 5
-        vals, rows = tiered.search(q, k)
+        ticks = []
+        vals, rows = tiered.search(q, k, progress=ticks.append)
+        assert ticks == [0, 1, 2, 3, 4]  # watchdog heartbeat per tile
 
         dist = ((q[:, None, :] - x[None]) ** 2).sum(-1)
         dist[:, ~mask] = np.inf
