@@ -481,6 +481,14 @@ class FusedSearcher:
         attempt = 0
         while True:
             if want_device_rerank(rank):
+                if rerank_x is None and h.store.device_source is not None:
+                    # procedural corpus (utils/synth.py): regenerate the
+                    # mirror ON device — zero bulk host->device transfer
+                    # (the tunnel-weather fix for scale mirror builds)
+                    rerank_x = h.store.device_source.mirror_bf16(n_rows)
+                    jax.block_until_ready(rerank_x)
+                    _t = self._stage_log(
+                        "rerank mirror device-side generation", _t)
                 if rerank_x is None:
                     import ml_dtypes
 

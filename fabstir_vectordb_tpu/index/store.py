@@ -135,6 +135,19 @@ class VectorStore:
         self._version = 0
         self._mirror: DeviceMirror | None = None
         self._lock = threading.RLock()
+        # optional device-side corpus provider (utils/synth.py): serving
+        # mirrors regenerate on device instead of uploading the host copy
+        self.device_source = None
+
+    def attach_device_source(self, source) -> None:
+        """Register a device-side corpus source (``utils.synth``): an object
+        whose ``mirror_bf16(n_rows)`` returns this store's rows as a device
+        bf16 mirror WITHOUT a host->device corpus transfer. The caller is
+        responsible for verifying the source matches the host rows first
+        (``source.spot_check``) — mirror builds trust it blindly. Detach by
+        passing None. Mutating writes (add/fill/delete) do NOT auto-detach:
+        procedurally-sourced stores are immutable by construction."""
+        self.device_source = source
 
     # ------------------------------------------------------------ mutation
     def _check_new_ids(self, ids: list) -> None:
