@@ -547,12 +547,15 @@ class FusedSearcher:
 
         ``src`` (the resident full-dim bf16 rerank mirror, when stage 2 is
         on device) makes the pass read corpus blocks from HBM — no per-
-        chunk host->device upload. Without it, blocks upload as bf16 from
-        host ``data``. Either way the projected mirror is assembled in
-        place on device (donated dynamic_update_slice — see ``_xp_write``),
-        never round-tripped through the host: the old host-side assembly
-        downloaded AND re-uploaded the whole [N, rank] mirror through the
-        tunnel.
+        chunk host->device upload. Without it, blocks REGENERATE on device
+        when the store has a device source (utils/synth.py — the stage-2-
+        on-host regime at 20M+ where the full-dim mirror no longer fits
+        HBM would otherwise re-upload the whole corpus here), else upload
+        as bf16 from host ``data``. Either way the projected mirror is
+        assembled in place on device (donated dynamic_update_slice — see
+        ``_xp_write``), never round-tripped through the host: the old
+        host-side assembly downloaded AND re-uploaded the whole [N, rank]
+        mirror through the tunnel.
         """
         rank = int(p_d.shape[1])
         want_oracle = oracle_rows is None and probe_rows.size > 0
@@ -562,16 +565,27 @@ class FusedSearcher:
                              jnp.inf, jnp.float32)
             orows = jnp.full((len(probe_rows), self._CAL_K + 1),
                              -1, jnp.int32)
+        gen = None if src is not None else self.hybrid.store.device_source
         # resident source: shrink the chunk so the per-chunk slice copy +
         # f32 upcast transients stay small next to the extra full-dim
-        # mirror (peak HBM at 10M: 7.7 GB rerank + 3.8 GB xp + transients)
-        step = (max(262_144, self._PROJ_CHUNK // 4) if src is not None
-                else self._PROJ_CHUNK)
+        # mirror (peak HBM at 10M: 7.7 GB rerank + 3.8 GB xp + transients).
+        # generated source: the chunk IS the generation block (determinism
+        # is tied to its boundaries).
+        if src is not None:
+            step = max(262_144, self._PROJ_CHUNK // 4)
+        elif gen is not None:
+            step = gen.block_rows
+        else:
+            step = self._PROJ_CHUNK
         xp = jnp.zeros((n_rows, rank), jnp.bfloat16)
         for lo in range(0, n_rows, step):
             hi = min(lo + step, n_rows)
             if src is not None:
                 blk = jax.lax.slice_in_dim(src, lo, hi, axis=0)
+            elif gen is not None:
+                blk = gen.device_block(lo // step, jnp.bfloat16)
+                if hi - lo < step:
+                    blk = jax.lax.slice_in_dim(blk, 0, hi - lo, axis=0)
             else:
                 from ..utils.transfer import put_bf16
 

@@ -154,3 +154,28 @@ class TestFusedIntegration:
         probe = vecs[37]
         _, rows = idx.search_rows(probe, 3, config=cfg, now=2.0)
         assert rows[0, 0] == 37
+
+    def test_host_rerank_projection_from_generated_blocks(
+            self, built, monkeypatch):
+        """Stage-2-on-host mode (the 20M+ regime where the full-dim mirror
+        no longer fits HBM): the projection pass reads generation blocks
+        from the source instead of uploading the corpus."""
+        from fabstir_vectordb_tpu.index import SearchConfig
+
+        monkeypatch.setenv("FVDB_PCA_RERANK", "host")
+        idx, vecs, s = built
+        rng = np.random.default_rng(4)
+        q = vecs[rng.integers(0, len(vecs), 8)] + 0.01 * rng.standard_normal(
+            (8, DIM)).astype(np.float32)
+        cfg = SearchConfig(auto_migrate=False)
+
+        idx.store.attach_device_source(s)
+        d_src, r_src = idx.search_rows(q, 5, config=cfg, now=2.0)
+        assert idx.fused._proj is not None
+        assert idx.fused._proj["rerank_x"] is None  # host stage 2
+
+        idx.store.attach_device_source(None)
+        idx.fused._release_proj()
+        d_up, r_up = idx.search_rows(q, 5, config=cfg, now=2.0)
+        np.testing.assert_array_equal(r_src, r_up)
+        np.testing.assert_allclose(d_src, d_up, rtol=1e-5, atol=1e-5)
