@@ -42,7 +42,8 @@ class ColdServing:
     """
 
     def __init__(self, hybrid, loader, keys: list, chunk_size: int,
-                 hnsw_span, cluster_spans: dict, total: int):
+                 hnsw_span, cluster_spans: dict, total: int,
+                 data_offsets: list | None = None, dim: int = 0):
         self.hybrid = hybrid
         self.loader = loader
         self.keys = keys
@@ -54,15 +55,35 @@ class ColdServing:
         }
         self.total = int(total)
         self.filled = np.zeros(len(keys), bool)
+        # row-granularity residency: partial (ranged) fills mark only their
+        # rows; whole-chunk fills mark the chunk AND its rows
+        self.row_filled = np.zeros(self.total, bool)
+        # byte offset of each chunk's raw f32 row block inside its stored
+        # blob (save-time verified; -1 = tail unverified -> whole-chunk
+        # fallback for that chunk). With these + a range-capable store,
+        # on-demand serving reads ONLY the probed row spans.
+        self.data_offsets = (
+            [int(o) for o in data_offsets]
+            if data_offsets is not None and len(data_offsets) == len(keys)
+            else None
+        )
+        self.dim = int(dim)
         self._lock = threading.Lock()
         self.on_demand_fetches = 0
+        self.on_demand_rows = 0
+        self.on_demand_bytes = 0
         self._pending = 0  # live on-demand fetch loops (materializer yields)
 
     # ------------------------------------------------------------- tracking
     def mark_filled(self, chunk_idx: int) -> None:
         """Materializer callback: chunk ``chunk_idx``'s rows are resident."""
         with self._lock:
-            self.filled[chunk_idx] = True
+            self._mark_chunk_locked(chunk_idx)
+
+    def _mark_chunk_locked(self, chunk_idx: int) -> None:
+        self.filled[chunk_idx] = True
+        lo = chunk_idx * self.chunk_size
+        self.row_filled[lo: lo + self.chunk_size] = True
 
     def is_filled(self, chunk_idx: int) -> bool:
         with self._lock:
@@ -97,32 +118,140 @@ class ColdServing:
     def stats(self) -> dict:
         with self._lock:
             done = int(self.filled.sum())
+            rows = int(self.row_filled.sum())
         return {
             "chunks_total": len(self.keys),
             "chunks_resident": done,
+            "rows_resident": rows,
             "chunks_fetched_on_demand": self.on_demand_fetches,
+            "rows_fetched_on_demand": self.on_demand_rows,
+            "bytes_fetched_on_demand": self.on_demand_bytes,
         }
 
     # -------------------------------------------------------------- serving
+    def _merged_spans(self, spans) -> list:
+        """Clamp to [0, total), sort, and merge overlapping/adjacent spans."""
+        clean = sorted(
+            (max(int(lo), 0), min(int(hi), self.total))
+            for lo, hi in spans
+        )
+        out: list = []
+        for lo, hi in clean:
+            if hi <= lo:
+                continue
+            if out and lo <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], hi)
+            else:
+                out.append([lo, hi])
+        return out
+
+    def _can_range_read(self) -> bool:
+        return (
+            self.data_offsets is not None
+            and self.dim > 0
+            and bool(getattr(self.loader.store, "supports_range", False))
+        )
+
+    def _missing_runs(self, spans) -> list:
+        """Maximal runs of non-resident rows inside the merged spans, as
+        (row_lo, row_hi) pairs. Caller holds no lock."""
+        runs: list = []
+        with self._lock:
+            for lo, hi in spans:
+                gap = np.flatnonzero(~self.row_filled[lo:hi])
+                if gap.size == 0:
+                    continue
+                breaks = np.flatnonzero(np.diff(gap) > 1)
+                starts = np.concatenate(([0], breaks + 1))
+                ends = np.concatenate((breaks, [gap.size - 1]))
+                for s, e in zip(starts, ends):
+                    runs.append((lo + int(gap[s]), lo + int(gap[e]) + 1))
+        return runs
+
     def _ensure_spans(self, spans) -> None:
-        """Fetch + fill every chunk overlapping the given position spans.
+        """Make every row in the given position spans resident.
+
+        Two strategies:
+          - RANGED (store supports byte ranges + save recorded verified
+            data offsets): fetch exactly the missing row runs as byte
+            ranges of the chunk blobs — the fix for whole-chunk cold
+            fetches (r4: one query pulled 58 of 100 15 MB chunks, ~870 MB,
+            for an ~80 MB candidate set).
+          - WHOLE-CHUNK fallback: fetch + decode every chunk overlapping
+            the spans (any store, any save format).
 
         Fetches do NOT go through the loader's shared thread pool: the
         background materializer keeps that pool's queue full for the whole
         load, so a pooled on-demand fetch would wait for the entire backlog
-        (the exact head-of-line blocking this path exists to avoid). Calls
-        hit ``load_chunk`` directly — its in-flight dedup still coalesces a
-        fetch the materializer already has running — from this thread on
-        serial (local) stores, or a small private pool when the store
-        declares ``parallel_fetch`` (network stores release the GIL in
-        ``get``)."""
+        (the exact head-of-line blocking this path exists to avoid).
+        Whole-chunk calls hit ``load_chunk`` directly — its in-flight dedup
+        still coalesces a fetch the materializer already has running; range
+        reads never collide with it (double-fills write identical bytes).
+        Work runs from this thread on serial (local) stores, or a small
+        private pool when the store declares ``parallel_fetch`` (network
+        stores release the GIL in ``get``)."""
+        spans = self._merged_spans(spans)
+        if not spans:
+            return
+        with self._lock:
+            self._pending += 1  # materializer yields until we finish
+        try:
+            if self._can_range_read():
+                self._ensure_spans_ranged(spans)
+            else:
+                self._ensure_spans_chunks(spans)
+        finally:
+            with self._lock:
+                self._pending -= 1
+
+    def _ensure_spans_ranged(self, spans) -> None:
+        cs = self.chunk_size
+        store = self.hybrid.store
+        row_bytes = self.dim * 4
+        # split missing runs at chunk boundaries (one object per chunk);
+        # chunks whose data offset failed save-time verification fall back
+        # to a whole-chunk fetch
+        tasks: list = []  # (chunk_idx, row_lo, row_hi) or (chunk_idx, None, None)
+        fallback: set = set()
+        for r0, r1 in self._missing_runs(spans):
+            ci = r0 // cs
+            while r0 < r1:
+                edge = min(r1, (ci + 1) * cs)
+                if self.data_offsets[ci] < 0:
+                    fallback.add(ci)
+                else:
+                    tasks.append((ci, r0, edge))
+                r0 = edge
+                ci += 1
+
+        def _fetch_run(task) -> None:
+            ci, r0, r1 = task
+            base = ci * cs
+            off = self.data_offsets[ci] + (r0 - base) * row_bytes
+            raw = self.loader.fetch_range(
+                self.keys[ci], off, (r1 - r0) * row_bytes)
+            rows = np.frombuffer(raw, np.float32).reshape(-1, self.dim)
+            with self._lock:
+                store.fill_rows(r0, rows)
+                self.row_filled[r0: r0 + rows.shape[0]] = True
+                self.on_demand_fetches += 1
+                self.on_demand_rows += int(rows.shape[0])
+                self.on_demand_bytes += len(raw)
+
+        self._run_fills(_fetch_run, tasks)
+        if fallback:
+            self._fill_whole_chunks(sorted(fallback))
+
+    def _ensure_spans_chunks(self, spans) -> None:
         cs = self.chunk_size
         need: set = set()
         for lo, hi in spans:
-            if hi > lo:
-                need.update(range(lo // cs, (hi - 1) // cs + 1))
+            need.update(range(lo // cs, (hi - 1) // cs + 1))
         with self._lock:
             missing = [i for i in sorted(need) if not self.filled[i]]
+        self._fill_whole_chunks(missing)
+
+    def _fill_whole_chunks(self, missing: list) -> None:
         if not missing:
             return
         store = self.hybrid.store
@@ -136,25 +265,25 @@ class ColdServing:
                     return
                 if chunk.data.shape[0]:
                     store.fill_rows(chunk.start_idx, chunk.data)
-                self.filled[i] = True
+                self._mark_chunk_locked(i)
                 self.on_demand_fetches += 1
+                self.on_demand_rows += int(chunk.data.shape[0])
+                self.on_demand_bytes += int(chunk.data.nbytes)
 
-        with self._lock:
-            self._pending += 1  # materializer yields until we finish
-        try:
-            if getattr(self.loader.store, "parallel_fetch", False) \
-                    and len(missing) > 1:
-                from concurrent.futures import ThreadPoolExecutor
+        self._run_fills(_fill, missing)
 
-                with ThreadPoolExecutor(
-                        max_workers=min(8, len(missing))) as ex:
-                    list(ex.map(_fill, missing))
-            else:
-                for i in missing:
-                    _fill(i)
-        finally:
-            with self._lock:
-                self._pending -= 1
+    def _run_fills(self, fn, work: list) -> None:
+        if not work:
+            return
+        if getattr(self.loader.store, "parallel_fetch", False) \
+                and len(work) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(work))) as ex:
+                list(ex.map(fn, work))
+        else:
+            for w in work:
+                fn(w)
 
     def _probe_spans(self, queries: np.ndarray, n_probe: int) -> list:
         """Position spans for the batch's candidate set: the HNSW span plus

@@ -145,9 +145,20 @@ class VectorStore:
         bf16 mirror WITHOUT a host->device corpus transfer. The caller is
         responsible for verifying the source matches the host rows first
         (``source.spot_check``) — mirror builds trust it blindly. Detach by
-        passing None. Mutating writes (add/fill/delete) do NOT auto-detach:
-        procedurally-sourced stores are immutable by construction."""
+        passing None. Any later mutation of row data or row count
+        (add/fill/register/vacuum) AUTO-DETACHES the source: the next mirror
+        rebuild would otherwise silently regenerate synthetic rows that no
+        longer match the mutated host data (spot_check only runs at attach
+        time). Soft-deletes keep it — they live in masks, not row data."""
         self.device_source = source
+
+    def _detach_source_on_mutation(self) -> None:
+        """Row data / row count changed: a procedural device source no
+        longer reproduces this store. Called with ``_lock`` held by every
+        mutating writer (same invalidation point as the ``_version`` bump
+        that retires device mirrors)."""
+        if self.device_source is not None:
+            self.device_source = None
 
     # ------------------------------------------------------------ mutation
     def _check_new_ids(self, ids: list) -> None:
@@ -204,6 +215,7 @@ class VectorStore:
                 self.row_to_id.append(vid)
             self.count += n
             self._version += 1
+            self._detach_source_on_mutation()
             return rows
 
     def add_blocks(
@@ -240,6 +252,7 @@ class VectorStore:
                 self.row_to_id.append(vid)
             self.count += n
             self._version += 1
+            self._detach_source_on_mutation()
             return rows
 
     def register_rows(
@@ -262,6 +275,7 @@ class VectorStore:
                 self.row_to_id.append(vid)
             self.count += n
             self._version += 1
+            self._detach_source_on_mutation()
             return rows
 
     def fill_rows(self, start_row: int, block: np.ndarray,
@@ -272,6 +286,7 @@ class VectorStore:
         block = np.asarray(block, np.float32)
         with self._lock:
             self.data[start_row: start_row + block.shape[0]] = block
+            self._detach_source_on_mutation()
             if bump_version:
                 self._version += 1
 
@@ -326,6 +341,7 @@ class VectorStore:
                 self.data[row] = 0.0
             # rows stay 'deleted' forever (tombstoned); they never match masks
             self._version += 1
+            self._detach_source_on_mutation()
             return removed
 
     # ------------------------------------------------------------- queries

@@ -84,6 +84,26 @@ class ChunkLoader:
                     self._sleep(self.base_delay * (2 ** attempt))
         raise ChunkLoadError(f"failed to load chunk {key}") from last
 
+    def fetch_range(self, key: str, offset: int, length: int) -> bytes:
+        """Byte range of a stored chunk blob, with the same retry ladder as
+        full fetches. Does NOT populate the chunk cache (a partial blob is
+        not a decodable chunk); sub-chunk cold serving tracks residency at
+        row granularity instead (index/cold.py)."""
+        get_range = getattr(self.store, "get_range", None)
+        last: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                if get_range is not None:
+                    return get_range(key, offset, length)
+                return self.store.get(key)[offset: offset + length]
+            except Exception as e:  # noqa: BLE001
+                last = e
+                if attempt < self.max_retries - 1:
+                    self._sleep(self.base_delay * (2 ** attempt))
+        raise ChunkLoadError(
+            f"failed to load range [{offset}, {offset + length}) of {key}"
+        ) from last
+
     def load_chunks_parallel(self, keys: list) -> list:
         """Fetch many chunks concurrently; order matches input keys."""
         return list(self._pool.map(self.load_chunk, keys))

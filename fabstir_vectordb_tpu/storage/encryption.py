@@ -40,6 +40,14 @@ def derive_key(seed_phrase: str, salt: str = "fabstir-vectordb") -> bytes:
 class EncryptedObjectStore(_DecoratorStore):
     """AEAD encrypt/decrypt decorator around any ObjectStore."""
 
+    # A byte range of the CIPHERTEXT is useless to callers expecting
+    # plaintext bytes, and the AEAD tag covers the whole blob — so ranges
+    # here decrypt the full object and slice (correct, no IO savings).
+    supports_range = False
+
+    def get_range(self, key: str, offset: int, length: int) -> bytes:
+        return self.get(key)[offset: offset + length]
+
     def __init__(self, inner: ObjectStore, key: bytes,
                  allow_plaintext: bool = False):
         if not HAVE_AEAD:  # pragma: no cover

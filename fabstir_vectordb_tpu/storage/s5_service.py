@@ -35,7 +35,8 @@ import aiohttp
 from aiohttp import web
 
 #: request headers forwarded to the upstream portal in real mode
-_FORWARD_HEADERS = ("X-S5-Encryption", "Content-Type", "Authorization")
+_FORWARD_HEADERS = ("X-S5-Encryption", "Content-Type", "Authorization",
+                    "Range")
 
 
 def create_s5_proxy_app(portal_url: str, timeout: float = 30.0) -> web.Application:
@@ -122,7 +123,24 @@ def create_s5_app() -> web.Application:
             return web.json_response(
                 {"error": f"not found: {key}"}, status=404
             )
-        return web.Response(body=blobs[key])
+        data = blobs[key]
+        rng = request.headers.get("Range")
+        if rng and rng.startswith("bytes="):
+            # single-range partial GET (sub-chunk lazy cold serving reads
+            # row spans this way); malformed ranges fall through to 200
+            try:
+                lo_s, hi_s = rng[len("bytes="):].split("-", 1)
+                lo = int(lo_s)
+                hi = min(int(hi_s), len(data) - 1) if hi_s else len(data) - 1
+                if 0 <= lo <= hi:
+                    return web.Response(
+                        body=data[lo: hi + 1], status=206,
+                        headers={"Content-Range":
+                                 f"bytes {lo}-{hi}/{len(data)}"},
+                    )
+            except ValueError:
+                pass
+        return web.Response(body=data)
 
     async def delete_blob(request: web.Request):
         key = _path_of(request)

@@ -157,15 +157,21 @@ class SyntheticCorpusSource:
             got = np.asarray(self.device_block(blk_idx)[offs]).astype(
                 ml_dtypes.bfloat16)
             want = data[np.asarray(rs)].astype(ml_dtypes.bfloat16)
-            diff = got.view(np.uint16) != want.view(np.uint16)
+            gu = got.view(np.uint16)
+            wu = want.view(np.uint16)
+            diff = gu != wu
             bad += int(diff.sum())
             total += int(diff.size)
-            # any differing element must still be within one bf16 ULP in
-            # f32 terms, otherwise this is a different corpus, not rounding
+            # any differing element must be EXACTLY one bf16 ULP away:
+            # map the uint16 patterns to a total order over representable
+            # values (negatives reflected below 0x8000; +0 and -0 both map
+            # to 0x8000) and require adjacency there — anything further is
+            # a different corpus, not cross-backend erfinv rounding
             if diff.any():
-                g32 = got.astype(np.float32)[diff]
-                w32 = want.astype(np.float32)[diff]
-                scale = np.maximum(np.abs(w32), 1e-3)
-                if (np.abs(g32 - w32) / scale > 0.02).any():
+                def _code(u):
+                    u = u.astype(np.int32)
+                    return np.where(u & 0x8000,
+                                    0x8000 - (u & 0x7FFF), 0x8000 + u)
+                if (np.abs(_code(gu[diff]) - _code(wu[diff])) > 1).any():
                     return False
         return bad <= ulp_frac * max(total, 1)

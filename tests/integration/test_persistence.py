@@ -323,12 +323,17 @@ class TestLazyLoad:
         gate = threading.Event()
 
         class GatedStore:
-            """Blocks chunk GETs until the gate opens; sidecars pass."""
+            """Blocks chunk GETs (full AND ranged) until the gate opens;
+            sidecars pass."""
             def __init__(self, store): self._s = store
             def get(self, key):
                 if "/chunks/" in key:
                     assert gate.wait(10), "gate never opened"
                 return self._s.get(key)
+            def get_range(self, key, offset, length):
+                if "/chunks/" in key:
+                    assert gate.wait(10), "gate never opened"
+                return self._s.get_range(key, offset, length)
             def __getattr__(self, name): return getattr(self._s, name)
 
         p = HybridPersister(GatedStore(inner))
@@ -425,7 +430,12 @@ class TestLazyLoad:
             q, k, config=SearchConfig(auto_migrate=False), now=NOW)
         assert not loaded.ready  # answered WITHOUT materialization
         stats = loaded._cold.stats()
-        assert 0 < stats["chunks_fetched_on_demand"] < n_chunks
+        assert stats["chunks_fetched_on_demand"] > 0
+        # ranged on-demand serving reads only the probed row spans — far
+        # less than the corpus (and than whole-chunk fetching would read)
+        assert 0 < stats["rows_fetched_on_demand"] < n
+        assert 0 < stats["bytes_fetched_on_demand"] < n * dim * 4
+        assert stats["chunks_resident"] <= 1  # at most the materializer's one
         for j, pid in enumerate(probe_ids):
             assert rows[j, 0] == loaded.store.row_of(f"v{pid}")
             assert d[j, 0] < 1e-3
@@ -440,6 +450,125 @@ class TestLazyLoad:
         d2, rows2 = loaded.search_rows(
             q, k, config=SearchConfig(auto_migrate=False), now=NOW)
         np.testing.assert_array_equal(rows[:, 0], rows2[:, 0])
+
+    def test_cold_search_range_reads_row_spans(self, rng):
+        """With a range-capable store and a layout that recorded data
+        offsets, on-demand cold serving byte-range-reads ONLY the probed
+        row spans — zero full chunk GETs from the search path (VERDICT r4
+        #1: whole-chunk fetches made the 1M first search read 870 MB)."""
+        from fabstir_vectordb_tpu.core import MemoryObjectStore
+        from fabstir_vectordb_tpu.index import (
+            HybridConfig, HybridIndex, IVFConfig, SearchConfig,
+        )
+        from fabstir_vectordb_tpu.storage.persistence import HybridPersister
+
+        n, dim, k = 800, 16, 5
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HybridIndex(dim, HybridConfig(
+            ivf=IVFConfig(n_clusters=16, n_probe=2, seed=0),
+            auto_migrate=False))
+        idx.initialize(vecs[:200])
+        ts = np.full(n, NOW - 30 * DAY)
+        ts[:100] = NOW - DAY
+        idx.insert_batch([f"v{i}" for i in range(n)], vecs, ts, now=NOW)
+
+        store = MemoryObjectStore()
+        manifest = HybridPersister(store).save_index_chunked(
+            idx, "rr", chunk_size=50)
+        offs = manifest.extra["layout"]["data_offsets"]
+        assert len(offs) == manifest.num_chunks
+        assert all(o >= 0 for o in offs)  # every chunk tail verified
+
+        p = HybridPersister(store)
+        loaded, _ = p.load_index_chunked("rr", lazy=True)
+        loaded._cold.hold_materializer()
+        try:
+            get_before = dict(store.get_calls)
+            q = vecs[[300, 500]]
+            d, rows = loaded.search_rows(
+                q, k, config=SearchConfig(auto_migrate=False), now=NOW)
+            # the search answered via ranged reads: no NEW full chunk GETs
+            new_gets = {
+                kk: v - get_before.get(kk, 0)
+                for kk, v in store.get_calls.items() if "/chunks/" in kk
+            }
+            assert sum(new_gets.values()) == 0, new_gets
+            assert sum(store.range_calls.values()) > 0
+            stats = loaded._cold.stats()
+            assert stats["bytes_fetched_on_demand"] == \
+                stats["rows_fetched_on_demand"] * dim * 4
+            assert stats["rows_fetched_on_demand"] < n
+            for j, pid in enumerate((300, 500)):
+                assert rows[j, 0] == loaded.store.row_of(f"v{pid}")
+                assert d[j, 0] < 1e-3
+            # repeat search over the same spans: fully resident, no new IO
+            ranges_before = sum(store.range_calls.values())
+            loaded.search_rows(q, k, config=SearchConfig(
+                auto_migrate=False), now=NOW)
+            assert sum(store.range_calls.values()) == ranges_before
+        finally:
+            loaded._cold.release_materializer()
+        loaded.wait_ready(timeout=60)
+
+    def test_cold_search_whole_chunk_fallback_without_offsets(self, rng):
+        """A layout WITHOUT data offsets (pre-r5 save) still serves cold
+        searches via whole-chunk fetches."""
+        import json as _json
+        import threading
+
+        from fabstir_vectordb_tpu.core import MemoryObjectStore
+        from fabstir_vectordb_tpu.index import (
+            HybridConfig, HybridIndex, IVFConfig, SearchConfig,
+        )
+        from fabstir_vectordb_tpu.storage.persistence import HybridPersister
+
+        n, dim, k = 400, 8, 3
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HybridIndex(dim, HybridConfig(
+            ivf=IVFConfig(n_clusters=8, n_probe=2, seed=0),
+            auto_migrate=False))
+        idx.initialize(vecs[:200])
+        idx.insert_batch([f"v{i}" for i in range(n)], vecs,
+                         np.full(n, NOW - 30 * DAY), now=NOW)
+        inner = MemoryObjectStore()
+        HybridPersister(inner).save_index_chunked(idx, "old", chunk_size=50)
+        # strip the r5 offsets, simulating an old save
+        m = _json.loads(inner.get("old/manifest.json").decode())
+        m["extra"]["layout"].pop("data_offsets")
+        inner.put("old/manifest.json", _json.dumps(m).encode())
+
+        gate = threading.Event()
+
+        class MaterializerGatedStore:
+            """Blocks materializer-thread chunk GETs until the gate opens
+            (same bridge as test_cold_search_fetches_only_probed_chunks)."""
+            def __init__(self, store): self._s = store
+            def get(self, key):
+                if ("/chunks/" in key and
+                        threading.current_thread().name
+                        == "fvdb-materialize"):
+                    assert gate.wait(60), "gate never opened"
+                return self._s.get(key)
+            def __getattr__(self, name): return getattr(self._s, name)
+
+        loaded, _ = HybridPersister(
+            MaterializerGatedStore(inner)).load_index_chunked(
+            "old", lazy=True)
+        assert loaded._cold is not None
+        loaded._cold.hold_materializer()
+        gate.set()
+        try:
+            q = vecs[[123]]
+            d, rows = loaded.search_rows(
+                q, k, config=SearchConfig(auto_migrate=False), now=NOW)
+            assert rows[0, 0] == loaded.store.row_of("v123")
+            assert d[0, 0] < 1e-3
+            stats = loaded._cold.stats()
+            assert sum(inner.range_calls.values()) == 0
+            assert stats["chunks_fetched_on_demand"] > 0
+        finally:
+            loaded._cold.release_materializer()
+        loaded.wait_ready(timeout=60)
 
     def test_cold_serve_env_disabled_blocks(self, rng, monkeypatch):
         """FVDB_COLD_SERVE=0 restores blocking-on-materialization."""

@@ -301,3 +301,81 @@ def test_parallel_fetch_forwards_through_decorator_chain():
         b"k" * 32)
     assert chain.parallel_fetch is True
     assert CachedObjectStore(MemoryObjectStore()).parallel_fetch is False
+
+
+class TestRangeReads:
+    """Byte-range reads power sub-chunk lazy cold serving (index/cold.py):
+    a first search fetches only the row spans its probe plan touches
+    instead of whole 15 MB chunks."""
+
+    def test_memory_store_range(self):
+        from fabstir_vectordb_tpu.core.object_store import MemoryObjectStore
+
+        s = MemoryObjectStore()
+        s.put("k", bytes(range(100)))
+        assert s.supports_range
+        assert s.get_range("k", 10, 5) == bytes(range(10, 15))
+        assert s.get_range("k", 95, 50) == bytes(range(95, 100))  # EOF trunc
+        assert s.range_calls["k"] == 2
+        assert s.get_calls.get("k", 0) == 0  # ranges never count as full gets
+
+    def test_fs_store_range_pread(self, tmp_path):
+        from fabstir_vectordb_tpu.core.object_store import (
+            FileSystemObjectStore, NotFoundError)
+
+        s = FileSystemObjectStore(str(tmp_path))
+        s.put("a/b", b"0123456789")
+        assert s.supports_range
+        assert s.get_range("a/b", 3, 4) == b"3456"
+        assert s.get_range("a/b", 8, 10) == b"89"  # reads past EOF truncate
+        assert s.get_range("a/b", 0, 0) == b""
+        with pytest.raises(NotFoundError):
+            s.get_range("missing", 0, 4)
+
+    def test_range_capability_forwards_through_decorators(self):
+        from fabstir_vectordb_tpu.core.object_store import (
+            BatchObjectStore, CachedObjectStore, MemoryObjectStore,
+            RetryObjectStore)
+        from fabstir_vectordb_tpu.storage.encryption import (
+            EncryptedObjectStore)
+
+        inner = MemoryObjectStore()
+        inner.put("k", b"abcdefgh")
+        chain = CachedObjectStore(RetryObjectStore(BatchObjectStore(inner)))
+        assert chain.supports_range
+        assert chain.get_range("k", 2, 3) == b"cde"
+        assert inner.range_calls["k"] == 1
+        # a fully-cached blob answers ranges locally (no inner IO)
+        chain.get("k")
+        assert chain.get_range("k", 2, 3) == b"cde"
+        assert inner.range_calls["k"] == 1
+
+        # AEAD covers the whole blob: ranged reads of ciphertext are
+        # impossible, so the encrypting decorator declares no range support
+        # (and still answers correctly by decrypt + slice)
+        enc = EncryptedObjectStore(MemoryObjectStore(), b"k" * 32)
+        enc.put("k", b"abcdefgh")
+        assert not enc.supports_range
+        assert enc.get_range("k", 2, 3) == b"cde"
+
+    def test_batch_store_range_sees_buffered_writes(self):
+        from fabstir_vectordb_tpu.core.object_store import (
+            BatchObjectStore, MemoryObjectStore, NotFoundError)
+
+        inner = MemoryObjectStore()
+        b = BatchObjectStore(inner, max_buffer=100)
+        b.put("k", b"0123456789")  # buffered, not yet in inner
+        assert b.get_range("k", 4, 3) == b"456"
+        b.delete("k")
+        with pytest.raises(NotFoundError):
+            b.get_range("k", 0, 2)
+
+    def test_chunk_loader_fetch_range_retries(self):
+        from fabstir_vectordb_tpu.core.object_store import MemoryObjectStore
+        from fabstir_vectordb_tpu.storage.chunk_loader import ChunkLoader
+
+        inner = MemoryObjectStore(fail_on={"k": 2})
+        inner.put("k", b"0123456789")
+        loader = ChunkLoader(inner, max_retries=3, base_delay=0.0)
+        assert loader.fetch_range("k", 1, 3) == b"123"
+        assert inner.range_calls["k"] == 3  # two injected failures + success

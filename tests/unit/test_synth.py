@@ -100,6 +100,78 @@ class TestMirror:
             np.float32)
         assert s.spot_check(data, np.arange(256))
 
+    def test_spot_check_rejects_multi_ulp_near_miss(self):
+        """A corpus whose elements sit a few bf16 ULPs off is a DIFFERENT
+        corpus, not rounding skew — even if only a small fraction differ
+        (ADVICE r4: the old 2% relative bound accepted ~5-ULP misses)."""
+        import ml_dtypes
+
+        s = _src()
+        data = s.host_block(0).copy()
+        bf = data.astype(ml_dtypes.bfloat16)
+        u16 = bf.view(np.uint16).copy()
+        flat = u16.reshape(-1)
+        idx = np.random.default_rng(1).integers(0, flat.size,
+                                                flat.size // 500)
+        flat[idx] += 3  # three bf16 ULPs: within the old relative bound
+        data = flat.reshape(u16.shape).view(ml_dtypes.bfloat16).astype(
+            np.float32)
+        assert not s.spot_check(data, np.arange(256))
+
+    def test_spot_check_frac_budget_still_enforced(self):
+        """One-ULP skew on MORE than ulp_frac of elements fails."""
+        import ml_dtypes
+
+        s = _src()
+        data = s.host_block(0).copy()
+        u16 = data.astype(ml_dtypes.bfloat16).view(np.uint16).copy()
+        flat = u16.reshape(-1)
+        idx = np.random.default_rng(2).integers(0, flat.size,
+                                                flat.size // 10)
+        flat[idx] += 1
+        data = flat.reshape(u16.shape).view(ml_dtypes.bfloat16).astype(
+            np.float32)
+        assert not s.spot_check(data, np.arange(256), ulp_frac=0.02)
+
+
+class TestAutoDetach:
+    """Mutating row data or row count detaches an attached device source
+    (ADVICE r4: a mutation after attach would silently serve stale
+    synthetic rows from the next mirror rebuild)."""
+
+    def _store_with_source(self):
+        from fabstir_vectordb_tpu.index.store import VectorStore
+
+        s = _src()
+        store = VectorStore(DIM)
+        blk = s.host_block(0)
+        store.add_batch([f"v{i}" for i in range(blk.shape[0])], blk, 1.0)
+        store.attach_device_source(s)
+        assert store.device_source is not None
+        return store, blk
+
+    def test_add_batch_detaches(self):
+        store, blk = self._store_with_source()
+        store.add_batch(["new"], blk[:1], 1.0)
+        assert store.device_source is None
+
+    def test_fill_rows_detaches(self):
+        store, blk = self._store_with_source()
+        store.fill_rows(0, blk[:2] + 1.0)
+        assert store.device_source is None
+
+    def test_register_rows_detaches(self):
+        store, _ = self._store_with_source()
+        store.register_rows(["r1", "r2"], 1.0)
+        assert store.device_source is None
+
+    def test_vacuum_detaches_soft_delete_keeps(self):
+        store, _ = self._store_with_source()
+        store.mark_deleted("v3")
+        assert store.device_source is not None  # masks, not row data
+        store.vacuum()  # zeroes the row's data
+        assert store.device_source is None
+
 
 class TestFusedIntegration:
     """A reduced-rank device-rerank mirror built FROM the source serves
