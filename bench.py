@@ -77,30 +77,48 @@ def touch() -> None:
     _LAST_PROGRESS = time.monotonic()
 
 
-def _start_watchdog() -> None:
+def _start_watchdog(post: bool = False) -> None:
+    """``post=True`` runs the watchdog in salvage mode from the start (the
+    POST stall limit applies and a stall exits instead of re-execing) —
+    for scripts that call bench phases directly with no headline of their
+    own (ADVICE r4: bench_scale_stretch set the POST env knob but no
+    watchdog ever started, and the PRE limit would have killed its
+    legitimate minutes-long transfers)."""
     import threading
 
     from fabstir_vectordb_tpu.utils import progress
 
     progress.set_hook(touch)  # build-stage completions count as progress
 
+    def wlog(msg: str) -> None:
+        # raw stderr write: the watchdog must never touch() the progress
+        # clock (a reset from its own logging would mask the stall), and
+        # must not interleave with a mid-emit main thread
+        sys.stderr.write(msg + "\n")
+        sys.stderr.flush()
+
     def run() -> None:
         while True:
             time.sleep(10)
             gap = time.monotonic() - _LAST_PROGRESS
-            limit = _STALL_POST_S if _HEADLINE is not None else _STALL_PRE_S
+            limit = (_STALL_POST_S if (post or _HEADLINE is not None)
+                     else _STALL_PRE_S)
             if gap < limit:
                 continue
-            log(f"WATCHDOG: no progress for {gap:.0f}s "
-                f"(limit {limit:.0f}s) — backend RPC presumed lost")
-            if _HEADLINE is not None:
-                emit(*_HEADLINE)  # salvage: headline stays the final line
+            wlog(f"WATCHDOG: no progress for {gap:.0f}s "
+                 f"(limit {limit:.0f}s) — backend RPC presumed lost")
+            if _HEADLINE is not None or post:
+                # salvage: all metrics so far + (if any) the headline as
+                # the final JSON line
+                emit_summary()
+                if _HEADLINE is not None:
+                    emit(*_HEADLINE)
                 sys.stdout.flush()
                 os._exit(3)
             if not _IS_REEXEC:
                 left = max(remaining_s(), 60.0)
-                log(f"WATCHDOG: re-exec with {left:.0f}s budget "
-                    "(fresh backend connection)")
+                wlog(f"WATCHDOG: re-exec with {left:.0f}s budget "
+                     "(fresh backend connection)")
                 sys.stdout.flush()
                 sys.stderr.flush()
                 env = dict(os.environ)
@@ -108,7 +126,7 @@ def _start_watchdog() -> None:
                 env["FVDB_BENCH_BUDGET_S"] = str(left)
                 os.execve(sys.executable,
                           [sys.executable, os.path.abspath(__file__)], env)
-            log("WATCHDOG: stalled again after re-exec; giving up")
+            wlog("WATCHDOG: stalled again after re-exec; giving up")
             sys.stdout.flush()
             os._exit(4)
 
@@ -134,15 +152,39 @@ def budget_allows(name: str, est_s: float) -> bool:
     return True
 
 
+_EMIT_LOCK = __import__("threading").Lock()
+_ALL_METRICS: dict = {}  # every metric emitted this run (name -> value)
+
+
 def emit(metric: str, value: float, unit: str, vs: float) -> None:
     touch()
-    print(
-        json.dumps(
-            {"metric": metric, "value": round(value, 3), "unit": unit,
-             "vs_baseline": round(vs, 2)}
-        ),
-        flush=True,
-    )
+    with _EMIT_LOCK:
+        _ALL_METRICS[metric] = round(value, 3)
+        print(
+            json.dumps(
+                {"metric": metric, "value": round(value, 3), "unit": unit,
+                 "vs_baseline": round(vs, 2)}
+            ),
+            flush=True,
+        )
+
+
+def emit_summary() -> None:
+    """One compact JSON line carrying EVERY metric emitted this run. The
+    driver artifact preserves only the last ~30 output lines, so without
+    this the early phases' metrics (10M scale_beyond_flat_*, 100K cold)
+    were unverifiable from the artifact (VERDICT r4 weak #2). Printed
+    immediately before the final headline re-emit and on salvage paths."""
+    with _EMIT_LOCK:
+        print(
+            json.dumps(
+                {"metric": "all_metrics", "value": float(len(_ALL_METRICS)),
+                 "unit": "count", "vs_baseline": 1.0,
+                 "metrics": dict(_ALL_METRICS)},
+                separators=(",", ":"),
+            ),
+            flush=True,
+        )
 
 
 def build_index(n, dim, rng, recent_frac=0.10, n_centers=1024):
@@ -621,7 +663,16 @@ def bench_10m(dim, k, rng):
     # reduced-rank mirror regenerates on device (fused._proj_state_locked)
     # and the build cost is tunnel-weather-IMMUNE
     chk_rows = np.random.default_rng(909).integers(0, n, 8)
-    if src.spot_check(store.data, chk_rows):
+    gate_ok = src.spot_check(store.data, chk_rows)
+    # the gate outcome goes into the artifact as a metric (and thus the
+    # tail-proof all_metrics summary) — VERDICT r4 weak #8: the log alone
+    # fell outside the captured tail, so the artifact couldn't show the
+    # guard-rail ran
+    log(f"synth device-source spot-check: ok={gate_ok} "
+        f"probed_rows={chk_rows.size} elements={chk_rows.size * dim} "
+        f"(one-bf16-ULP adjacency bound, utils/synth.py)")
+    emit(f"synth_gate_{n//1000}k", 1.0 if gate_ok else 0.0, "ok", 1.0)
+    if gate_ok:
         store.attach_device_source(src)
         log("device corpus source attached (mirror regenerates on device; "
             "no bulk tunnel transfer)")
@@ -799,9 +850,10 @@ def main() -> None:
     import signal
 
     def _emit_headline_and_die(signum, frame):  # noqa: ARG001
+        emit_summary()
         emit(*headline)
         log(f"bench killed by signal {signum} at "
-            f"{time.monotonic()-_T0:.0f}s; headline re-emitted")
+            f"{time.monotonic()-_T0:.0f}s; summary + headline re-emitted")
         sys.stdout.flush()
         os._exit(128 + signum)
 
@@ -815,6 +867,17 @@ def main() -> None:
              qpipe_100k / BASELINE_QPS)
         emit(f"filtered_search_p50_{n1//1000}k_{dim}d_k{k}", p50_filt, "ms",
              BASELINE_FILTERED_MS / p50_filt)
+
+        # device-only p50 at the HEADLINE scale: separates tunnel weather
+        # from code in the end-to-end number (VERDICT r4 #4 — r1-r3's
+        # 27-31 ms vs r4's 34.2 ms was attributed to tunnel RTT swings
+        # with no device-time artifact at 100K to prove it)
+        try:
+            dev_p50_h = measure_device_p50(idx, queries, k, f"{n1//1000}k")
+            emit(f"device_p50_{n1//1000}k_{dim}d_k{k}", dev_p50_h, "ms",
+                 BASELINE_MS / dev_p50_h)
+        except Exception as e:  # noqa: BLE001
+            log(f"device p50 {n1//1000}k failed: {e}")
 
         # ---- 10M beyond bf16 residency, FIRST among the big phases: its
         # three scale_beyond_flat_* metrics are round done-criteria
@@ -964,8 +1027,9 @@ def main() -> None:
                     log(f"cold-serve bench failed: {e}")
             del idx, vecs, queries
     finally:
-        # headline LAST, guaranteed (driver parses the final JSON line;
-        # key matches round 1)
+        # full tail-proof metric set, then the headline LAST, guaranteed
+        # (driver parses the final JSON line; key matches round 1)
+        emit_summary()
         emit(*headline)
         log(f"bench wall time: {time.monotonic()-_T0:.0f}s "
             f"of {BUDGET_S:.0f}s budget")

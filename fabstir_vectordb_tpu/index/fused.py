@@ -490,19 +490,16 @@ class FusedSearcher:
                     _t = self._stage_log(
                         "rerank mirror device-side generation", _t)
                 if rerank_x is None:
-                    import ml_dtypes
+                    from ..utils.transfer import put_bf16_blocks
 
-                    from ..utils.transfer import put_bf16
-
-                    rx_host = np.empty((n_rows, dim), ml_dtypes.bfloat16)
-                    for lo in range(0, n_rows, self._PROJ_CHUNK):
-                        hi = min(lo + self._PROJ_CHUNK, n_rows)
-                        rx_host[lo:hi] = data[lo:hi]
-                    _t = self._stage_log("rerank mirror host bf16 cast", _t)
-                    rerank_x = put_bf16(rx_host)  # u16 fast path: 22x
+                    # chunked u16-fast-path upload: per-block watchdog
+                    # heartbeats (a monolithic put of the 7.7 GB mirror at
+                    # 10M ran silent for 900-1165 s on a slow tunnel and
+                    # tripped the stall guard), and no full-corpus bf16
+                    # host twin
+                    rerank_x = put_bf16_blocks(data, n_rows)
                     jax.block_until_ready(rerank_x)
-                    del rx_host
-                    _t = self._stage_log("rerank mirror upload", _t)
+                    _t = self._stage_log("rerank mirror chunked upload", _t)
             else:
                 rerank_x = None  # auto-rank retry may outgrow the budget
             p_d = jnp.asarray(

@@ -34,8 +34,10 @@ os.environ.setdefault(
 os.environ.setdefault("FVDB_PCA_RANK", "192")
 os.environ.setdefault("FVDB_PCA_OVERSAMPLE", "auto")
 # this is a manual documentation run, not a driver run: give it room,
-# and stretch the post-headline stall limit to cover the single
-# monolithic 15.4 GB mirror transfer on a slow-tunnel night
+# and stretch the POST stall limit (the watchdog below starts in post
+# mode, so this is the limit that applies) to cover slow-tunnel mirror
+# work — the rerank upload itself now heartbeats per 256 MB block
+# (utils/transfer.put_bf16_blocks), so the limit only guards true stalls
 os.environ.setdefault("FVDB_BENCH_BUDGET_S", "5400")
 os.environ.setdefault("FVDB_BENCH_STALL_POST_S", "1800")
 
@@ -43,8 +45,13 @@ import numpy as np  # noqa: E402
 
 import bench  # noqa: E402
 
+# post-mode stall watchdog: bench_10m is called directly (bench.main()
+# never runs, so nothing else would start one — ADVICE r4: the env knob
+# above was dead, and the PRE limit would have killed legit transfers)
+bench._start_watchdog(post=True)
 bench.log(f"stretch run: n={n}")
 ok = bench.bench_10m(384, 10, np.random.default_rng(0))
+bench.emit_summary()
 bench.log(f"stretch run {'complete' if ok else 'hit the budget guard'} "
           f"at {bench.time.monotonic() - bench._T0:.0f}s")
 sys.exit(0 if ok else 1)

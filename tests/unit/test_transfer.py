@@ -40,3 +40,31 @@ class TestPutBf16:
         ref = np.asarray(jnp.asarray(x, jnp.bfloat16)).astype(np.float32)
         np.testing.assert_array_equal(np.isnan(got), np.isnan(ref))
         np.testing.assert_array_equal(got[~np.isnan(got)], ref[~np.isnan(ref)])
+
+
+class TestPutBf16Blocks:
+    def test_blocks_bit_identical_to_monolithic(self):
+        """Chunked mirror assembly (per-block watchdog heartbeats) ships
+        the same bits as one put_bf16 of the full cast."""
+        from fabstir_vectordb_tpu.utils.transfer import (
+            put_bf16, put_bf16_blocks)
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((1000, 48)).astype(np.float32)
+        a = np.asarray(put_bf16(x[:900]))
+        # tiny block_bytes forces many blocks incl. a short tail
+        b = np.asarray(put_bf16_blocks(x, 900, block_bytes=13_000))
+        assert np.array_equal(a.view(np.uint16), b.view(np.uint16))
+
+    def test_blocks_mark_progress(self):
+        from fabstir_vectordb_tpu.utils import progress
+        from fabstir_vectordb_tpu.utils.transfer import put_bf16_blocks
+
+        ticks = []
+        try:
+            progress.set_hook(lambda: ticks.append(1))
+            put_bf16_blocks(np.zeros((100, 16), np.float32), 100,
+                            block_bytes=640)
+        finally:
+            progress.set_hook(None)
+        assert len(ticks) >= 5  # one heartbeat per block
