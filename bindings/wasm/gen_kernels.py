@@ -325,23 +325,99 @@ def fn_topk_l2(l2_idx: int) -> bytes:
     return a.body()
 
 
+def fn_topk_cosine(cos_idx: int) -> bytes:
+    """Masked scored full-scan: exact top-k by cosine DISTANCE (1 - cos,
+    the reference InMemoryIndex metric — reference:
+    bindings/wasm/src/index.rs:122-161) over an [n, dim] f32 slot arena,
+    skipping slots whose i32 occupancy word is 0. The occupancy array is
+    the id-slot layer's view: the JS glue (kernels-index.mjs) manages
+    id <-> slot maps and freelists host-side and can also AND a metadata
+    filter into a scratch occupancy copy (exact filter pushdown, replacing
+    the reference's pre-filter + full sort, index.rs:164-209)."""
+    # params: vecs(0) occ(1) n(2) dim(3) q(4) k(5) oi(6) od(7)
+    # locals: r(8) cnt(9) j(10) d(11 f32)
+    a = Asm(8, [(3, I32), (1, F32)])
+    vecs, occ, n, dim, q, k, oi, od, r, cnt, j, d = range(12)
+    # k = min(k, n)
+    a.get(k).get(n).op("i32.gt_s")
+    a.if_()
+    a.get(n).set(k)
+    a.end()
+    a.block("done")
+    a.loop("rows")
+    a.get(r).get(n).op("i32.ge_s").br_if("done")
+    a.block("skip")
+    # empty slot -> skip
+    a.get(occ).get(r).i32(2).op("i32.shl").op("i32.add").i32_load()
+    a.op("i32.eqz").br_if("skip")
+    # d = 1 - cosine_sim(vecs + 4*dim*r, q, dim)   (zero norm -> cos 0 -> d 1)
+    a.f32(1.0)
+    a.get(vecs).get(dim).get(r).op("i32.mul").i32(2).op("i32.shl")
+    a.op("i32.add").get(q).get(dim).call(cos_idx)
+    a.op("f32.sub").set(d)
+    # slot: j = cnt++ while filling; else replace the tail if better
+    a.get(cnt).get(k).op("i32.lt_s")
+    a.if_()
+    a.get(cnt).set(j)
+    a.get(cnt).i32(1).op("i32.add").set(cnt)
+    a.else_()
+    a.get(d)
+    a.get(od).get(k).i32(1).op("i32.sub").i32(2).op("i32.shl")
+    a.op("i32.add").f32_load()
+    a.op("f32.ge").br_if("skip")
+    a.get(k).i32(1).op("i32.sub").set(j)
+    a.end()
+    # shift: while j>0 and od[j-1] > d, move [j-1] to [j]
+    a.block("sdone")
+    a.loop("shift")
+    a.get(j).op("i32.eqz").br_if("sdone")
+    a.get(od).get(j).i32(1).op("i32.sub").i32(2).op("i32.shl")
+    a.op("i32.add").f32_load()
+    a.get(d).op("f32.le").br_if("sdone")
+    a.get(od).get(j).i32(2).op("i32.shl").op("i32.add")
+    a.get(od).get(j).i32(1).op("i32.sub").i32(2).op("i32.shl")
+    a.op("i32.add").f32_load()
+    a.f32_store()
+    a.get(oi).get(j).i32(2).op("i32.shl").op("i32.add")
+    a.get(oi).get(j).i32(1).op("i32.sub").i32(2).op("i32.shl")
+    a.op("i32.add").i32_load()
+    a.i32_store()
+    a.get(j).i32(1).op("i32.sub").set(j)
+    a.br("shift")
+    a.end()
+    a.end()
+    # od[j] = d; oi[j] = slot r
+    a.get(od).get(j).i32(2).op("i32.shl").op("i32.add").get(d).f32_store()
+    a.get(oi).get(j).i32(2).op("i32.shl").op("i32.add").get(r).i32_store()
+    a.end()  # skip
+    a.get(r).i32(1).op("i32.add").set(r)
+    a.br("rows")
+    a.end()
+    a.end()
+    a.get(cnt)
+    return a.body()
+
+
 def build_module() -> bytes:
     # type table
     t_alloc = b"\x60" + vec([bytes([I32])]) + vec([bytes([I32])])
     t_void = b"\x60" + vec([]) + vec([])
     t_dist = b"\x60" + vec([bytes([I32])] * 3) + vec([bytes([F32])])
     t_topk = b"\x60" + vec([bytes([I32])] * 7) + vec([bytes([I32])])
-    types = [t_alloc, t_void, t_dist, t_topk]
+    t_topkm = b"\x60" + vec([bytes([I32])] * 8) + vec([bytes([I32])])
+    types = [t_alloc, t_void, t_dist, t_topk, t_topkm]
 
     # function index space: alloc=0 reset=1 l2_sq=2 dot=3 cosine=4 topk=5
-    func_types = [0, 1, 2, 2, 2, 3]
+    # topk_cosine=6
+    func_types = [0, 1, 2, 2, 2, 3, 4]
     bodies = [fn_alloc(), fn_reset(), fn_l2_sq(), fn_dot(), fn_cosine(),
-              fn_topk_l2(l2_idx=2)]
+              fn_topk_l2(l2_idx=2), fn_topk_cosine(cos_idx=4)]
 
     exports = [
         (b"memory", 2, 0),
         (b"alloc", 0, 0), (b"reset", 0, 1), (b"l2_sq", 0, 2),
         (b"dot", 0, 3), (b"cosine_sim", 0, 4), (b"topk_l2", 0, 5),
+        (b"topk_cosine", 0, 6),
     ]
     export_entries = [
         uleb(len(name)) + name + bytes([kind]) + uleb(idx)

@@ -69,6 +69,18 @@ class _Fn:
 
 class Module:
     def __init__(self, data: bytes):
+        try:
+            self._parse(data)
+        except WasmTrap:
+            raise
+        except Exception as e:  # noqa: BLE001 - malformed binary, any shape
+            # fuzz contract: a corrupt module must surface as WasmTrap,
+            # never as a raw IndexError/struct.error/UnicodeDecodeError
+            # from parser internals (tests/unit/test_wasm_kernels.py
+            # mutates the committed artifact and asserts this)
+            raise WasmTrap(f"malformed module: {type(e).__name__}: {e}") from e
+
+    def _parse(self, data: bytes):
         if data[:8] != b"\x00asm\x01\x00\x00\x00":
             raise WasmTrap("bad magic/version")
         self.types: list = []
@@ -84,6 +96,9 @@ class Module:
             i += 1
             size, i = _uleb(data, i)
             end = i + size
+            if end > len(data):
+                raise WasmTrap(
+                    f"section {sid} promises {size} bytes past EOF")
             if sid == 1:  # types
                 cnt, i = _uleb(data, i)
                 for _ in range(cnt):
@@ -163,9 +178,13 @@ class Instance:
     """Instantiated module; call exports via ``inst.call('name', *args)``
     and read/write memory via the f32/i32 helpers."""
 
-    def __init__(self, module: Module):
+    def __init__(self, module: Module, fuel: int | None = None):
         self.m = module
         self._blocks_cache: dict = {}
+        # optional instruction budget: mutated binaries can flip a loop
+        # exit into an infinite loop — with fuel set, execution traps
+        # instead of hanging (used by the fuzz tests)
+        self.fuel = fuel
 
     # --------------------------------------------------------------- memory
     def mem_write_f32(self, ptr: int, values) -> None:
@@ -180,13 +199,19 @@ class Instance:
 
     # ---------------------------------------------------------------- calls
     def call(self, name: str, *args):
-        kind, idx = self.m.exports[name]
+        try:
+            kind, idx = self.m.exports[name]
+        except KeyError:
+            raise WasmTrap(f"no export named {name!r}") from None
         if kind != 0:
             raise WasmTrap(f"{name} is not a function export")
         return self._invoke(idx, list(args))
 
     def _invoke(self, fidx: int, args: list):
-        fn = self.m.funcs[fidx]
+        try:
+            fn = self.m.funcs[fidx]
+        except IndexError:
+            raise WasmTrap(f"no function index {fidx}") from None
         if len(args) != len(fn.params):
             raise WasmTrap("arity mismatch")
         locals_ = list(args) + [
@@ -196,7 +221,19 @@ class Instance:
             self._exec(fn.code, 0, len(fn.code), locals_, stack, [])
         except _Ret as r:
             return r.vals[-1] if r.vals else None
+        except _Br as br:
+            # a br escaping the function body is malformed in our subset —
+            # and it must NOT bubble into a CALLER's block bookkeeping
+            raise WasmTrap(f"br depth {br.depth} escapes function") from None
+        except WasmTrap:
+            raise
+        except Exception as e:  # noqa: BLE001 - corrupt bytecode, any shape
+            # same fuzz contract as module parsing: execution of mutated
+            # bytecode traps, it doesn't leak interpreter internals
+            raise WasmTrap(f"execution fault: {type(e).__name__}: {e}") from e
         if fn.results:
+            if not stack:
+                raise WasmTrap("function body left an empty stack")
             return stack[-1]
         return None
 
@@ -250,6 +287,10 @@ class Instance:
         mem = self.m.memory
         blocks = self._block_ends(code)
         while i < end:
+            if self.fuel is not None:
+                self.fuel -= 1
+                if self.fuel < 0:
+                    raise WasmTrap("out of fuel")
             op = code[i]
             if op == 0x02 or op == 0x03:  # block / loop
                 _else, bend = blocks[i]
@@ -343,9 +384,14 @@ class Instance:
             elif op == 0x40:  # memory.grow
                 delta = stack.pop()
                 old = len(mem) // PAGE
-                mem.extend(bytes(delta * PAGE))
-                self.m.memory = mem = mem  # same object, extended
-                stack.append(old)
+                # spec behavior on failure is returning -1; cap at 4096
+                # pages (256 MB) so a fuzzed grow can't exhaust host RAM
+                if delta < 0 or old + delta > 4096:
+                    stack.append(-1)
+                else:
+                    mem.extend(bytes(delta * PAGE))
+                    self.m.memory = mem = mem  # same object, extended
+                    stack.append(old)
                 i += 2
             elif op == 0x41:
                 v, i = _sleb(code, i + 1); stack.append(_i32(v))
@@ -394,5 +440,5 @@ class Instance:
         return
 
 
-def instantiate(data: bytes) -> Instance:
-    return Instance(Module(data))
+def instantiate(data: bytes, fuel: int | None = None) -> Instance:
+    return Instance(Module(data), fuel=fuel)

@@ -269,6 +269,10 @@ def test_expected_exports_present():
     and reference SDK users depend on)."""
     want = {
         "bindings/wasm/index.mjs": {"FvdbEmbedded", "SearchFilter"},
+        "bindings/wasm/kernels.mjs": {"FvdbKernels"},
+        "bindings/wasm/kernels-index.mjs": {
+            "InMemoryIndex", "SearchFilter", "VideoSimilarityIndex",
+            "VideoRecommender", "VideoClustering"},
         "bindings/js/client.mjs": {"VectorDbClient"},
         "bindings/node/index.mjs": {"VectorDBSession"},
     }
