@@ -472,6 +472,8 @@ class TestLazyLoad:
         ts[:100] = NOW - DAY
         idx.insert_batch([f"v{i}" for i in range(n)], vecs, ts, now=NOW)
 
+        import threading
+
         store = MemoryObjectStore()
         manifest = HybridPersister(store).save_index_chunked(
             idx, "rr", chunk_size=50)
@@ -479,20 +481,38 @@ class TestLazyLoad:
         assert len(offs) == manifest.num_chunks
         assert all(o >= 0 for o in offs)  # every chunk tail verified
 
-        p = HybridPersister(store)
+        gate = threading.Event()
+
+        class MaterializerGatedStore:
+            """Blocks materializer-thread chunk GETs until the gate opens
+            (an instant in-memory store can otherwise materialize fully
+            before hold_materializer() is even called)."""
+            def __init__(self, s): self._s = s
+            def get(self, key):
+                if ("/chunks/" in key and
+                        threading.current_thread().name
+                        == "fvdb-materialize"):
+                    assert gate.wait(60), "gate never opened"
+                return self._s.get(key)
+            def __getattr__(self, name): return getattr(self._s, name)
+
+        p = HybridPersister(MaterializerGatedStore(store))
         loaded, _ = p.load_index_chunked("rr", lazy=True)
         loaded._cold.hold_materializer()
+        gate.set()
         try:
             get_before = dict(store.get_calls)
             q = vecs[[300, 500]]
             d, rows = loaded.search_rows(
                 q, k, config=SearchConfig(auto_migrate=False), now=NOW)
             # the search answered via ranged reads: no NEW full chunk GETs
+            # beyond the materializer's possible single in-flight chunk
+            # (it parks at the yield point right after it)
             new_gets = {
                 kk: v - get_before.get(kk, 0)
                 for kk, v in store.get_calls.items() if "/chunks/" in kk
             }
-            assert sum(new_gets.values()) == 0, new_gets
+            assert sum(new_gets.values()) <= 1, new_gets
             assert sum(store.range_calls.values()) > 0
             stats = loaded._cold.stats()
             assert stats["bytes_fetched_on_demand"] == \
