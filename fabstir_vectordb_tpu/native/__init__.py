@@ -107,6 +107,103 @@ def available() -> bool:
         return False
 
 
+_WASM_SRC = os.path.join(_DIR, "src", "fvdb_wasm.cpp")
+_WASM_LIB = os.path.join(_DIR, "libfvdb_wasm.so")
+_wasm_lib = None
+
+
+def load_wasm_library():
+    """The independent C++ WASM interpreter (src/fvdb_wasm.cpp): second
+    runtime for the committed browser artifact, differentially tested
+    against bindings/wasm/wasm_vm.py. Built on first use."""
+    global _wasm_lib
+    with _lib_lock:
+        if _wasm_lib is not None:
+            return _wasm_lib
+        try:
+            if not os.path.exists(_WASM_LIB) or (
+                os.path.getmtime(_WASM_LIB) < os.path.getmtime(_WASM_SRC)
+            ):
+                subprocess.run(
+                    ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+                     "-o", _WASM_LIB, _WASM_SRC],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(_WASM_LIB)
+        except Exception as e:  # noqa: BLE001
+            raise NativeUnavailable(f"wasm interpreter unavailable: {e}") from e
+        c = ctypes
+        lib.fvw_instantiate.argtypes = [c.c_char_p, c.c_int64, c.c_char_p,
+                                        c.c_int]
+        lib.fvw_instantiate.restype = c.c_void_p
+        lib.fvw_destroy.argtypes = [c.c_void_p]
+        lib.fvw_call.argtypes = [c.c_void_p, c.c_char_p,
+                                 c.POINTER(c.c_double), c.c_int,
+                                 c.POINTER(c.c_double), c.c_int64,
+                                 c.c_char_p, c.c_int]
+        lib.fvw_mem_size.argtypes = [c.c_void_p]
+        lib.fvw_mem_size.restype = c.c_int64
+        lib.fvw_mem_read.argtypes = [c.c_void_p, c.c_int64,
+                                     c.POINTER(c.c_uint8), c.c_int64]
+        lib.fvw_mem_write.argtypes = [c.c_void_p, c.c_int64, c.c_char_p,
+                                      c.c_int64]
+        _wasm_lib = lib
+        return lib
+
+
+class NativeWasmTrap(RuntimeError):
+    pass
+
+
+class NativeWasmInstance:
+    """ctypes wrapper over the C++ interpreter, API-compatible with the
+    Python one's (call / mem_write_f32 / mem_read_f32 / mem_read_i32) so
+    differential tests drive both identically."""
+
+    def __init__(self, data: bytes, fuel: int = -1):
+        self._lib = load_wasm_library()
+        err = ctypes.create_string_buffer(256)
+        self._h = self._lib.fvw_instantiate(data, len(data), err, 256)
+        if not self._h:
+            raise NativeWasmTrap(err.value.decode() or "instantiate failed")
+        self.fuel = fuel
+
+    def call(self, name: str, *args):
+        c_args = (ctypes.c_double * max(len(args), 1))(*[float(a) for a in args])
+        res = ctypes.c_double()
+        err = ctypes.create_string_buffer(256)
+        rc = self._lib.fvw_call(self._h, name.encode(), c_args, len(args),
+                                ctypes.byref(res), self.fuel, err, 256)
+        if rc != 0:
+            raise NativeWasmTrap(err.value.decode() or "trap")
+        return res.value
+
+    def mem_write(self, off: int, data: bytes) -> None:
+        if self._lib.fvw_mem_write(self._h, off, data, len(data)) != 0:
+            raise NativeWasmTrap("mem write oob")
+
+    def mem_read(self, off: int, n: int) -> bytes:
+        buf = (ctypes.c_uint8 * n)()
+        if self._lib.fvw_mem_read(self._h, off, buf, n) != 0:
+            raise NativeWasmTrap("mem read oob")
+        return bytes(buf)
+
+    def mem_write_f32(self, ptr: int, values) -> None:
+        self.mem_write(ptr, np.asarray(values, np.float32).tobytes())
+
+    def mem_read_f32(self, ptr: int, n: int):
+        return np.frombuffer(self.mem_read(ptr, 4 * n), np.float32).tolist()
+
+    def mem_read_i32(self, ptr: int, n: int):
+        return np.frombuffer(self.mem_read(ptr, 4 * n), np.int32).tolist()
+
+    def __del__(self):
+        try:
+            self._lib.fvw_destroy(self._h)
+        except Exception:
+            pass
+
+
 def _take_buffer(lib, buf_p, length) -> bytes:
     data = ctypes.string_at(buf_p, length)
     lib.fvdb_free(buf_p)

@@ -1,0 +1,161 @@
+"""Differential validation of the committed wasm artifact: two runtimes.
+
+The artifact's generator (gen_kernels.py) and the Python interpreter
+(wasm_vm.py) are co-authored, so a structural encoding bug accepted by
+both could pass CI and only fail in a real browser (VERDICT r4 weak #7).
+The C++ interpreter (native/src/fvdb_wasm.cpp) is an INDEPENDENT second
+implementation — different decoding, different control-flow machinery
+(explicit frame stack + parse-time jump table vs recursion + exceptions),
+different bounds model. These tests execute the committed binary through
+BOTH on randomized workloads and require bit-identical outputs, and fuzz
+the C++ one with the same mutation corpus (accept-or-trap, never crash).
+"""
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+import struct
+
+import numpy as np
+import pytest
+
+from fabstir_vectordb_tpu import native
+
+WASM_DIR = pathlib.Path(__file__).resolve().parents[2] / "bindings" / "wasm"
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(name, WASM_DIR / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+vm = _load("wasm_vm")
+
+
+@pytest.fixture(scope="module")
+def data():
+    return (WASM_DIR / "fvdb_kernels.wasm").read_bytes()
+
+
+@pytest.fixture()
+def both(data):
+    try:
+        cpp = native.NativeWasmInstance(data, fuel=500_000_000)
+    except native.NativeUnavailable as e:  # pragma: no cover - g++ baked in
+        pytest.skip(str(e))
+    return vm.instantiate(data), cpp
+
+
+def _bits(x: float) -> int:
+    return struct.unpack("<I", struct.pack("<f", x))[0]
+
+
+class TestBitIdentical:
+    def test_distance_kernels_random_workloads(self, both):
+        py, cpp = both
+        rng = np.random.default_rng(42)
+        for trial in range(25):
+            dim = int(rng.integers(1, 96))
+            a = rng.standard_normal(dim).astype(np.float32)
+            b = rng.standard_normal(dim).astype(np.float32)
+            if trial % 7 == 0:
+                a[:] = 0.0  # zero-norm cosine branch
+            for inst, write in ((py, py.mem_write_f32),
+                                (cpp, cpp.mem_write_f32)):
+                inst.call("reset")
+            pa_py = py.call("alloc", 4 * dim)
+            pb_py = py.call("alloc", 4 * dim)
+            py.mem_write_f32(pa_py, a.tolist())
+            py.mem_write_f32(pb_py, b.tolist())
+            pa_c = int(cpp.call("alloc", 4 * dim))
+            pb_c = int(cpp.call("alloc", 4 * dim))
+            cpp.mem_write_f32(pa_c, a.tolist())
+            cpp.mem_write_f32(pb_c, b.tolist())
+            for fn in ("l2_sq", "dot", "cosine_sim"):
+                got_py = py.call(fn, pa_py, pb_py, dim)
+                got_cpp = cpp.call(fn, pa_c, pb_c, dim)
+                assert _bits(got_py) == _bits(got_cpp), (
+                    f"{fn} trial {trial}: {got_py} vs {got_cpp}")
+
+    def test_topk_kernels_random_workloads(self, both):
+        py, cpp = both
+        rng = np.random.default_rng(99)
+        for trial in range(10):
+            n = int(rng.integers(1, 200))
+            dim = int(rng.integers(1, 32))
+            k = int(rng.integers(1, 20))
+            vecs = rng.standard_normal((n, dim)).astype(np.float32)
+            occ = (rng.random(n) > 0.3).astype(np.int32)
+            q = rng.standard_normal(dim).astype(np.float32)
+
+            def run(inst, write_bytes):
+                inst.call("reset")
+                pv = int(inst.call("alloc", vecs.nbytes))
+                po = int(inst.call("alloc", 4 * n))
+                pq = int(inst.call("alloc", 4 * dim))
+                poi = int(inst.call("alloc", 4 * k))
+                pod = int(inst.call("alloc", 4 * k))
+                write_bytes(pv, vecs.tobytes())
+                write_bytes(po, occ.tobytes())
+                write_bytes(pq, q.tobytes())
+                c_l2 = int(inst.call("topk_l2", pv, n, dim, pq, k, poi, pod))
+                l2 = (inst.mem_read_i32(poi, c_l2),
+                      [_bits(x) for x in inst.mem_read_f32(pod, c_l2)])
+                c_cos = int(inst.call(
+                    "topk_cosine", pv, po, n, dim, pq, k, poi, pod))
+                cos = (inst.mem_read_i32(poi, c_cos),
+                       [_bits(x) for x in inst.mem_read_f32(pod, c_cos)])
+                return l2, cos
+
+            def py_write(ptr, raw):
+                py.m.memory[ptr:ptr + len(raw)] = raw
+
+            got_py = run(py, py_write)
+            got_cpp = run(cpp, cpp.mem_write)
+            assert got_py == got_cpp, f"trial {trial} diverged"
+
+    def test_allocator_addresses_identical(self, both):
+        py, cpp = both
+        py.call("reset"), cpp.call("reset")
+        for size in (1, 16, 17, 4096, 65536, 3 * 65536, 5):
+            assert py.call("alloc", size) == int(cpp.call("alloc", size))
+
+
+class TestCppFuzz:
+    def test_mutations_accept_or_trap(self, data):
+        try:
+            native.load_wasm_library()
+        except native.NativeUnavailable as e:  # pragma: no cover
+            pytest.skip(str(e))
+        buf = bytearray(data)
+        rng = np.random.default_rng(777)
+        outcomes = {"ok": 0, "trap": 0}
+        for _ in range(250):
+            pos = int(rng.integers(8, len(buf)))
+            old = buf[pos]
+            buf[pos] = int(rng.integers(0, 256))
+            try:
+                inst = native.NativeWasmInstance(bytes(buf), fuel=500_000)
+                inst.call("reset")
+                pa = int(inst.call("alloc", 16))
+                inst.mem_write_f32(pa, [1, 2, 3, 4])
+                inst.call("l2_sq", pa, pa, 4)
+                outcomes["ok"] += 1
+            except native.NativeWasmTrap:
+                outcomes["trap"] += 1
+            finally:
+                buf[pos] = old
+        assert outcomes["ok"] + outcomes["trap"] == 250
+        assert outcomes["trap"] > 0
+
+    def test_truncations_trap(self, data):
+        try:
+            native.load_wasm_library()
+        except native.NativeUnavailable as e:  # pragma: no cover
+            pytest.skip(str(e))
+        for cut in (9, 20, 100, len(data) // 2, len(data) - 3):
+            with pytest.raises(native.NativeWasmTrap):
+                inst = native.NativeWasmInstance(data[:cut], fuel=100_000)
+                inst.call("reset")
