@@ -27,4 +27,31 @@ assert(distances[0] < 1e-6, "self distance ~0");
 for (let i = 1; i < distances.length; i++) {
   assert(distances[i - 1] <= distances[i], "ascending");
 }
+
+// masked cosine scan (the browser InMemoryIndex kernel)
+const occ = new Int32Array(n).fill(1);
+occ[42] = 0; // mask the exact hit out
+const cos = kx.topkCosine(vecs, occ, n, dim, q, k);
+assert(cos.indices.length === k, "cosine count");
+assert(!Array.from(cos.indices).includes(42), "masked slot excluded");
+for (let i = 1; i < cos.distances.length; i++) {
+  assert(cos.distances[i - 1] <= cos.distances[i], "cosine ascending");
+}
+
+// full browser index surface on the same artifact
+const { InMemoryIndex, SearchFilter } = await import("./kernels-index.mjs");
+const ix = await InMemoryIndex.create(4, bytes);
+ix.addVector("a", [1, 0, 0, 0], { genre: "jazz" });
+ix.addVector("b", [0, 1, 0, 0], { genre: "rock" });
+ix.addVector("c", [0.9, 0.1, 0, 0], { genre: "jazz" });
+const hits = ix.search([1, 0, 0, 0], 2);
+assert(hits[0].id === "a" && hits[1].id === "c", "index search order");
+const f = new SearchFilter().addStringFilter("genre", "rock");
+const fh = ix.searchWithFilter([1, 0, 0, 0], 2, f);
+assert(fh.length === 1 && fh[0].id === "b", "filtered search");
+ix.deleteVector("a");
+assert(ix.size() === 2, "delete");
+const ix2 = await InMemoryIndex.deserialize(ix.serialize(), bytes);
+assert(ix2.size() === 2, "serialize roundtrip");
+
 console.log("fvdb_kernels.wasm smoke: OK");
