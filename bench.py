@@ -19,8 +19,10 @@ budget and lost its headline + all 10M metrics):
   - a stall watchdog guards against the tunneled backend losing an RPC
     (observed r4: a 15 MB k-means step blocked >11 min at 0% CPU while a
     fresh process's probe ran fine). Pre-headline, a stall re-execs the
-    bench ONCE with the remaining budget (fresh tunnel connection);
-    post-headline it salvages the artifact (re-emit headline, exit 3).
+    bench with the remaining budget (fresh tunnel connection; up to
+    FVDB_BENCH_REEXEC_MAX=3 attempts while budget holds — the wedge was
+    observed striking back-to-back fresh connections in r5 validation);
+    post-headline it salvages the artifact (summary + headline, exit 3).
 
 Phases (one process, persistent compile cache), ordered by criticality —
 round done-criteria metrics run before nice-to-have checkpoints:
@@ -61,7 +63,11 @@ _T0 = time.monotonic()
 # ---- stall watchdog state (see module docstring) ----
 _LAST_PROGRESS = time.monotonic()
 _HEADLINE: tuple | None = None  # set by main() once phase 1 completes
-_IS_REEXEC = os.environ.get("FVDB_BENCH_REEXEC", "0") == "1"
+# re-exec attempt count: the tunnel's first-RPC wedge can strike the fresh
+# connection too (observed twice back-to-back in r5 validation), so allow
+# a few fresh-process retries while the budget holds instead of one
+_REEXEC_N = int(os.environ.get("FVDB_BENCH_REEXEC", "0") or "0")
+_REEXEC_MAX = int(os.environ.get("FVDB_BENCH_REEXEC_MAX", "3"))
 # pre-headline: every step at 100K is seconds-scale even on a bad tunnel
 # (worst observed legit silence: ~90 s of first compiles); post-headline:
 # single monolithic transfers (mirror install) can legitimately run
@@ -115,18 +121,19 @@ def _start_watchdog(post: bool = False) -> None:
                     emit(*_HEADLINE)
                 sys.stdout.flush()
                 os._exit(3)
-            if not _IS_REEXEC:
-                left = max(remaining_s(), 60.0)
-                wlog(f"WATCHDOG: re-exec with {left:.0f}s budget "
-                     "(fresh backend connection)")
+            left = max(remaining_s(), 60.0)
+            if _REEXEC_N < _REEXEC_MAX and left > 2 * _STALL_PRE_S:
+                wlog(f"WATCHDOG: re-exec {_REEXEC_N + 1}/{_REEXEC_MAX} "
+                     f"with {left:.0f}s budget (fresh backend connection)")
                 sys.stdout.flush()
                 sys.stderr.flush()
                 env = dict(os.environ)
-                env["FVDB_BENCH_REEXEC"] = "1"
+                env["FVDB_BENCH_REEXEC"] = str(_REEXEC_N + 1)
                 env["FVDB_BENCH_BUDGET_S"] = str(left)
                 os.execve(sys.executable,
                           [sys.executable, os.path.abspath(__file__)], env)
-            wlog("WATCHDOG: stalled again after re-exec; giving up")
+            wlog(f"WATCHDOG: stalled (re-execs used: {_REEXEC_N}, "
+                 f"{left:.0f}s left); giving up")
             sys.stdout.flush()
             os._exit(4)
 
@@ -828,7 +835,7 @@ def main() -> None:
     _start_watchdog()
     log(f"devices: {jax.devices()}")
     log(f"budget: {BUDGET_S:.0f}s"
-        + (" (watchdog re-exec)" if _IS_REEXEC else ""))
+        + (f" (watchdog re-exec {_REEXEC_N})" if _REEXEC_N else ""))
     rng = np.random.default_rng(0)
 
     # ---- phase 1: 100K ----

@@ -319,43 +319,98 @@ class ColdServing:
         Returns (dists [B, k] euclidean, rows [B, k]) — the same contract as
         ``HybridIndex.search_rows``.
         """
+        import os
+        import time as _time
+
+        timing = os.environ.get("FVDB_TIMING", "0") == "1"
+        t0 = _time.perf_counter()
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         b = queries.shape[0]
-        spans = self._probe_spans(queries, n_probe)
-        self._ensure_spans(spans)
+        spans = self._merged_spans(self._probe_spans(queries, n_probe))
+        t1 = _time.perf_counter()
+        # hold the materializer for the WHOLE search, not just the fetch:
+        # its chunk decode loop is CPU-bound and on a few-core host it
+        # starves the scan below too (measured at 1M: the same 355K-row
+        # scan took 7.0 s with the materializer running vs 0.95 s without)
+        with self._lock:
+            self._pending += 1
+        try:
+            self._ensure_spans(spans)
+            t2 = _time.perf_counter()
+            if timing:
+                import sys
+                print(f"[fvdb-timing] cold probe-plan {t1-t0:.3f}s "
+                      f"ensure-spans {t2-t1:.3f}s "
+                      f"(rows={sum(hi-lo for lo, hi in spans)}, "
+                      f"fetched={self.on_demand_rows})", file=sys.stderr)
+            out = self._scan_spans(queries, k, spans, extra_mask)
+        finally:
+            with self._lock:
+                self._pending -= 1
+        if timing:
+            import sys
+            print(f"[fvdb-timing] cold scan {_time.perf_counter()-t2:.3f}s "
+                  f"(spans={len(spans)})", file=sys.stderr)
+        return out
 
+    def _scan_spans(self, queries: np.ndarray, k: int, spans,
+                    extra_mask: np.ndarray | None):
+        """Exact scan over the spans' rows, SPAN-WISE from the store's
+        contiguous slices: no [M, D] gather copy and no [M] norm temporary
+        over the full candidate set (at 1M a 45%-coverage plan made those
+        ~700 MB of pure memcpy on the serving path). Each span contributes
+        its top-k via norm-expansion BLAS on the contiguous block; winners
+        are merged and exactly re-scored in difference form (the same
+        exactness recipe as the warm host rerank paths)."""
         store = self.hybrid.store
-        parts = [np.arange(lo, min(hi, store.count), dtype=np.int64)
-                 for lo, hi in spans]
-        rows = (np.concatenate(parts) if parts
-                else np.zeros(0, np.int64))
-        if rows.size:
-            keep = ~store.deleted[rows]
-            if extra_mask is not None and extra_mask.shape[0] > 0:
-                em = np.asarray(extra_mask, bool)
-                safe = np.minimum(rows, em.shape[0] - 1)
-                keep &= em[safe] & (rows < em.shape[0])
-            rows = rows[keep]
-        if rows.size == 0:
+        b = queries.shape[0]
+        q_t = np.ascontiguousarray(queries.T)  # [D, B]
+        em = None
+        if extra_mask is not None and extra_mask.shape[0] > 0:
+            em = np.asarray(extra_mask, bool)
+
+        cand_rows: list = []  # per-span [k_s, B] winner rows
+        cand_d: list = []
+        for lo, hi in spans:
+            hi = min(hi, store.count)
+            if hi <= lo:
+                continue
+            x = store.data[lo:hi]  # contiguous view, no copy
+            keep = ~store.deleted[lo:hi]
+            if em is not None:
+                e = em[lo:min(hi, em.shape[0])]
+                if e.shape[0] < hi - lo:
+                    e = np.concatenate(
+                        [e, np.zeros(hi - lo - e.shape[0], bool)])
+                keep = keep & e
+            if not keep.any():
+                continue
+            d = (np.einsum("md,md->m", x, x, dtype=np.float32)[:, None]
+                 - 2.0 * (x @ q_t))  # [m, B]; +q_sq is rank-irrelevant
+            d[~keep] = np.inf
+            k_s = min(k, d.shape[0])
+            sel = np.argpartition(d, k_s - 1, axis=0)[:k_s]  # [k_s, B]
+            cand_rows.append(sel + lo)
+            cand_d.append(np.take_along_axis(d, sel, axis=0))
+        if not cand_rows:
             return (np.full((b, k), np.inf, np.float32),
                     np.full((b, k), -1, np.int32))
 
-        x = store.data[rows]  # [M, D]
-        # norm-expansion selection + difference-form rescore of the winners
-        # (same exactness recipe as the warm host rerank paths)
-        x_sq = np.einsum("md,md->m", x, x)
-        dots = x @ queries.T  # [M, B]
-        q_sq = np.einsum("bd,bd->b", queries, queries)
-        d = x_sq[:, None] - 2.0 * dots + q_sq[None, :]  # [M, B]
-        k_eff = min(k, rows.size)
-        sel = np.argpartition(d, k_eff - 1, axis=0)[:k_eff]  # [k_eff, B]
+        all_rows = np.concatenate(cand_rows, axis=0)  # [S*k, B]
+        all_d = np.concatenate(cand_d, axis=0)
+        k_eff = min(k, all_rows.shape[0])
+        sel = np.argpartition(all_d, k_eff - 1, axis=0)[:k_eff]
         out_d = np.full((b, k), np.inf, np.float32)
         out_r = np.full((b, k), -1, np.int32)
         for i in range(b):
-            cand = rows[sel[:, i]]
+            picked = sel[:, i]
+            finite = np.isfinite(all_d[picked, i])  # drop masked/deleted
+            cand = np.unique(all_rows[picked, i][finite])
+            if cand.size == 0:
+                continue
             diff = store.data[cand] - queries[i][None, :]
             dd = np.einsum("kd,kd->k", diff, diff)
-            order = np.argsort(dd, kind="stable")
-            out_d[i, :k_eff] = np.sqrt(np.maximum(dd[order], 0.0))
-            out_r[i, :k_eff] = cand[order]
+            order = np.argsort(dd, kind="stable")[:k_eff]
+            out_d[i, :order.size] = np.sqrt(np.maximum(dd[order], 0.0))
+            out_r[i, :order.size] = cand[order]
         return out_d, out_r
