@@ -590,6 +590,67 @@ class TestLazyLoad:
             loaded._cold.release_materializer()
         loaded.wait_ready(timeout=60)
 
+    def test_cold_scan_exact_with_deletes_and_mask(self, rng):
+        """The span-wise cold scan (per-span top-k + merge + rescore) must
+        equal the flat oracle over the SAME candidate set, with soft-deleted
+        rows and an extra mask excluded — including spans whose live count
+        is below k (the inf-padded per-span winners must never surface)."""
+        from fabstir_vectordb_tpu.core import MemoryObjectStore
+        from fabstir_vectordb_tpu.index import (
+            HybridConfig, HybridIndex, IVFConfig, SearchConfig,
+        )
+        from fabstir_vectordb_tpu.storage.persistence import HybridPersister
+
+        n, dim, k = 600, 12, 8
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HybridIndex(dim, HybridConfig(
+            ivf=IVFConfig(n_clusters=32, n_probe=32, seed=0),  # probe ALL
+            auto_migrate=False))
+        idx.initialize(vecs[:200])
+        ts = np.full(n, NOW - 30 * DAY)
+        ts[:50] = NOW - DAY
+        ids = [f"v{i}" for i in range(n)]
+        idx.insert_batch(ids, vecs, ts, now=NOW)
+        # soft-delete a batch BEFORE save (deleted ids land in the manifest)
+        for i in range(0, n, 7):
+            idx.delete(f"v{i}")
+
+        store = MemoryObjectStore()
+        HybridPersister(store).save_index_chunked(idx, "ex", chunk_size=64)
+        loaded, _ = HybridPersister(store).load_index_chunked("ex", lazy=True)
+        cold = loaded._cold
+        if cold is not None:
+            cold.hold_materializer()
+        try:
+            # extra mask shorter than capacity + excluding a stripe of rows
+            em = np.zeros(loaded.store.capacity, bool)
+            em[: loaded.store.count] = True
+            em[np.arange(0, loaded.store.count, 3)] = False
+            q = vecs[[100, 400, 555]]
+            d, rows = loaded.search_rows(
+                q, k, config=SearchConfig(auto_migrate=False),
+                extra_mask=em, now=NOW)
+            # oracle over the full store (n_probe == n_clusters means the
+            # cold candidate set covers every live row)
+            live = loaded.store.active_mask(loaded.store.capacity) & em
+            data = loaded.store.data
+            for j in range(q.shape[0]):
+                dd = ((data[: loaded.store.count]
+                       - q[j][None, :]) ** 2).sum(axis=1)
+                dd[~live[: loaded.store.count]] = np.inf
+                want = np.argsort(dd, kind="stable")[:k]
+                got = rows[j][rows[j] >= 0]
+                np.testing.assert_array_equal(got, want[: got.size])
+                np.testing.assert_allclose(
+                    d[j][: got.size], np.sqrt(dd[want[: got.size]]),
+                    rtol=1e-5, atol=1e-5)
+                # no deleted or masked row may surface
+                assert not (~live[got]).any()
+        finally:
+            if cold is not None:
+                cold.release_materializer()
+        loaded.wait_ready(timeout=60)
+
     def test_cold_serve_env_disabled_blocks(self, rng, monkeypatch):
         """FVDB_COLD_SERVE=0 restores blocking-on-materialization."""
         import threading
