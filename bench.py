@@ -903,12 +903,34 @@ def main() -> None:
                          "FVDB_HBM_BUDGET_GB", "FVDB_STAGE1_TRANSIENT_GB")
             _saved = {kk: os.environ.get(kk) for kk in _pin_keys}
             try:
-                bench_10m(dim, k, rng)
-            except Exception as e:  # noqa: BLE001
-                log(f"10M phase failed: {e}")
-                import traceback
+                try:
+                    bench_10m(dim, k, rng)
+                except Exception as e:  # noqa: BLE001
+                    log(f"10M phase failed: {e}")
+                    import gc
+                    import traceback
 
-                traceback.print_exc(file=sys.stderr)
+                    traceback.print_exc(file=sys.stderr)
+                    # clear the traceback's frame refs so the phase's
+                    # device buffers (mirrors mid-build) actually free
+                    tb = e.__traceback__
+                    e.__traceback__ = None
+                    del e, tb
+                    gc.collect()
+                    # HBM exhaustion is often EXTERNAL and transient on
+                    # this rig (the relay reclaims a dead client's buffers
+                    # with minutes of lag — observed after the 20M stretch
+                    # exited); wait and retry the phase once
+                    if budget_allows("10M retry after HBM reclaim", 400):
+                        log("waiting 120s for the backend to reclaim HBM")
+                        for _ in range(12):
+                            time.sleep(10)
+                            touch()
+                        try:
+                            bench_10m(dim, k, rng)
+                        except Exception as e2:  # noqa: BLE001
+                            log(f"10M retry failed too: {e2}")
+                            traceback.print_exc(file=sys.stderr)
             finally:
                 for kk, vv in _saved.items():
                     if vv is None:
@@ -934,105 +956,116 @@ def main() -> None:
                 log(f"cold-serve 100k bench failed: {e}")
         del idx, vecs, queries
 
-        # ---- phase 2: 1M ----
+        # ---- phase 2: 1M (own guard: a device failure here — e.g. HBM
+        # not yet reclaimed from a neighboring job — must not abort the
+        # run before the summary) ----
         if (os.environ.get("FVDB_BENCH_SKIP_1M", "0") != "1"
                 and n1 <= 500_000 and budget_allows("1M phase", 330)):
             n2 = 1_000_000
-            idx, vecs, queries, cfg, p50_1m, qps_1m, qpipe_1m = bench_scale(
-                n2, dim, k, min(n_queries, 100), rng, recent_frac=0.02,
-                tag="1m")
-            emit(f"warm_search_p50_1000k_{dim}d_k{k}", p50_1m, "ms",
-                 BASELINE_MS / p50_1m)
-            emit(f"batched_qps_1000k_{dim}d_k{k}", qps_1m, "qps",
-                 qps_1m / BASELINE_QPS)
-            emit(f"pipelined_qps_1000k_{dim}d_k{k}", qpipe_1m, "qps",
-                 qpipe_1m / BASELINE_QPS)
-            # reference has no ingest-rate number — vs_baseline 1.0 = the bar
-            emit(f"ingest_qps_1000k_{dim}d", idx.bench_ingest_qps,
-                 "vectors/s", 1.0)
-
-            # ---- device-only p50 (the north-star artifact) ----
+            built_1m = False
             try:
-                dev_p50 = measure_device_p50(idx, queries, k, "1m")
-                emit(f"device_p50_1000k_{dim}d_k{k}", dev_p50, "ms",
-                     BASELINE_MS / dev_p50)
+                idx, vecs, queries, cfg, p50_1m, qps_1m, qpipe_1m = \
+                    bench_scale(n2, dim, k, min(n_queries, 100), rng,
+                                recent_frac=0.02, tag="1m")
+                built_1m = True
             except Exception as e:  # noqa: BLE001
-                log(f"device p50 failed: {e}")
+                log(f"1M phase build failed: {e}")
+                import traceback
 
-            # ---- pruned-regime checkpoint (graph+IVF device kernels) ----
-            if (os.environ.get("FVDB_BENCH_SKIP_PRUNED", "0") != "1"
-                    and budget_allows("pruned checkpoint", 140)):
+                traceback.print_exc(file=sys.stderr)
+            if built_1m:
+                emit(f"warm_search_p50_1000k_{dim}d_k{k}", p50_1m, "ms",
+                     BASELINE_MS / p50_1m)
+                emit(f"batched_qps_1000k_{dim}d_k{k}", qps_1m, "qps",
+                     qps_1m / BASELINE_QPS)
+                emit(f"pipelined_qps_1000k_{dim}d_k{k}", qpipe_1m, "qps",
+                     qpipe_1m / BASELINE_QPS)
+                # reference has no ingest-rate number — vs_baseline 1.0 = the bar
+                emit(f"ingest_qps_1000k_{dim}d", idx.bench_ingest_qps,
+                     "vectors/s", 1.0)
+
+                # ---- device-only p50 (the north-star artifact) ----
                 try:
-                    p50_pr, rec_pr = bench_pruned(
-                        idx, queries, k, cfg, dim, "1m")
-                    emit(f"pruned_p50_1000k_{dim}d_k{k}", p50_pr, "ms",
-                         BASELINE_MS / p50_pr)
-                    emit(f"pruned_recall_1000k_{dim}d_k{k}", rec_pr,
-                         "recall@10", rec_pr / 1.0)
+                    dev_p50 = measure_device_p50(idx, queries, k, "1m")
+                    emit(f"device_p50_1000k_{dim}d_k{k}", dev_p50, "ms",
+                         BASELINE_MS / dev_p50)
                 except Exception as e:  # noqa: BLE001
-                    log(f"pruned bench failed: {e}")
+                    log(f"device p50 failed: {e}")
 
-            # ---- turbo flat selection (FVDB_FLAT_SELECT=approx) ----
-            if (os.environ.get("FVDB_BENCH_SKIP_TURBO", "0") != "1"
-                    and budget_allows("turbo", 130)):
-                try:
-                    from fabstir_vectordb_tpu.index import FlatIndex
-                    from fabstir_vectordb_tpu.index.flat import recall_at_k
+                # ---- pruned-regime checkpoint (graph+IVF device kernels) ----
+                if (os.environ.get("FVDB_BENCH_SKIP_PRUNED", "0") != "1"
+                        and budget_allows("pruned checkpoint", 140)):
+                    try:
+                        p50_pr, rec_pr = bench_pruned(
+                            idx, queries, k, cfg, dim, "1m")
+                        emit(f"pruned_p50_1000k_{dim}d_k{k}", p50_pr, "ms",
+                             BASELINE_MS / p50_pr)
+                        emit(f"pruned_recall_1000k_{dim}d_k{k}", rec_pr,
+                             "recall@10", rec_pr / 1.0)
+                    except Exception as e:  # noqa: BLE001
+                        log(f"pruned bench failed: {e}")
 
-                    os.environ["FVDB_FLAT_SELECT"] = "approx"
-                    idx.search_rows(queries[0], k, config=cfg, now=NOW)
-                    qps_t, qps_t_pipe = measure_qps(
-                        idx, rng, dim, k, cfg, reps=5)
-                    sample = queries[:32]
-                    _, rows_t = idx.search_rows(sample, k, config=cfg,
-                                                now=NOW)
-                    rec_t = recall_at_k(FlatIndex(idx.store), rows_t,
-                                        sample, k)
-                    log(f"turbo recall@{k} vs exact: {rec_t:.4f}")
-                    emit(f"turbo_batched_qps_1000k_{dim}d_k{k}", qps_t,
-                         "qps", qps_t / BASELINE_QPS)
-                    emit(f"turbo_pipelined_qps_1000k_{dim}d_k{k}",
-                         qps_t_pipe, "qps", qps_t_pipe / BASELINE_QPS)
-                    emit(f"turbo_recall_1000k_{dim}d_k{k}", rec_t,
-                         "recall@10", rec_t / 1.0)
-                except Exception as e:  # noqa: BLE001
-                    log(f"turbo bench failed: {e}")
-                finally:
-                    os.environ.pop("FVDB_FLAT_SELECT", None)
+                # ---- turbo flat selection (FVDB_FLAT_SELECT=approx) ----
+                if (os.environ.get("FVDB_BENCH_SKIP_TURBO", "0") != "1"
+                        and budget_allows("turbo", 130)):
+                    try:
+                        from fabstir_vectordb_tpu.index import FlatIndex
+                        from fabstir_vectordb_tpu.index.flat import recall_at_k
 
-            # ---- reduced-rank checkpoint on the same 1M index ----
-            if (os.environ.get("FVDB_BENCH_SKIP_PCA", "0") != "1"
-                    and budget_allows("pca checkpoint", 150)):
-                try:
-                    p50_pca, qps_pca = bench_pca(
-                        idx, queries, k, cfg, rng, dim, "1m")
-                    emit(f"pca_search_p50_1000k_{dim}d_k{k}", p50_pca, "ms",
-                         BASELINE_MS / p50_pca)
-                    emit(f"pca_batched_qps_1000k_{dim}d_k{k}", qps_pca,
-                         "qps", qps_pca / BASELINE_QPS)
-                except Exception as e:  # noqa: BLE001
-                    log(f"pca bench failed: {e}")
+                        os.environ["FVDB_FLAT_SELECT"] = "approx"
+                        idx.search_rows(queries[0], k, config=cfg, now=NOW)
+                        qps_t, qps_t_pipe = measure_qps(
+                            idx, rng, dim, k, cfg, reps=5)
+                        sample = queries[:32]
+                        _, rows_t = idx.search_rows(sample, k, config=cfg,
+                                                    now=NOW)
+                        rec_t = recall_at_k(FlatIndex(idx.store), rows_t,
+                                            sample, k)
+                        log(f"turbo recall@{k} vs exact: {rec_t:.4f}")
+                        emit(f"turbo_batched_qps_1000k_{dim}d_k{k}", qps_t,
+                             "qps", qps_t / BASELINE_QPS)
+                        emit(f"turbo_pipelined_qps_1000k_{dim}d_k{k}",
+                             qps_t_pipe, "qps", qps_t_pipe / BASELINE_QPS)
+                        emit(f"turbo_recall_1000k_{dim}d_k{k}", rec_t,
+                             "recall@10", rec_t / 1.0)
+                    except Exception as e:  # noqa: BLE001
+                        log(f"turbo bench failed: {e}")
+                    finally:
+                        os.environ.pop("FVDB_FLAT_SELECT", None)
 
-            # ---- cold start: lazy on-demand + eager bf16 ----
-            if (os.environ.get("FVDB_BENCH_SKIP_COLD", "0") != "1"
-                    and budget_allows("cold start", 170)):
-                try:
-                    res = bench_cold_serve(idx, vecs, dim, "1m")
-                    if "lazy_serve_ready" in res:
-                        emit(f"lazy_serve_ready_1000k_{dim}d",
-                             res["lazy_serve_ready"], "s",
-                             BASELINE_COLD_S / res["lazy_serve_ready"])
-                        emit(f"lazy_materialize_1000k_{dim}d",
-                             res["lazy_materialize"], "s", 1.0)
-                    if "cold_serve_ready" in res:
-                        emit(f"cold_serve_ready_1000k_{dim}d",
-                             res["cold_serve_ready"], "s",
-                             BASELINE_COLD_S / res["cold_serve_ready"])
-                        emit(f"cold_load_1000k_{dim}d", res["cold_load"],
-                             "s", 0.685 / res["cold_load"])
-                except Exception as e:  # noqa: BLE001
-                    log(f"cold-serve bench failed: {e}")
-            del idx, vecs, queries
+                # ---- reduced-rank checkpoint on the same 1M index ----
+                if (os.environ.get("FVDB_BENCH_SKIP_PCA", "0") != "1"
+                        and budget_allows("pca checkpoint", 150)):
+                    try:
+                        p50_pca, qps_pca = bench_pca(
+                            idx, queries, k, cfg, rng, dim, "1m")
+                        emit(f"pca_search_p50_1000k_{dim}d_k{k}", p50_pca, "ms",
+                             BASELINE_MS / p50_pca)
+                        emit(f"pca_batched_qps_1000k_{dim}d_k{k}", qps_pca,
+                             "qps", qps_pca / BASELINE_QPS)
+                    except Exception as e:  # noqa: BLE001
+                        log(f"pca bench failed: {e}")
+
+                # ---- cold start: lazy on-demand + eager bf16 ----
+                if (os.environ.get("FVDB_BENCH_SKIP_COLD", "0") != "1"
+                        and budget_allows("cold start", 170)):
+                    try:
+                        res = bench_cold_serve(idx, vecs, dim, "1m")
+                        if "lazy_serve_ready" in res:
+                            emit(f"lazy_serve_ready_1000k_{dim}d",
+                                 res["lazy_serve_ready"], "s",
+                                 BASELINE_COLD_S / res["lazy_serve_ready"])
+                            emit(f"lazy_materialize_1000k_{dim}d",
+                                 res["lazy_materialize"], "s", 1.0)
+                        if "cold_serve_ready" in res:
+                            emit(f"cold_serve_ready_1000k_{dim}d",
+                                 res["cold_serve_ready"], "s",
+                                 BASELINE_COLD_S / res["cold_serve_ready"])
+                            emit(f"cold_load_1000k_{dim}d", res["cold_load"],
+                                 "s", 0.685 / res["cold_load"])
+                    except Exception as e:  # noqa: BLE001
+                        log(f"cold-serve bench failed: {e}")
+                del idx, vecs, queries
     finally:
         # full tail-proof metric set, then the headline LAST, guaranteed
         # (driver parses the final JSON line; key matches round 1)
