@@ -145,6 +145,40 @@ class TestOperations:
         if moves:
             assert max(ivf.cluster_stats().sizes) <= before
 
+    def test_balance_clusters_caps_receivers(self):
+        """Receivers must respect the same size limit — the reference's
+        unconditional next-nearest policy grows the SECOND-largest cluster
+        on dense corpora (measured at 1M: the serving tile width doubled
+        instead of shrinking). After balancing, no cluster may exceed the
+        limit by more than the leftover that had no legal receiver."""
+        dim = 8
+        rng = np.random.default_rng(3)
+        # two overlapping dense blobs: the old policy dumps blob A's excess
+        # straight into blob B's cluster
+        a = rng.standard_normal((300, dim)).astype(np.float32) * 0.1
+        b = rng.standard_normal((260, dim)).astype(np.float32) * 0.1 + 0.3
+        far = rng.standard_normal((40, dim)).astype(np.float32) * 10
+        vecs = np.concatenate([a, b, far])
+        store = VectorStore(dim)
+        rows = store.add_batch([f"v{i}" for i in range(len(vecs))], vecs)
+        ivf = IVFIndex(store, IVFConfig(n_clusters=8, n_probe=8, seed=0))
+        ivf.train(vecs)
+        ivf.insert_rows(rows)
+        sizes0 = np.asarray(ivf.cluster_stats().sizes)
+        mean = sizes0[sizes0 > 0].mean()
+        limit = max(int(mean * 1.5), 1)
+        moves = ivf.balance_clusters(max_ratio=1.5)
+        assert moves > 0
+        sizes1 = np.asarray(ivf.cluster_stats().sizes)
+        # every cluster that RECEIVED rows stays at/under the limit
+        grew = sizes1 > sizes0
+        assert (sizes1[grew] <= limit).all(), (sizes0, sizes1, limit)
+        # total membership conserved
+        assert sizes1.sum() == sizes0.sum()
+        # searches still find every vector (assignment integrity)
+        _, r = ivf.search_rows(vecs[5][None], 1)
+        assert store.row_of("v5") == r[0, 0]
+
     def test_centroid_export_import(self):
         store, ivf, vecs = make_index()
         cents = ivf.export_centroids()
