@@ -103,3 +103,77 @@ class TestS5ObjectStore:
         assert idx2.store.active_count == 80
         _, rows = idx2.hnsw.search_rows(vecs[5][None], 1)
         assert idx2.store.id_of(int(rows[0, 0])) == "v5"
+
+
+class TestRangeReadsOverHTTP:
+    def test_partial_get_206(self, s5_server):
+        url, _ = s5_server
+        store = S5ObjectStore(url, timeout=5)
+        store.put("r/blob", bytes(range(200)))
+        store._cache.clear()  # force the wire path
+        assert store.supports_range
+        assert store.get_range("r/blob", 10, 5) == bytes(range(10, 15))
+        assert store.get_range("r/blob", 190, 50) == bytes(range(190, 200))
+        # partials must not have polluted the full-get cache
+        assert store.get("r/blob") == bytes(range(200))
+
+    def test_lazy_cold_serving_uses_http_ranges(self, s5_server):
+        """End-to-end r5 headline feature over the REAL wire: a lazy load
+        through the S5 HTTP service answers its first search with Range
+        partial GETs of the probed row spans — not whole chunks."""
+        import threading
+
+        url, _ = s5_server
+        from fabstir_vectordb_tpu.index import (
+            HybridConfig, HybridIndex, IVFConfig, SearchConfig)
+        from fabstir_vectordb_tpu.storage import HybridPersister
+
+        rng = np.random.default_rng(1)
+        n, dim, k = 800, 16, 5
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HybridIndex(dim, HybridConfig(
+            ivf=IVFConfig(n_clusters=16, n_probe=2, seed=0),
+            auto_migrate=False))
+        idx.initialize(vecs[:200])
+        NOW = 1_700_000_000.0
+        ts = np.full(n, NOW - 30 * 86_400.0)
+        ts[:100] = NOW - 86_400.0
+        idx.insert_batch([f"v{i}" for i in range(n)], vecs, ts, now=NOW)
+        HybridPersister(S5ObjectStore(url, timeout=10)).save_index_chunked(
+            idx, "rr-http", chunk_size=50)
+
+        gate = threading.Event()
+        inner = S5ObjectStore(url, timeout=10)
+        inner._cache.clear()
+
+        class MaterializerGatedStore:
+            def __init__(self, s): self._s = s
+            def get(self, key):
+                if ("/chunks/" in key and
+                        threading.current_thread().name
+                        == "fvdb-materialize"):
+                    assert gate.wait(60)
+                return self._s.get(key)
+            def __getattr__(self, name): return getattr(self._s, name)
+
+        loaded, _ = HybridPersister(
+            MaterializerGatedStore(inner)).load_index_chunked(
+            "rr-http", lazy=True)
+        assert loaded._cold is not None
+        loaded._cold.hold_materializer()
+        gate.set()
+        try:
+            d, rows = loaded.search_rows(
+                vecs[[400]], k, config=SearchConfig(auto_migrate=False),
+                now=NOW)
+            assert rows[0, 0] == loaded.store.row_of("v400")
+            assert d[0, 0] < 1e-3
+            stats = loaded._cold.stats()
+            assert stats["rows_fetched_on_demand"] > 0
+            # ranged HTTP reads: far fewer bytes than the full corpus
+            assert stats["bytes_fetched_on_demand"] == \
+                stats["rows_fetched_on_demand"] * dim * 4
+            assert stats["rows_fetched_on_demand"] < n
+        finally:
+            loaded._cold.release_materializer()
+        loaded.wait_ready(timeout=60)
