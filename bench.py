@@ -737,6 +737,8 @@ def bench_10m(dim, k, rng):
          BASELINE_MS / p50)
     emit(f"scale_beyond_flat_qps_{n//1000}k_{dim}d_k{k}", qps, "qps",
          qps / BASELINE_QPS)
+    emit(f"scale_beyond_flat_pipelined_qps_{n//1000}k_{dim}d_k{k}", qps_pipe,
+         "qps", qps_pipe / BASELINE_QPS)
 
     # ---- recall vs exact-f32 oracle (cached once per corpus) ----
     sample = queries[:32]
