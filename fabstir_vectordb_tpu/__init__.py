@@ -23,7 +23,7 @@ from .index import (
     VectorStore,
 )
 
-__version__ = "0.3.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "VectorDBSession",
