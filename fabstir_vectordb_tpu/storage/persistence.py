@@ -459,9 +459,50 @@ class HybridPersister:
 
         deferred = lazy and ids_packed is not None
         stager = None
+        # range fast path: with packed ids in the sidecar and save-time
+        # verified data offsets over a range-capable store, chunk payloads
+        # are read as RAW f32 byte ranges — no CBOR parse, no per-chunk id
+        # decode. Measured at 1M x 384 the decode dominated full loads
+        # (pure IO is 4-6 s of the 55-79 s eager load).
+        layout0 = manifest.extra.get("layout") or {}
+        data_offsets = layout0.get("data_offsets")
+        chunk_rows = [c.vector_count for c in manifest.chunks]
+        range_fast = (
+            ids_packed is not None
+            and dim > 0
+            and data_offsets is not None
+            and len(data_offsets) == len(keys)
+            and all(int(o) >= 0 for o in data_offsets)
+            and bool(getattr(self.store, "supports_range", False))
+        )
+
+        def _chunk_block(i: int) -> np.ndarray:
+            """Chunk i's [rows_i, dim] f32 data, ranged when possible."""
+            if range_fast:
+                want = chunk_rows[i] * dim * 4
+                raw = self.loader.fetch_range(
+                    keys[i], int(data_offsets[i]), want)
+                if len(raw) == want:
+                    return np.frombuffer(raw, np.float32).reshape(-1, dim)
+                # short read (blob changed underneath?): full decode path
+            return self.loader.load_chunk(keys[i]).data
+
         if deferred:
             ids = _unpack_ids(ids_packed)
             blocks: list = []
+        elif range_fast:
+            # ids from the sidecar; chunk payloads as raw ranged reads
+            ids = _unpack_ids(ids_packed)
+            blocks = []
+            for i in range(len(keys)):
+                if chunk_rows[i] == 0:
+                    continue
+                block = _chunk_block(i)
+                if stager is None:
+                    stager = _maybe_stager(manifest.total_vectors, dim)
+                if stager is not None:
+                    stager.add(i, block)
+                blocks.append(block)
         else:
             # stream chunks in completion order and STAGE each block's
             # device transfer immediately (async device_put): the corpus
@@ -564,26 +605,49 @@ class HybridPersister:
             def _materialize() -> None:
                 try:
                     lazy_stager = _maybe_stager(n, store.dim)
-                    if serial:
-                        # few-core host + local store: fetch one chunk at a
-                        # time in THIS thread so the loop can (a) yield the
-                        # core to an on-demand search fetch between chunks
-                        # and (b) skip chunks the search already filled
-                        # (their rows read back from the store for the
-                        # stager — no double fetch/decode)
-                        for i, key in enumerate(keys):
-                            cold.yield_to_searches()
-                            if cold.is_filled(i):
-                                if lazy_stager is not None:
-                                    lo = i * chunk_size
-                                    hi = min(lo + chunk_size, n)
-                                    lazy_stager.add(i, store.data[lo:hi])
-                                continue
-                            chunk = loader.load_chunk(key)
-                            store.fill_rows(chunk.start_idx, chunk.data)
-                            cold.mark_filled(i)
-                            if lazy_stager is not None and chunk.data.shape[0]:
-                                lazy_stager.add(i, chunk.data)
+                    if serial or range_fast:
+                        # one chunk at a time in THIS thread: (a) yields the
+                        # core to an on-demand search fetch between chunks,
+                        # (b) skips chunks the search already filled, and
+                        # (c) on a range-capable store reads each chunk's
+                        # raw f32 block (no CBOR parse — decode dominated
+                        # full loads at 1M). Order is row order, so a local
+                        # disk streams sequentially; a parallel (network)
+                        # store prefetches the next blocks through the
+                        # loader pool while this one fills.
+                        prefetch = {}
+                        use_pool = (range_fast and not serial)
+                        if use_pool:
+                            width = 4
+                            for j in range(min(width, len(keys))):
+                                prefetch[j] = loader._pool.submit(
+                                    _chunk_block, j)
+                        for i in range(len(keys)):
+                            if cold is not None:
+                                cold.yield_to_searches()
+                                if cold.is_filled(i):
+                                    prefetch.pop(i, None)
+                                    if lazy_stager is not None:
+                                        lo = i * chunk_size
+                                        hi = min(lo + chunk_size, n)
+                                        lazy_stager.add(i, store.data[lo:hi])
+                                    continue
+                            if use_pool:
+                                fut = prefetch.pop(
+                                    i, None) or loader._pool.submit(
+                                    _chunk_block, i)
+                                nxt = i + width
+                                if nxt < len(keys) and nxt not in prefetch:
+                                    prefetch[nxt] = loader._pool.submit(
+                                        _chunk_block, nxt)
+                                block = fut.result()
+                            else:
+                                block = _chunk_block(i)
+                            store.fill_rows(i * chunk_size, block)
+                            if cold is not None:
+                                cold.mark_filled(i)
+                            if lazy_stager is not None and block.shape[0]:
+                                lazy_stager.add(i, block)
                     else:
                         # completion-order streaming through the loader
                         # pool: each chunk fills its recorded row range

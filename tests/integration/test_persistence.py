@@ -681,6 +681,10 @@ class TestLazyLoad:
                 if "/chunks/" in key:
                     assert gate.wait(30)
                 return self._s.get(key)
+            def get_range(self, key, offset, length):
+                if "/chunks/" in key:
+                    assert gate.wait(30)
+                return self._s.get_range(key, offset, length)
             def __getattr__(self, name): return getattr(self._s, name)
 
         loaded, _ = HybridPersister(GatedStore(inner)).load_index_chunked(
