@@ -134,6 +134,7 @@ def _start_watchdog(post: bool = False) -> None:
                           [sys.executable, os.path.abspath(__file__)], env)
             wlog(f"WATCHDOG: stalled (re-execs used: {_REEXEC_N}, "
                  f"{left:.0f}s left); giving up")
+            emit_summary()  # whatever was measured stays tail-proof
             sys.stdout.flush()
             os._exit(4)
 

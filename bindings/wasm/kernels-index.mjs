@@ -196,12 +196,11 @@ export class InMemoryIndex {
   get length() { return this.idToSlot.size; }
 
   // ---------------------------------------------------------------- queries
-  _searchOcc(query, k, occPtr) {
+  /** run the wasm scan at [qBase..] scratch, collect [{id, distance,
+   * metadata}] — the single scan/assembly used by every search flavor */
+  _runScan(query, k, occPtr, qBase) {
     const n = this.slots.length;
-    if (n === 0 || k <= 0) return [];
-    // scratch layout: [q f32*dim][oi i32*k][od f32*k]
-    const base = this._scratch((this.dim + 2 * k) * 4);
-    const qPtr = base, oiPtr = base + this.dim * 4, odPtr = oiPtr + k * 4;
+    const qPtr = qBase, oiPtr = qBase + this.dim * 4, odPtr = oiPtr + k * 4;
     this._heapF32(qPtr, this.dim).set(Float32Array.from(query));
     const cnt = this.ex.topk_cosine(
       this.vecsPtr, occPtr, n, this.dim, qPtr, k, oiPtr, odPtr);
@@ -213,6 +212,13 @@ export class InMemoryIndex {
       out.push({ id, distance: od[i], metadata: this.metadata.get(id) ?? null });
     }
     return out;
+  }
+
+  _searchOcc(query, k, occPtr) {
+    if (this.slots.length === 0 || k <= 0) return [];
+    // scratch layout: [q f32*dim][oi i32*k][od f32*k]
+    const base = this._scratch((this.dim + 2 * k) * 4);
+    return this._runScan(query, k, occPtr, base);
   }
 
   /** Exact top-k by cosine distance (1 - cos). reference: index.rs:122-161 */
@@ -236,26 +242,15 @@ export class InMemoryIndex {
   _searchPredicate(query, k, keep) {
     const n = this.slots.length;
     if (n === 0 || k <= 0) return [];
+    // scratch layout: [occ2 i32*n][q f32*dim][oi i32*k][od f32*k]
     const base = this._scratch((n + this.dim + 2 * k) * 4);
-    const occ2 = base, rest = base + n * 4;
+    const occ2 = base;
     const occSrc = this._heapI32(this.occPtr, n);
     const occDst = this._heapI32(occ2, n);
     for (let s = 0; s < n; s++) {
       occDst[s] = occSrc[s] && keep(this.slots[s]) ? 1 : 0;
     }
-    // reuse the tail of the scratch for q/oi/od (disjoint from occ2)
-    const qPtr = rest, oiPtr = rest + this.dim * 4, odPtr = oiPtr + k * 4;
-    this._heapF32(qPtr, this.dim).set(Float32Array.from(query));
-    const cnt = this.ex.topk_cosine(
-      this.vecsPtr, occ2, n, this.dim, qPtr, k, oiPtr, odPtr);
-    const oi = this._heapI32(oiPtr, cnt);
-    const od = this._heapF32(odPtr, cnt);
-    const out = [];
-    for (let i = 0; i < cnt; i++) {
-      const id = this.slots[oi[i]];
-      out.push({ id, distance: od[i], metadata: this.metadata.get(id) ?? null });
-    }
-    return out;
+    return this._runScan(query, k, occ2, base + n * 4);
   }
 
   // ------------------------------------------------------------ persistence

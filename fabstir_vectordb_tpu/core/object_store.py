@@ -289,7 +289,10 @@ class CachedObjectStore(_DecoratorStore):
     def get_range(self, key: str, offset: int, length: int) -> bytes:
         # A fresh fully-cached blob answers any range locally; otherwise
         # forward to the inner store WITHOUT caching the partial (a partial
-        # blob under a full-get key would corrupt later reads).
+        # blob under a full-get key would corrupt later reads). Mirrors
+        # get()'s stats and TTL bookkeeping: forwarded ranges count as
+        # misses, and an expired entry is evicted (not left holding its
+        # byte budget until some later full get()).
         now = self._clock()
         with self._lock:
             entry = self._cache.get(key)
@@ -299,6 +302,9 @@ class CachedObjectStore(_DecoratorStore):
                     self._cache.move_to_end(key)
                     self.stats.hits += 1
                     return data[offset: offset + length]
+                self._cache.pop(key)
+                self._bytes -= len(data)
+            self.stats.misses += 1
         return super().get_range(key, offset, length)
 
     def _insert(self, key: str, data: bytes, now: float) -> None:

@@ -26,6 +26,8 @@ thread pool and the scan is one matmul.
 """
 from __future__ import annotations
 
+import os
+import sys
 import threading
 import time
 
@@ -168,7 +170,7 @@ class ColdServing:
                     runs.append((lo + int(gap[s]), lo + int(gap[e]) + 1))
         return runs
 
-    def _ensure_spans(self, spans) -> None:
+    def _ensure_spans(self, spans, merged: bool = False) -> None:
         """Make every row in the given position spans resident.
 
         Two strategies:
@@ -190,7 +192,8 @@ class ColdServing:
         Work runs from this thread on serial (local) stores, or a small
         private pool when the store declares ``parallel_fetch`` (network
         stores release the GIL in ``get``)."""
-        spans = self._merged_spans(spans)
+        if not merged:
+            spans = self._merged_spans(spans)
         if not spans:
             return
         with self._lock:
@@ -319,15 +322,11 @@ class ColdServing:
         Returns (dists [B, k] euclidean, rows [B, k]) — the same contract as
         ``HybridIndex.search_rows``.
         """
-        import os
-        import time as _time
-
         timing = os.environ.get("FVDB_TIMING", "0") == "1"
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         queries = np.atleast_2d(np.asarray(queries, np.float32))
-        b = queries.shape[0]
         spans = self._merged_spans(self._probe_spans(queries, n_probe))
-        t1 = _time.perf_counter()
+        t1 = time.perf_counter()
         # hold the materializer for the WHOLE search, not just the fetch:
         # its chunk decode loop is CPU-bound and on a few-core host it
         # starves the scan below too (measured at 1M: the same 355K-row
@@ -335,10 +334,9 @@ class ColdServing:
         with self._lock:
             self._pending += 1
         try:
-            self._ensure_spans(spans)
-            t2 = _time.perf_counter()
+            self._ensure_spans(spans, merged=True)
+            t2 = time.perf_counter()
             if timing:
-                import sys
                 print(f"[fvdb-timing] cold probe-plan {t1-t0:.3f}s "
                       f"ensure-spans {t2-t1:.3f}s "
                       f"(rows={sum(hi-lo for lo, hi in spans)}, "
@@ -348,8 +346,7 @@ class ColdServing:
             with self._lock:
                 self._pending -= 1
         if timing:
-            import sys
-            print(f"[fvdb-timing] cold scan {_time.perf_counter()-t2:.3f}s "
+            print(f"[fvdb-timing] cold scan {time.perf_counter()-t2:.3f}s "
                   f"(spans={len(spans)})", file=sys.stderr)
         return out
 

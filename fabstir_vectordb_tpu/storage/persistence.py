@@ -491,13 +491,17 @@ class HybridPersister:
             ids = _unpack_ids(ids_packed)
             blocks: list = []
         elif range_fast:
-            # ids from the sidecar; chunk payloads as raw ranged reads
+            # ids from the sidecar; chunk payloads as raw ranged reads —
+            # through the loader pool on parallel (network) stores so the
+            # fan-out the decode path had is kept
             ids = _unpack_ids(ids_packed)
             blocks = []
-            for i in range(len(keys)):
-                if chunk_rows[i] == 0:
-                    continue
-                block = _chunk_block(i)
+            live = [i for i in range(len(keys)) if chunk_rows[i] > 0]
+            if getattr(self.store, "parallel_fetch", False) and len(live) > 1:
+                fetched = self.loader._pool.map(_chunk_block, live)
+            else:
+                fetched = map(_chunk_block, live)
+            for i, block in zip(live, fetched):
                 if stager is None:
                     stager = _maybe_stager(manifest.total_vectors, dim)
                 if stager is not None:

@@ -45,6 +45,11 @@ def _rewrite_for_docker(url: str) -> str:
     return url
 
 
+class _RangeUnsatisfiable(StorageError):
+    """HTTP 416: the requested byte range starts past EOF (truncate to
+    b'' per the ObjectStore contract; never retried)."""
+
+
 class S5ObjectStore(_BaseStore):
     parallel_fetch = True  # HTTP gets release the GIL; fan-out pays off
     supports_range = True  # HTTP Range (client-side slice if 200 returned)
@@ -97,12 +102,14 @@ class S5ObjectStore(_BaseStore):
                 )
                 if resp.status_code == 404:
                     raise NotFoundError(key)
+                if resp.status_code == 416:
+                    raise _RangeUnsatisfiable(key)  # definitive, no retry
                 if resp.status_code >= 400:
                     raise StorageError(
                         f"S5 {method} {key} -> {resp.status_code}: {resp.text[:200]}"
                     )
                 return resp
-            except NotFoundError:
+            except (NotFoundError, _RangeUnsatisfiable):
                 raise
             except Exception as e:  # noqa: BLE001
                 last = e
@@ -126,10 +133,17 @@ class S5ObjectStore(_BaseStore):
             return b""
         if key in self._cache:
             return self._cache[key][offset: offset + length]
-        resp = self._request(
-            "GET", key,
-            extra_headers={"Range": f"bytes={offset}-{offset + length - 1}"},
-        )
+        try:
+            resp = self._request(
+                "GET", key,
+                extra_headers={
+                    "Range": f"bytes={offset}-{offset + length - 1}"},
+            )
+        except _RangeUnsatisfiable:
+            # a spec-compliant server answers a fully-past-EOF range with
+            # 416 Range Not Satisfiable; the _BaseStore contract truncates
+            # instead of erroring (filesystem pread / memory slice parity)
+            return b""
         data = resp.content
         if resp.status_code == 206:
             return data

@@ -127,10 +127,17 @@ def create_s5_app() -> web.Application:
         rng = request.headers.get("Range")
         if rng and rng.startswith("bytes="):
             # single-range partial GET (sub-chunk lazy cold serving reads
-            # row spans this way); malformed ranges fall through to 200
+            # row spans this way); malformed ranges fall through to 200,
+            # a fully-past-EOF range gets the spec's 416 (the client
+            # truncates it to b'' per the ObjectStore contract)
             try:
                 lo_s, hi_s = rng[len("bytes="):].split("-", 1)
                 lo = int(lo_s)
+                if lo >= len(data):
+                    return web.Response(
+                        status=416,
+                        headers={"Content-Range": f"bytes */{len(data)}"},
+                    )
                 hi = min(int(hi_s), len(data) - 1) if hi_s else len(data) - 1
                 if 0 <= lo <= hi:
                     return web.Response(

@@ -114,6 +114,10 @@ class TestRangeReadsOverHTTP:
         assert store.supports_range
         assert store.get_range("r/blob", 10, 5) == bytes(range(10, 15))
         assert store.get_range("r/blob", 190, 50) == bytes(range(190, 200))
+        # fully-past-EOF: server answers 416, the store truncates to b''
+        # (the _BaseStore contract; pread/memory-slice parity) — no retry
+        assert store.get_range("r/blob", 200, 10) == b""
+        assert store.get_range("r/blob", 5000, 1) == b""
         # partials must not have polluted the full-get cache
         assert store.get("r/blob") == bytes(range(200))
 
