@@ -85,7 +85,7 @@ def main() -> None:
           f"{time.perf_counter()-t0:.2f}s later; warm from here on")
     d2, rows2 = loaded.search_rows(vecs[[30_000]], 5, config=cfg, now=NOW)
     assert int(rows2[0, 0]) == int(rows[0, 0])
-    print("warm search agrees with the cold answer — done.")
+    print("\nOK — warm search agrees with the cold answer")
 
 
 if __name__ == "__main__":
