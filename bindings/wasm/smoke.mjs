@@ -54,4 +54,21 @@ assert(ix.size() === 2, "delete");
 const ix2 = await InMemoryIndex.deserialize(ix.serialize(), bytes);
 assert(ix2.size() === 2, "serialize roundtrip");
 
+// vector helper surface (vector.rs parity) on the same artifact
+const { Vector, VectorBatch, bindKernels, cosineSimilarity,
+        cosineSimilaritySimd, euclideanDistance } =
+  await import("./vector.mjs");
+const v1 = new Vector([3, 4]), v2 = new Vector([4, 3]);
+assert(Math.abs(v1.magnitude() - 5) < 1e-6, "magnitude");
+assert(Math.abs(v1.normalize().magnitude() - 1) < 1e-6, "normalize");
+assert(Math.abs(cosineSimilarity(v1, v2) - 24 / 25) < 1e-6, "cosine scalar");
+bindKernels(kx); // accelerated paths now execute inside the artifact
+assert(Math.abs(cosineSimilaritySimd(v1, v2) - 24 / 25) < 1e-5, "cosine wasm");
+assert(Math.abs(euclideanDistance(v1, v2) - Math.SQRT2) < 1e-5, "euclid wasm");
+const batch = new VectorBatch();
+batch.addVector(v1); batch.addVector(new Vector([0, 0]));
+const sims = batch.computeSimilarities(v1);
+assert(Math.abs(sims[0] - 1) < 1e-5 && sims[1] === 0, "batch sims");
+bindKernels(null);
+
 console.log("fvdb_kernels.wasm smoke: OK");

@@ -273,6 +273,9 @@ def test_expected_exports_present():
         "bindings/wasm/kernels-index.mjs": {
             "InMemoryIndex", "SearchFilter", "VideoSimilarityIndex",
             "VideoRecommender", "VideoClustering"},
+        "bindings/wasm/vector.mjs": {
+            "Vector", "VectorBatch", "bindKernels", "cosineSimilarity",
+            "euclideanDistance", "cosineSimilaritySimd"},
         "bindings/js/client.mjs": {"VectorDbClient"},
         "bindings/node/index.mjs": {"VectorDBSession"},
     }
