@@ -160,7 +160,11 @@ def budget_allows(name: str, est_s: float) -> bool:
     return True
 
 
-_EMIT_LOCK = __import__("threading").Lock()
+# RLock, not Lock: the SIGTERM/SIGINT handler re-emits the summary +
+# headline ON THE MAIN THREAD; if the signal lands while the main thread
+# is already inside emit() holding the lock, a non-reentrant lock would
+# deadlock the handler under the very kill it exists to survive
+_EMIT_LOCK = __import__("threading").RLock()
 _ALL_METRICS: dict = {}  # every metric emitted this run (name -> value)
 
 
@@ -239,6 +243,8 @@ def measure_p50(idx, queries, k, cfg, label):
         t0 = time.perf_counter()
         idx.search_rows(queries[i], k, config=cfg, now=NOW)
         lats.append((time.perf_counter() - t0) * 1000.0)
+        touch()  # per-query: 200 searches under degraded weather can
+        # exceed the stall limit while every single one completes
     lats.sort()
     p50 = lats[len(lats) // 2]
     p99 = lats[int(len(lats) * 0.99)]
@@ -252,6 +258,7 @@ def measure_qps(idx, rng, dim, k, cfg, batch=128, reps=10, big_batch=True):
     t0 = time.perf_counter()
     for _ in range(reps):
         idx.search_rows(bq, k, config=cfg, now=NOW)
+        touch()
     qps = batch * reps / (time.perf_counter() - t0)
     log(f"batched throughput: {qps:,.0f} QPS (batch={batch})")
     # pipelined: dispatch depth-4 before first readback — overlaps the

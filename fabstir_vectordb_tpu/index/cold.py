@@ -231,8 +231,17 @@ class ColdServing:
             ci, r0, r1 = task
             base = ci * cs
             off = self.data_offsets[ci] + (r0 - base) * row_bytes
-            raw = self.loader.fetch_range(
-                self.keys[ci], off, (r1 - r0) * row_bytes)
+            want = (r1 - r0) * row_bytes
+            raw = self.loader.fetch_range(self.keys[ci], off, want)
+            if len(raw) != want:
+                # a truncated blob or a Range-clamping proxy must never
+                # leave zero rows that the scan then silently scores;
+                # demote the chunk to the whole-chunk path (its CBOR
+                # decode self-verifies, same contract as the eager twin
+                # _chunk_block)
+                with self._lock:
+                    fallback.add(ci)
+                return
             rows = np.frombuffer(raw, np.float32).reshape(-1, self.dim)
             with self._lock:
                 store.fill_rows(r0, rows)

@@ -36,7 +36,7 @@ import numpy as np
 
 from ..ops.distance import pairwise_distance
 from ..ops.topk import masked_approx_topk
-from ..utils import limits
+from ..utils import limits, progress
 from ..utils.padding import bucket, fit_mask, grow_rows
 from .store import VectorStore
 
@@ -752,6 +752,7 @@ class HNSWIndex:
                 _flush()
                 mask_dev = None  # serial path mutates membership host-side
                 self._insert_batch(batch)
+            progress.mark()  # one linked/dispatched batch = forward progress
         _flush()
 
     def _scatter_members(self, mask_dev, batch: np.ndarray):

@@ -30,7 +30,7 @@ import numpy as np
 from ..ops.distance import pairwise_distance
 from ..ops.kmeans import assign_clusters, kmeans_train_stepped
 from ..ops.topk import masked_topk, merge_topk
-from ..utils import limits
+from ..utils import limits, progress
 from ..utils.padding import bucket, fit_mask, round_up, grow_rows
 from .store import VectorStore
 
@@ -266,6 +266,7 @@ class IVFIndex:
             vecs = mirror.x[jnp.asarray(sub_pad)].astype(jnp.float32)
             assign, _ = assign_clusters(vecs, cj)
             self.assignments[sub] = np.asarray(assign, np.int32)[: len(sub)]
+            progress.mark()  # one assignment chunk = one device round-trip
         self._version += 1
 
     def remove_rows(self, rows: np.ndarray) -> None:

@@ -174,15 +174,19 @@ def kmeans_scalable_init(key, x, mask, n_clusters: int, rounds: int = 5,
     population, and finishes with exact weighted k-means++ on that small
     set host-side. Seeding quality >= k-means++ at these sizes.
     """
+    from ..utils import progress
+
     l = max(n_clusters * oversample // rounds, 1)
     key, sub = jax.random.split(key)
     x_sq, d2, first_c = _scalable_first(sub, x, mask)
+    progress.mark()
 
     cands = [first_c[None, :]]
     for _ in range(rounds):
         key, sub = jax.random.split(key)
         d2, cand, _ = _scalable_round(sub, x, x_sq, mask, d2, l)
         cands.append(cand)
+        progress.mark()  # one completed round-trip per round
     cand = jnp.concatenate(cands, axis=0)  # [1 + rounds*l, D]
 
     # weight candidates by the population they attract (one assignment pass)
@@ -215,6 +219,8 @@ def kmeans_train_stepped(
     Costs max_iterations device round-trips, which is noise next to the
     matmuls at IVF training sizes.
     """
+    from ..utils import progress
+
     cents = kmeans_scalable_init(key, x, mask, n_clusters)
     last_err = float("inf")
     i = 0
@@ -223,6 +229,12 @@ def kmeans_train_stepped(
     while i < max_iterations:
         cents, err = _lloyd_step_jit(x, mask, cents)
         err_f = float(err)
+        # each iteration is one completed device round-trip: mark it, so a
+        # stall watchdog can tell "backend slow tonight" (marks flowing,
+        # iterations taking 10-60 s under degraded tunnel weather) from
+        # "one RPC wedged" (marks stop) — a markless 25-iteration train
+        # was observed false-killed at 300 s while making real progress
+        progress.mark()
         if i > 0 and abs(last_err - err_f) / max(last_err, 1e-30) < tol:
             converged = True
             i += 1

@@ -73,16 +73,22 @@ class ChunkLoader:
             self._inflight.pop(key, None)
         return self.cache.get(key) or chunk
 
-    def _fetch_with_retry(self, key: str) -> bytes:
+    def _retry(self, fn, describe: str) -> bytes:
+        """The loader's ONE retry policy (exponential backoff, reference:
+        src/storage/chunk_loader.rs:127-172) — both the full-chunk and
+        byte-range paths go through here so the ladder cannot diverge."""
         last: Exception | None = None
         for attempt in range(self.max_retries):
             try:
-                return self.store.get(key)
+                return fn()
             except Exception as e:  # noqa: BLE001
                 last = e
                 if attempt < self.max_retries - 1:
                     self._sleep(self.base_delay * (2 ** attempt))
-        raise ChunkLoadError(f"failed to load chunk {key}") from last
+        raise ChunkLoadError(f"failed to load {describe}") from last
+
+    def _fetch_with_retry(self, key: str) -> bytes:
+        return self._retry(lambda: self.store.get(key), f"chunk {key}")
 
     def fetch_range(self, key: str, offset: int, length: int) -> bytes:
         """Byte range of a stored chunk blob, with the same retry ladder as
@@ -90,19 +96,14 @@ class ChunkLoader:
         not a decodable chunk); sub-chunk cold serving tracks residency at
         row granularity instead (index/cold.py)."""
         get_range = getattr(self.store, "get_range", None)
-        last: Exception | None = None
-        for attempt in range(self.max_retries):
-            try:
-                if get_range is not None:
-                    return get_range(key, offset, length)
-                return self.store.get(key)[offset: offset + length]
-            except Exception as e:  # noqa: BLE001
-                last = e
-                if attempt < self.max_retries - 1:
-                    self._sleep(self.base_delay * (2 ** attempt))
-        raise ChunkLoadError(
-            f"failed to load range [{offset}, {offset + length}) of {key}"
-        ) from last
+
+        def _once() -> bytes:
+            if get_range is not None:
+                return get_range(key, offset, length)
+            return self.store.get(key)[offset: offset + length]
+
+        return self._retry(
+            _once, f"range [{offset}, {offset + length}) of {key}")
 
     def load_chunks_parallel(self, keys: list) -> list:
         """Fetch many chunks concurrently; order matches input keys."""

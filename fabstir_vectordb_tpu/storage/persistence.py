@@ -230,12 +230,11 @@ class HybridPersister:
             )
             payload = chunk.to_cbor()
             off = len(payload) - chunk.data.nbytes
-            tail_ok = off >= 0 and np.array_equal(
-                np.frombuffer(payload, np.float32,
-                              count=(hi - lo) * s.dim, offset=off
-                              ).reshape(hi - lo, s.dim),
-                chunk.data,
-            )
+            # raw-byte compare, NOT float compare: array_equal treats NaN
+            # as unequal-to-itself, so one NaN element would mark a
+            # byte-identical tail -1 and silently disable the range fast
+            # path for the whole load
+            tail_ok = off >= 0 and payload[off:] == chunk.data.tobytes()
             data_offsets.append(int(off) if tail_ok else -1)
             h = _sha(payload)
             chunk_hashes[chunk_id] = h
@@ -621,16 +620,37 @@ class HybridPersister:
                         # loader pool while this one fills.
                         prefetch = {}
                         use_pool = (range_fast and not serial)
-                        if use_pool:
-                            width = 4
-                            for j in range(min(width, len(keys))):
+                        width = 4
+                        next_submit = 0
+
+                        def _top_up(lo: int) -> None:
+                            # keep `width` fetches in flight past position
+                            # lo, skipping search-filled chunks — popping a
+                            # skipped chunk's future without a replacement
+                            # collapsed the window to serial submit-then-
+                            # wait after a skip burst
+                            nonlocal next_submit
+                            next_submit = max(next_submit, lo)
+                            while (len(prefetch) < width
+                                   and next_submit < len(keys)):
+                                j = next_submit
+                                next_submit += 1
+                                if cold is not None and cold.is_filled(j):
+                                    continue
                                 prefetch[j] = loader._pool.submit(
                                     _chunk_block, j)
+
+                        if use_pool:
+                            _top_up(0)
                         for i in range(len(keys)):
                             if cold is not None:
                                 cold.yield_to_searches()
                                 if cold.is_filled(i):
-                                    prefetch.pop(i, None)
+                                    fut = prefetch.pop(i, None)
+                                    if fut is not None:
+                                        fut.cancel()  # not-started: no IO
+                                    if use_pool:
+                                        _top_up(i + 1)
                                     if lazy_stager is not None:
                                         lo = i * chunk_size
                                         hi = min(lo + chunk_size, n)
@@ -640,10 +660,7 @@ class HybridPersister:
                                 fut = prefetch.pop(
                                     i, None) or loader._pool.submit(
                                     _chunk_block, i)
-                                nxt = i + width
-                                if nxt < len(keys) and nxt not in prefetch:
-                                    prefetch[nxt] = loader._pool.submit(
-                                        _chunk_block, nxt)
+                                _top_up(i + 1)
                                 block = fut.result()
                             else:
                                 block = _chunk_block(i)
