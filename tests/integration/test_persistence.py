@@ -770,6 +770,84 @@ class TestLazyLoad:
         assert loaded.ready  # eager fallback
         assert loaded.stats(now=NOW).total_vectors == n
 
+    def test_nan_vectors_keep_the_range_fast_path(self, rng):
+        """Chunk tail verification compares raw BYTES: a NaN element must
+        not mark its (byte-identical) chunk offset -1 — np.array_equal
+        treats NaN as unequal-to-itself, and one -1 offset disables the
+        eager decode-skip fast path for the entire load."""
+        n, dim = 300, 8
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        vecs[137, 3] = np.nan  # one poisoned element mid-corpus
+        idx = HybridIndex(dim, HybridConfig(
+            ivf=IVFConfig(n_clusters=8, n_probe=8, seed=0),
+            auto_migrate=False))
+        idx.initialize(vecs[:100])  # clean rows train the quantizer
+        idx.insert_batch([f"v{i}" for i in range(n)], vecs,
+                         np.full(n, NOW - 30 * DAY), now=NOW)
+
+        store = MemoryObjectStore()
+        manifest = HybridPersister(store).save_index_chunked(
+            idx, "nan", chunk_size=50)
+        offs = manifest.extra["layout"]["data_offsets"]
+        assert all(o >= 0 for o in offs), offs  # NaN chunk still verified
+
+        loaded, _ = HybridPersister(store).load_index_chunked("nan")
+        row = loaded.store.row_of("v137")
+        got = loaded.store.data[row]
+        assert np.isnan(got[3]) and np.array_equal(
+            got.tobytes(), vecs[137].tobytes())
+
+    def test_cold_short_range_read_demotes_to_whole_chunk(self, rng):
+        """A truncated ranged response (corrupt blob, Range-clamping
+        proxy) must never leave zero rows that the cold scan then scores:
+        the chunk demotes to the self-verifying whole-chunk path and the
+        search stays exact."""
+        n, dim, k = 400, 8, 5
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = HybridIndex(dim, HybridConfig(
+            ivf=IVFConfig(n_clusters=8, n_probe=8, seed=0),
+            auto_migrate=False))
+        idx.initialize(vecs[:100])
+        idx.insert_batch([f"v{i}" for i in range(n)], vecs,
+                         np.full(n, NOW - 30 * DAY), now=NOW)
+        store = MemoryObjectStore()
+        HybridPersister(store).save_index_chunked(idx, "sr", chunk_size=50)
+
+        class ShortRangeStore:
+            """First ranged GET returns half the requested bytes."""
+            def __init__(self, s):
+                self._s = s
+                self.shorted = 0
+            def get_range(self, key, offset, length):
+                raw = self._s.get_range(key, offset, length)
+                if self.shorted == 0 and length > 8:
+                    self.shorted += 1
+                    return raw[: length // 2]
+                return raw
+            def __getattr__(self, name):
+                return getattr(self._s, name)
+
+        wrapped = ShortRangeStore(store)
+        loaded, _ = HybridPersister(wrapped).load_index_chunked(
+            "sr", lazy=True)
+        cold = loaded._cold
+        assert cold is not None
+        cold.hold_materializer()
+        try:
+            q = vecs[[250]]
+            d, rows = loaded.search_rows(
+                q, k, config=SearchConfig(auto_migrate=False), now=NOW)
+            assert wrapped.shorted == 1  # the short read actually happened
+            assert rows[0, 0] == loaded.store.row_of("v250")
+            assert d[0, 0] < 1e-3
+            # demoted chunk was filled via the whole-chunk path: its rows
+            # hold real data, not zeros
+            got = loaded.store.data[rows[0, 0]]
+            assert np.array_equal(got.tobytes(), vecs[250].tobytes())
+        finally:
+            cold.release_materializer()
+        loaded.wait_ready(timeout=60)
+
 
 class TestHybridStaleChunkCleanup:
     def test_shrinking_save_deletes_phantom_chunks(self):
