@@ -108,6 +108,24 @@ def lloyd_step(x, mask, centroids):
 _lloyd_step_jit = jax.jit(lloyd_step)
 
 
+@partial(jax.jit, static_argnames=("steps",))
+def _lloyd_block(x, mask, cents, steps: int):
+    """``steps`` Lloyd iterations in ONE program, stacking every
+    intermediate (centroids, error) so the host can stop at the exact
+    iteration the per-step loop would have: one device round-trip does
+    the work of ``steps`` (per-dispatch latency on the tunneled backend
+    measured 0.03-14 s for the SAME cached program across runs, so
+    round-trips — not FLOPs — bound training time on bad nights).
+    The stacked centroids are [steps, C, D] f32 (~2 MB at C=256, D=384)."""
+
+    def body(c, _):
+        nc, err = lloyd_step(x, mask, c)
+        return nc, (nc, err)
+
+    _, (all_c, errs) = jax.lax.scan(body, cents, None, length=steps)
+    return all_c, errs
+
+
 @jax.jit
 def _scalable_first(key, x, mask):
     """First kmeans|| pick + initial min-distance table (one program)."""
@@ -214,33 +232,44 @@ def kmeans_train_stepped(
     kmeans_scalable_init — quality >= k-means++) and compiled as SMALL
     programs instead of one scan+while_loop giant: on remote-compile
     targets the monolithic program costs minutes per compile (and a
-    corrupted cached executable of it once wedged the device); the stepped
-    form compiles in seconds and its pieces are shared with other callers.
-    Costs max_iterations device round-trips, which is noise next to the
-    matmuls at IVF training sizes.
+    corrupted cached executable of it once wedged the device); the
+    blocked form (5 Lloyd iterations per dispatch, every intermediate
+    stacked) compiles in seconds and costs at most ceil(25/5)+1 device
+    round-trips. Convergence is decided host-side from the per-step
+    error vector, stopping at EXACTLY the iteration the one-step-per-
+    round-trip loop would have (same centroids, same count).
     """
     from ..utils import progress
 
+    block = 5
     cents = kmeans_scalable_init(key, x, mask, n_clusters)
     last_err = float("inf")
     i = 0
     converged = False
     err = jnp.float32(0.0)
-    while i < max_iterations:
-        cents, err = _lloyd_step_jit(x, mask, cents)
-        err_f = float(err)
-        # each iteration is one completed device round-trip: mark it, so a
-        # stall watchdog can tell "backend slow tonight" (marks flowing,
-        # iterations taking 10-60 s under degraded tunnel weather) from
-        # "one RPC wedged" (marks stop) — a markless 25-iteration train
-        # was observed false-killed at 300 s while making real progress
+    while i < max_iterations and not converged:
+        steps = min(block, max_iterations - i)
+        all_c, errs = _lloyd_block(x, mask, cents, steps)
+        errs_h = np.asarray(errs, np.float64)
+        # one completed round-trip = forward progress: a stall watchdog
+        # can tell "backend slow tonight" (marks flowing, blocks taking
+        # 10-60 s under degraded tunnel weather) from "one RPC wedged"
+        # (marks stop) — a markless 25-iteration train was observed
+        # false-killed at 300 s while making real progress
         progress.mark()
-        if i > 0 and abs(last_err - err_f) / max(last_err, 1e-30) < tol:
-            converged = True
-            i += 1
-            break
-        last_err = err_f
-        i += 1
+        stop = None
+        for j in range(steps):
+            err_f = float(errs_h[j])
+            if (i + j > 0
+                    and abs(last_err - err_f) / max(last_err, 1e-30) < tol):
+                converged = True
+                stop = j
+                break
+            last_err = err_f
+        j = steps - 1 if stop is None else stop
+        cents = all_c[j]
+        err = errs[j]
+        i += j + 1
     return TrainResult(
         cents, jnp.int32(i), jnp.bool_(converged), jnp.float32(err)
     )

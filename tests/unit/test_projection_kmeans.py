@@ -109,6 +109,46 @@ class TestScalableKMeans:
         assert float(res.final_error) < 0.1
         assert bool(res.converged)
 
+    def test_blocked_train_matches_one_step_loop_exactly(self):
+        """The 5-iterations-per-dispatch block must stop at EXACTLY the
+        iteration a one-Lloyd-step-per-round-trip loop would, with the
+        same centroids — the blocking is a round-trip optimization, not a
+        semantics change."""
+        import jax
+        import jax.numpy as jnp
+
+        from fabstir_vectordb_tpu.ops.kmeans import (
+            _lloyd_step_jit, kmeans_scalable_init, kmeans_train_stepped)
+
+        rng = np.random.default_rng(6)
+        centers = rng.standard_normal((8, 16)).astype(np.float32)
+        x = jnp.asarray(centers[rng.integers(0, 8, 1500)]
+                        + 0.05 * rng.standard_normal((1500, 16)
+                                                     ).astype(np.float32))
+        mask = jnp.ones(1500, bool)
+        key = jax.random.PRNGKey(3)
+        res = kmeans_train_stepped(key, x, mask, 8, max_iterations=25,
+                                   tol=1e-4)
+
+        # reference twin: the pre-block per-step loop, same seeding
+        cents = kmeans_scalable_init(key, x, mask, 8)
+        last_err, i, converged = float("inf"), 0, False
+        err = jnp.float32(0.0)
+        while i < 25:
+            cents, err = _lloyd_step_jit(x, mask, cents)
+            err_f = float(err)
+            if i > 0 and abs(last_err - err_f) / max(last_err, 1e-30) < 1e-4:
+                converged, i = True, i + 1
+                break
+            last_err, i = err_f, i + 1
+
+        assert int(res.iterations) == i
+        assert bool(res.converged) == converged
+        np.testing.assert_allclose(np.asarray(res.centroids),
+                                   np.asarray(cents), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(float(res.final_error), float(err),
+                                   rtol=1e-6)
+
 
 class TestPQProperties:
     def test_adc_equals_decoded_distance_and_dim_validation(self):
